@@ -1,0 +1,186 @@
+"""Search query executor: descriptor → fused device computation → Arrow.
+
+Implements the semantics of /root/reference/src/fenix/io/index/index.py:81-170
+(normalize target → optional IVF probe pruning → filter → distance →
+select → ascending top-k) as one device pass: predicate and probe masks
+are pushed below the blocked distance matmul (fenix_tpu.ops.distance),
+and only the winning row ids + distances return to the host, where the
+result rows are gathered from the memory-mapped Arrow table.
+
+Divergence (documented): when top-k applies, results are always sorted
+ascending by distance with ties broken by row id — the reference's
+``select_k_unstable`` order is unspecified for ties, and when the
+filtered candidate count is ≤ maxval the reference skips sorting
+entirely; deterministic output is required for exact-match parity
+testing (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+from fenix_tpu import expr as expr_mod
+from fenix_tpu.engine.session import DeviceCache
+from fenix_tpu.io import ingest
+from fenix_tpu.ops import cells as cells_ops
+from fenix_tpu.ops import distance as distance_ops
+
+CODE_COL: str = "__CODED_ID__"
+DIST_COL: str = "__DISTANCE__"
+QUERY_COL: str = "__QUERY_ID__"
+
+_CACHES: dict[str, DeviceCache] = {}
+
+
+def get_cache(root: str) -> DeviceCache:
+    import os
+
+    root = os.path.abspath(root)
+    if root not in _CACHES:
+        _CACHES[root] = DeviceCache(root)
+    return _CACHES[root]
+
+
+@dataclass
+class SearchRequest:
+    """Stateless, wire-safe search descriptor (fixes the reference's
+    server-session mutation, flight.py:105-131 / SURVEY §2.2.1)."""
+
+    source: str | Sequence[str]
+    column: str
+    target: np.ndarray  # [Q, D] fp32
+    metric: str | None = None
+    coding: str | None = None
+    select: Sequence[str] | None = None
+    filter: expr_mod.Expr | None = None
+    maxval: int | None = None
+    probes: int | None = None
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+def normalize_target(target: Any, dim: int) -> np.ndarray:
+    """Accept ndarray / jax.Array / Arrow fixed-size-list / flat arrays;
+    return ``[Q, dim]`` fp32 (reference index.py:101-111 normalization,
+    extended to multi-query)."""
+    if isinstance(target, pa.Table):
+        target = target.column("target")
+    if isinstance(target, pa.ChunkedArray):
+        target = target.combine_chunks()
+    if isinstance(target, pa.Array):
+        if pa.types.is_fixed_size_list(target.type):
+            target = ingest.fixed_size_list_to_numpy(target)
+        else:
+            # Flat value column of Q·dim scalars (the reference client
+            # sends a single query this way, flight.py:273-279).
+            target = target.to_numpy(zero_copy_only=False)
+    if isinstance(target, pa.FixedSizeListScalar):
+        target = np.asarray(target.values)
+
+    target = np.asarray(target, dtype=np.float32)
+    if target.ndim == 1:
+        assert target.size % dim == 0, (target.size, dim)
+        target = target.reshape(-1, dim)
+    assert target.ndim == 2 and target.shape[1] == dim, (target.shape, dim)
+    return target
+
+
+def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
+    """Run a search request against device-resident columns."""
+    # --- host-side table (for result gather and schema parity) ---------
+    if req.coding is not None:
+        data = cache.coded_table(req.coding, req.source, req.column)
+    else:
+        data = cache.host_table(req.source)
+
+    column_type = data.schema.field(req.column).type
+    value_dtype = column_type.value_type.to_pandas_dtype()
+    dim = column_type.list_size
+    target = normalize_target(req.target, dim)
+    num_queries = target.shape[0]
+
+    metric = req.metric
+    coding_data = cache.coding(req.coding) if (req.coding and req.probes) else None
+    if coding_data is not None and metric is None:
+        # reference index.py:116-117: default to the coder's metric
+        metric = coding_data["config"]["metric"]
+    assert metric is not None, "metric is required when no coder supplies one"
+    metric = distance_ops.canonical_metric(metric)
+
+    # --- device columns --------------------------------------------------
+    corpus = cache.matrix(req.source, req.column)
+    n_pad, rows = corpus.rows_padded, corpus.rows
+
+    # validity ∧ user predicate mask
+    mask_np = np.zeros(n_pad, dtype=bool)
+    if req.filter is not None:
+        mask_np[:rows] = req.filter.mask(data)
+    else:
+        mask_np[:rows] = True
+    mask = jnp.asarray(mask_np)
+
+    queries = jnp.asarray(target)
+
+    # --- select list (reference index.py:128-129) ------------------------
+    select = [*req.select] if req.select is not None else data.column_names
+    select = select + [DIST_COL]
+
+    # --- no-top-k path: distance column over all filtered rows ----------
+    if req.maxval is None:
+        dists = np.asarray(
+            distance_ops.all_distances(corpus.data, queries, metric=metric)
+        )[:, :rows]
+        tables = []
+        for qi in range(num_queries):
+            part = data.filter(pa.array(mask_np[:rows]))
+            part = part.append_column(
+                DIST_COL, pa.array(dists[qi][mask_np[:rows]].astype(value_dtype))
+            )
+            part = part.select(select)
+            if num_queries > 1:
+                part = part.append_column(
+                    QUERY_COL, pa.array(np.full(len(part), qi, dtype=np.int64))
+                )
+            tables.append(part)
+        return pa.concat_tables(tables).combine_chunks()
+
+    # --- top-k path ------------------------------------------------------
+    k = int(min(req.maxval, rows))
+    if coding_data is not None:
+        codebooks = jnp.asarray(coding_data["tensor"])
+        n_books, k_book, _ = codebooks.shape
+        probes = int(min(req.probes, k_book**n_books))
+        cells = cells_ops.topk_cells(queries, codebooks, metric=metric, maxval=probes)
+        coded = cache.coded_ids(req.coding, req.source, req.column)
+        dists, ids = distance_ops.topk_search_probed(
+            corpus.data, queries, mask, coded.data, cells, k=k, metric=metric, block=cache.block
+        )
+    else:
+        dists, ids = distance_ops.topk_search(
+            corpus.data, queries, mask, k=k, metric=metric, block=cache.block
+        )
+
+    dists = np.asarray(dists)
+    ids = np.asarray(ids)
+
+    # --- host gather -----------------------------------------------------
+    tables = []
+    for qi in range(num_queries):
+        valid = ids[qi] >= 0
+        row_ids = ids[qi][valid].astype(np.int64)
+        part = data.take(pa.array(row_ids))
+        part = part.append_column(
+            DIST_COL, pa.array(dists[qi][valid].astype(value_dtype))
+        )
+        part = part.select(select)
+        if num_queries > 1:
+            part = part.append_column(
+                QUERY_COL, pa.array(np.full(len(part), qi, dtype=np.int64))
+            )
+        tables.append(part)
+
+    return pa.concat_tables(tables).combine_chunks()

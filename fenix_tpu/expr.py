@@ -1,0 +1,284 @@
+"""Declarative, JSON-serializable predicate expressions.
+
+The reference ships filters as **pickled** ``pyarrow.compute.Expression``
+objects (/root/reference/src/fenix/flight.py:266, io/index/index.py:89) —
+arbitrary code execution on both ends. This module replaces that with a
+small expression tree that:
+
+- serializes to/from plain JSON (safe on the wire),
+- lowers to ``pyarrow.compute`` kernels for host-side evaluation,
+- lowers to ``jax.numpy`` ops for **device-side pushdown** below the
+  distance kernel (numeric columns resident in HBM → boolean mask).
+
+Usage::
+
+    from fenix_tpu import expr
+    f = (expr.field("id") < 100) & expr.field("tag").isin([1, 2, 3])
+    f.to_json()                    # wire form
+    f.mask(table)                  # numpy bool mask (host, Arrow kernels)
+    f.device_mask(device_columns)  # jax bool mask (TPU)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Mapping, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_COMPARISONS = {"==", "!=", "<", "<=", ">", ">="}
+_BOOLEAN = {"and", "or", "not"}
+_PC_COMPARE = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+
+
+class Expr:
+    """Immutable predicate node. Build with :func:`field` and :func:`lit`."""
+
+    def __init__(self, op: str, args: tuple[Any, ...]) -> None:
+        self.op = op
+        self.args = args
+
+    # -- construction -----------------------------------------------------
+
+    def _binop(self, op: str, other: Any) -> "Expr":
+        return Expr(op, (self, _wrap(other)))
+
+    def __eq__(self, other: Any) -> "Expr":  # type: ignore[override]
+        return self._binop("==", other)
+
+    def __ne__(self, other: Any) -> "Expr":  # type: ignore[override]
+        return self._binop("!=", other)
+
+    def __lt__(self, other: Any) -> "Expr":
+        return self._binop("<", other)
+
+    def __le__(self, other: Any) -> "Expr":
+        return self._binop("<=", other)
+
+    def __gt__(self, other: Any) -> "Expr":
+        return self._binop(">", other)
+
+    def __ge__(self, other: Any) -> "Expr":
+        return self._binop(">=", other)
+
+    def __and__(self, other: "Expr") -> "Expr":
+        return Expr("and", (self, other))
+
+    def __or__(self, other: "Expr") -> "Expr":
+        return Expr("or", (self, other))
+
+    def __invert__(self) -> "Expr":
+        return Expr("not", (self,))
+
+    def isin(self, values: Sequence[Any]) -> "Expr":
+        return Expr("isin", (self, list(values)))
+
+    def is_null(self) -> "Expr":
+        return Expr("is_null", (self,))
+
+    def __hash__(self) -> int:
+        return hash(self.to_json())
+
+    def __repr__(self) -> str:
+        return f"Expr({self.to_dict()!r})"
+
+    # -- serialization ----------------------------------------------------
+
+    def to_dict(self) -> dict[str, Any]:
+        def enc(a: Any) -> Any:
+            if isinstance(a, Expr):
+                return a.to_dict()
+            if isinstance(a, (list, tuple)):
+                return [enc(x) for x in a]
+            if isinstance(a, (np.integer,)):
+                return int(a)
+            if isinstance(a, (np.floating,)):
+                return float(a)
+            return a
+
+        return {"op": self.op, "args": [enc(a) for a in self.args]}
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), separators=(",", ":"))
+
+    @staticmethod
+    def from_dict(obj: Mapping[str, Any]) -> "Expr":
+        def dec(a: Any) -> Any:
+            if isinstance(a, Mapping) and "op" in a and "args" in a:
+                return Expr.from_dict(a)
+            return a
+
+        op = obj["op"]
+        args = tuple(dec(a) for a in obj["args"])
+        return Expr(op, args)
+
+    @staticmethod
+    def from_json(text: str) -> "Expr":
+        return Expr.from_dict(json.loads(text))
+
+    # -- lowering: pyarrow.compute Expression (for dataset-style filter) --
+
+    def to_arrow(self) -> pc.Expression:
+        def low(a: Any) -> Any:
+            if isinstance(a, Expr):
+                return a.to_arrow()
+            return a
+
+        if self.op == "field":
+            return pc.field(self.args[0])
+        if self.op == "lit":
+            return pc.scalar(self.args[0])
+        if self.op in _COMPARISONS:
+            lhs, rhs = (low(a) for a in self.args)
+            return {
+                "==": lambda a, b: a == b,
+                "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+            }[self.op](lhs, rhs)
+        if self.op == "and":
+            return low(self.args[0]) & low(self.args[1])
+        if self.op == "or":
+            return low(self.args[0]) | low(self.args[1])
+        if self.op == "not":
+            return ~low(self.args[0])
+        if self.op == "isin":
+            return low(self.args[0]).isin(self.args[1])
+        if self.op == "is_null":
+            return low(self.args[0]).is_null()
+        raise ValueError(f"unknown op: {self.op}")
+
+    # -- evaluation: host (Arrow C++ kernels) → numpy bool mask -----------
+
+    def mask(self, table: pa.Table) -> np.ndarray:
+        """Evaluate to a row mask with Arrow compute kernels.
+
+        Produces a mask (not a filtered table) so device-resident columns
+        stay row-aligned with the host table — the mask is what gets
+        pushed below the distance kernel.
+        """
+        out = self._eval_host(table)
+        if isinstance(out, (pa.Array, pa.ChunkedArray)):
+            if isinstance(out, pa.ChunkedArray):
+                out = out.combine_chunks()
+            return out.to_numpy(zero_copy_only=False).astype(bool)
+        raise TypeError(f"predicate did not evaluate to an array: {type(out)}")
+
+    def _eval_host(self, table: pa.Table) -> Any:
+        def ev(a: Any) -> Any:
+            if isinstance(a, Expr):
+                return a._eval_host(table)
+            return a
+
+        if self.op == "field":
+            return table.column(self.args[0])
+        if self.op == "lit":
+            return pa.scalar(self.args[0])
+        if self.op in _COMPARISONS:
+            return _PC_COMPARE[self.op](ev(self.args[0]), ev(self.args[1]))
+        if self.op == "and":
+            return pc.and_kleene(ev(self.args[0]), ev(self.args[1]))
+        if self.op == "or":
+            return pc.or_kleene(ev(self.args[0]), ev(self.args[1]))
+        if self.op == "not":
+            return pc.invert(ev(self.args[0]))
+        if self.op == "isin":
+            return pc.is_in(ev(self.args[0]), value_set=pa.array(self.args[1]))
+        if self.op == "is_null":
+            return pc.is_null(ev(self.args[0]))
+        raise ValueError(f"unknown op: {self.op}")
+
+    # -- evaluation: device (jax.numpy) → bool mask ------------------------
+
+    def fields(self) -> set[str]:
+        """All column names referenced by this predicate."""
+        out: set[str] = set()
+
+        def walk(e: Any) -> None:
+            if isinstance(e, Expr):
+                if e.op == "field":
+                    out.add(e.args[0])
+                for a in e.args:
+                    walk(a)
+
+        walk(self)
+        return out
+
+    def device_mask(self, columns: Mapping[str, Any]) -> Any:
+        """Evaluate on device given ``{name: jax.Array}`` columns.
+
+        Supports numeric comparisons, boolean combinators, and ``isin``
+        over small literal sets (lowered to a broadcast-equality
+        reduction — no hash table needed on the VPU for bounded sets).
+        """
+        import jax.numpy as jnp
+
+        def ev(a: Any) -> Any:
+            if isinstance(a, Expr):
+                return a._eval_device(columns, jnp)
+            return a
+
+        return ev(self)
+
+    def _eval_device(self, columns: Mapping[str, Any], jnp: Any) -> Any:
+        def ev(a: Any) -> Any:
+            if isinstance(a, Expr):
+                return a._eval_device(columns, jnp)
+            return a
+
+        if self.op == "field":
+            return columns[self.args[0]]
+        if self.op == "lit":
+            return self.args[0]
+        if self.op in _COMPARISONS:
+            lhs, rhs = ev(self.args[0]), ev(self.args[1])
+            return {
+                "==": jnp.equal,
+                "!=": jnp.not_equal,
+                "<": jnp.less,
+                "<=": jnp.less_equal,
+                ">": jnp.greater,
+                ">=": jnp.greater_equal,
+            }[self.op](lhs, rhs)
+        if self.op == "and":
+            return jnp.logical_and(ev(self.args[0]), ev(self.args[1]))
+        if self.op == "or":
+            return jnp.logical_or(ev(self.args[0]), ev(self.args[1]))
+        if self.op == "not":
+            return jnp.logical_not(ev(self.args[0]))
+        if self.op == "isin":
+            col = ev(self.args[0])
+            values = jnp.asarray(self.args[1], dtype=col.dtype)
+            return (col[:, None] == values[None, :]).any(axis=-1)
+        raise ValueError(f"op {self.op} not supported on device")
+
+
+def field(name: str) -> Expr:
+    return Expr("field", (name,))
+
+
+def lit(value: Any) -> Expr:
+    return Expr("lit", (value,))
+
+
+def _wrap(value: Any) -> Expr:
+    return value if isinstance(value, Expr) else lit(value)
+
+
+def dumps(expression: Expr | None) -> str | None:
+    return None if expression is None else expression.to_json()
+
+
+def loads(text: str | None) -> Expr | None:
+    return None if text is None else Expr.from_json(text)

@@ -1,0 +1,371 @@
+"""Arrow Flight serving surface: Server + client SDK.
+
+Verb parity: /root/reference/src/fenix/flight.py — ``do_put`` ingests a
+table (flight.py:34-44), ``do_get`` reads (optionally coded/filtered/
+projected) tables (flight.py:46-60), ``do_exchange`` runs kNN search
+(flight.py:62-77), ``do_action`` is the control plane (flight.py:79-134).
+Client methods mirror flight.py:137-292: make_table / read_table /
+drop_table / make_index / sync_index / drop_index / search / remove.
+
+Redesigned by intent (SURVEY.md §2.2):
+- **No pickle.** Commands, tickets, and action bodies are JSON; filters
+  are fenix_tpu.expr trees (declarative, safe).
+- **No server session state.** Every request carries its own
+  parameters; the reference's set-/del- attribute races cannot occur.
+  The set-*/del-* action verbs are therefore gone.
+- ``drop-index`` actually drops the index files (the reference's path
+  parse never matched, flight.py:95-100).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.flight as fl
+
+from fenix_tpu import coder as coder_mod
+from fenix_tpu import expr as expr_mod
+from fenix_tpu import index as index_mod
+from fenix_tpu.engine import executor
+from fenix_tpu.io import ingest, table
+from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+LOGGER = logging.getLogger("fenix_tpu")
+
+METRICS_SET: set[str] = {"cosine", "dot", "inner_product", "l2", "euclidean"}
+
+
+def _dumps(obj: Any) -> bytes:
+    return json.dumps(obj, separators=(",", ":")).encode()
+
+
+def _loads(raw: bytes) -> Any:
+    return json.loads(raw.decode())
+
+
+def _decode_filter(obj: Any) -> expr_mod.Expr | None:
+    return None if obj is None else expr_mod.Expr.from_dict(obj)
+
+
+class Server(fl.FlightServerBase):
+    """Stateless Flight front-end over the TPU query engine."""
+
+    def __init__(self, root: str, host: str = "0.0.0.0", port: int = 9001) -> None:
+        self.root = os.path.abspath(root)
+        self.grpc = f"grpc://{host}:{port}"
+        super().__init__(location=self.grpc)
+
+    @property
+    def cache(self) -> Any:
+        return executor.get_cache(self.root)
+
+    # -- ingest (reference flight.py:34-44) -------------------------------
+
+    def do_put(
+        self,
+        ctx: fl.ServerCallContext,
+        descriptor: fl.FlightDescriptor,
+        reader: fl.MetadataRecordBatchReader,
+        writer: fl.FlightMetadataWriter,
+    ) -> None:
+        name = descriptor.path[0].decode()
+        with METRICS.timed("put", table=name):
+            table.make(self.root, name, reader.to_reader())
+
+    # -- table read (reference flight.py:46-60, stateless) ----------------
+
+    def do_get(self, ctx: fl.ServerCallContext, ticket: fl.Ticket):
+        req = _loads(ticket.ticket)
+        source = req["source"]
+        coding = req.get("coding")
+        column = req.get("column")
+        select = req.get("select")
+        filter_ = _decode_filter(req.get("filter"))
+
+        with METRICS.timed("get", source=source):
+            if coding is not None and column is not None:
+                data = index_mod.load(self.root, coding, source, column)
+            else:
+                data = table.load(self.root, source)
+
+            if filter_ is not None:
+                data = data.filter(pa.array(filter_.mask(data)))
+
+            if select is not None:
+                data = data.select(select)
+
+            return fl.GeneratorStream(data.schema, data.to_reader())
+
+    # -- search (reference flight.py:62-77) -------------------------------
+
+    def do_exchange(
+        self,
+        ctx: fl.ServerCallContext,
+        descriptor: fl.FlightDescriptor,
+        reader: fl.MetadataRecordBatchReader,
+        writer: fl.MetadataRecordBatchWriter,
+    ) -> None:
+        config = _loads(descriptor.command)
+        target = reader.read_all().column("target").combine_chunks()
+
+        req = executor.SearchRequest(
+            source=config["source"],
+            column=config["column"],
+            target=target,
+            metric=config.get("metric"),
+            coding=config.get("coding"),
+            select=config.get("select"),
+            filter=_decode_filter(config.get("filter")),
+            maxval=config.get("maxval"),
+            probes=config.get("probes"),
+        )
+
+        with METRICS.timed(
+            "search", source=config["source"], metric=config.get("metric")
+        ) as record:
+            data = executor.execute_search(self.cache, req)
+            record["rows_returned"] = data.num_rows
+
+        writer.begin(data.schema)
+        writer.write_table(data)
+
+    # -- control plane (reference flight.py:79-134) -----------------------
+
+    def do_action(self, ctx: fl.ServerCallContext, action: fl.Action) -> Iterator[fl.Result]:
+        body = action.body.to_pybytes()
+        config = _loads(body) if body else {}
+
+        match action.type:
+            case "make-coder":
+                with METRICS.timed("make-coder", coder=config.get("name")):
+                    coder_mod.make(self.root, **config)
+                return iter([])
+
+            case "make-index":
+                with METRICS.timed("make-index", coder=config.get("name")):
+                    index_mod.make(self.root, **config)
+                self.cache.invalidate()
+                return iter([])
+
+            case "drop-table":
+                table.drop(self.root, **config)
+                self.cache.invalidate()
+                return iter([])
+
+            case "drop-index":
+                coder_mod.drop(self.root, config["name"])
+                index_mod.drop_all(self.root, config["name"])
+                self.cache.invalidate()
+                return iter([])
+
+            case "remove":
+                shutil.rmtree(self.root, ignore_errors=True)
+                self.cache.invalidate()
+                return iter([])
+
+            case "list-tables":
+                return iter([fl.Result(_dumps([*table.list(self.root)]))])
+
+            case "list-coders":
+                return iter([fl.Result(_dumps([*coder_mod.list(self.root)]))])
+
+            case "list-indexes":
+                return iter([fl.Result(_dumps([*index_mod.list(self.root)]))])
+
+            case "stats":
+                return iter([fl.Result(_dumps(METRICS.snapshot()))])
+
+            case "health":
+                return iter([fl.Result(b'{"status":"ok"}')])
+
+            case _:
+                raise ValueError(f"unknown action {action.type!r}")
+
+    def get_flight_info(self, ctx, descriptor):  # reference flight.py:24-27
+        raise NotImplementedError()
+
+    def list_flights(self, ctx, criteria):  # reference flight.py:29-32
+        raise NotImplementedError()
+
+
+class Flight:
+    """Client SDK (reference flight.py:137-292 method parity)."""
+
+    def __init__(self, host: str = "0.0.0.0", port: int = 9001) -> None:
+        self.host = host
+        self.port = port
+        self._conn: fl.FlightClient | None = None
+
+    @property
+    def conn(self) -> fl.FlightClient:
+        if self._conn is None:
+            self._conn = fl.connect(f"grpc://{self.host}:{self.port}")
+        return self._conn
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # -- tables -----------------------------------------------------------
+
+    def make_table(self, name: str, data: pa.RecordBatchReader) -> "Flight":
+        descriptor = fl.FlightDescriptor.for_path(name)
+        writer, _ = self.conn.do_put(descriptor, data.schema)
+        with writer:
+            for batch in data:
+                writer.write_batch(batch)
+        return self
+
+    def read_table(
+        self,
+        source: str | Sequence[str],
+        coding: str | None = None,
+        column: str | None = None,
+        select: Sequence[str] | None = None,
+        filter: expr_mod.Expr | None = None,
+    ) -> pa.RecordBatchReader:
+        if filter is not None and not isinstance(filter, expr_mod.Expr):
+            raise TypeError(
+                "filter must be a fenix_tpu.expr.Expr "
+                "(e.g. expr.field('id') < 10) — arbitrary pyarrow "
+                "expressions are not accepted on the wire"
+            )
+        ticket = fl.Ticket(
+            _dumps(
+                {
+                    "source": source if isinstance(source, str) else [*source],
+                    "coding": coding,
+                    "column": column,
+                    "select": [*select] if select is not None else None,
+                    "filter": filter.to_dict() if filter is not None else None,
+                }
+            )
+        )
+        return self.conn.do_get(ticket).to_reader()
+
+    def drop_table(self, name: str) -> "Flight":
+        self._action("drop-table", {"name": name})
+        return self
+
+    # -- index lifecycle --------------------------------------------------
+
+    def make_index(
+        self,
+        name: str,
+        source: str | Sequence[str],
+        column: str,
+        config: coder_mod.Config,
+    ) -> "Flight":
+        self._action(
+            "make-coder",
+            {"name": name, "source": source, "column": column, "config": dict(config)},
+        )
+        return self.sync_index(name, source, column)
+
+    def sync_index(self, name: str, source: str | Sequence[str], column: str) -> "Flight":
+        self._action("make-index", {"name": name, "source": source, "column": column})
+        return self
+
+    def drop_index(self, name: str) -> "Flight":
+        self._action("drop-index", {"name": name})
+        return self
+
+    # -- search -----------------------------------------------------------
+
+    def search(
+        self,
+        target: Any,
+        source: str | Sequence[str],
+        column: str,
+        metric: str,
+        coding: str | None = None,
+        select: Sequence[str] | None = None,
+        filter: expr_mod.Expr | None = None,
+        maxval: int | None = None,
+        probes: int | None = None,
+    ) -> pa.Table:
+        assert metric in METRICS_SET, f"metric must be one of {sorted(METRICS_SET)}"
+        if filter is not None and not isinstance(filter, expr_mod.Expr):
+            raise TypeError("filter must be a fenix_tpu.expr.Expr")
+
+        descriptor = fl.FlightDescriptor.for_command(
+            _dumps(
+                {
+                    "coding": coding,
+                    "source": source if isinstance(source, str) else [*source],
+                    "column": column,
+                    "metric": metric,
+                    "select": [*select] if select is not None else None,
+                    "filter": filter.to_dict() if filter is not None else None,
+                    "maxval": maxval,
+                    "probes": probes,
+                }
+            )
+        )
+
+        target = self._encode_target(target)
+
+        writer, reader = self.conn.do_exchange(descriptor)
+        with writer:
+            writer.begin(target.schema)
+            writer.write_table(target)
+            writer.done_writing()
+            return reader.read_all()
+
+    @staticmethod
+    def _encode_target(target: Any) -> pa.Table:
+        """Single query → flat float column (reference flight.py:273-279
+        wire shape); query batch [Q, D] → FixedSizeList column."""
+        if hasattr(target, "__array__") and not isinstance(target, (pa.Array, pa.ChunkedArray)):
+            target = np.asarray(target)
+        if isinstance(target, np.ndarray):
+            if target.ndim == 2:
+                target = ingest.numpy_to_fixed_size_list(
+                    np.ascontiguousarray(target, dtype=np.float32), pa.float32()
+                )
+            else:
+                target = pa.array(np.ascontiguousarray(target))
+        return pa.table({"target": target})
+
+    # -- admin ------------------------------------------------------------
+
+    def remove(self) -> "Flight":
+        self._action("remove", {})
+        return self
+
+    def list_tables(self) -> list[str]:
+        return self._action_json("list-tables")
+
+    def list_coders(self) -> list[str]:
+        return self._action_json("list-coders")
+
+    def list_indexes(self) -> list[str]:
+        return self._action_json("list-indexes")
+
+    def stats(self) -> dict[str, float]:
+        return self._action_json("stats")
+
+    def health(self) -> dict[str, str]:
+        return self._action_json("health")
+
+    def _action(self, verb: str, body: Any) -> list[fl.Result]:
+        # Drain the result iterator: pyarrow executes the action lazily
+        # and server-side errors only surface on consumption.
+        return [*self.conn.do_action(fl.Action(verb, _dumps(body)))]
+
+    def _action_json(self, verb: str) -> Any:
+        results = self._action(verb, {})
+        return _loads(results[0].body.to_pybytes())

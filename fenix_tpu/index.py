@@ -1,0 +1,132 @@
+"""Materialized cell-assignment index + search entry point.
+
+API parity: /root/reference/src/fenix/io/index/index.py — ``make``
+assigns every source row to its nearest composite cell and writes
+``<root>/indexes/<source>/<column>/<name>.arrow`` with a single
+``__CODED_ID__:int64`` column (index.py:37-65); ``load`` joins it onto
+the source table (index.py:19-34); ``call`` is the query engine
+(index.py:81-170), here delegated to fenix_tpu.engine.executor.
+
+TPU-first: assignment is per-codebook argmin on device in large blocks
+(sum-separable, O(N·n·k·d)) — the reference scores all k^n composite
+cells per row (coder.py:171-181) even though the argmin factorizes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Iterator, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+from fenix_tpu import coder as coder_mod
+from fenix_tpu import expr as expr_mod
+from fenix_tpu.engine import executor
+from fenix_tpu.engine.executor import CODE_COL, DIST_COL, QUERY_COL  # re-export
+from fenix_tpu.io import arrow, ingest, table
+from fenix_tpu.ops import cells as cells_ops
+
+LOCATION: str = "indexes"
+
+ASSIGN_BLOCK: int = 1 << 16  # rows per device assignment batch
+
+
+def path_of(root: str, name: str, source: str, column: str) -> str:
+    return os.path.join(root, LOCATION, source, column, name + ".arrow")
+
+
+def load(root: str, name: str, source: str | Sequence[str], column: str) -> pa.Table:
+    if isinstance(source, str):
+        return table.join(
+            table.load(root, source),
+            arrow.load(path_of(root, name, source, column)),
+            axis=1,
+        )
+    assert isinstance(source, Sequence)
+    return table.join(*[load(root, name, s, column) for s in source])
+
+
+def make(root: str, name: str, source: str | Sequence[str], column: str) -> pa.Table:
+    if not isinstance(source, str):
+        assert isinstance(source, Sequence)
+        return table.join(*[make(root, name, s, column) for s in source])
+
+    coding = coder_mod.load(root, name)
+    codebooks = jnp.asarray(coding["tensor"])
+    metric = coding["config"]["metric"]
+
+    data = table.load(root, source)
+    matrix = ingest.fixed_size_list_to_numpy(data.column(column))
+    num_rows = matrix.shape[0]
+
+    codes = np.empty(num_rows, dtype=np.int64)
+    for start in range(0, num_rows, ASSIGN_BLOCK):
+        stop = min(start + ASSIGN_BLOCK, num_rows)
+        block = jnp.asarray(matrix[start:stop], dtype=jnp.float32)
+        codes[start:stop] = np.asarray(
+            cells_ops.assign_cells(block, codebooks, metric=metric), dtype=np.int64
+        )
+
+    path = path_of(root, name, source, column)
+    schema = pa.schema({CODE_COL: pa.int64()})
+    arrow.make(
+        path,
+        pa.RecordBatchReader.from_batches(
+            schema,
+            iter([pa.record_batch([pa.array(codes)], names=[CODE_COL])]),
+        ),
+    )
+    return load(root, name, source, column)
+
+
+def list(root: str) -> Iterator[str]:
+    base = os.path.join(root, LOCATION)
+    for path in sorted(glob.glob(os.path.join(base, "**", "*.arrow"), recursive=True)):
+        yield os.path.relpath(path, base).removesuffix(".arrow")
+
+
+def drop(root: str, name: str, source: str, column: str) -> None:
+    path = path_of(root, name, source, column)
+    if os.path.exists(path):
+        os.unlink(path)
+
+
+def drop_all(root: str, name: str) -> None:
+    """Drop every index built from coder ``name`` (fixes the reference's
+    unreachable path-parse in flight.py:95-100)."""
+    base = os.path.join(root, LOCATION)
+    suffix = os.path.join("", name + ".arrow")
+    for path in glob.glob(os.path.join(base, "**", "*.arrow"), recursive=True):
+        if path.endswith(suffix):
+            os.unlink(path)
+
+
+def call(
+    root: str,
+    coding: str | None,
+    source: str | Sequence[str],
+    column: str,
+    target: Any,
+    metric: str | None = None,
+    select: Sequence[str] | None = None,
+    filter: expr_mod.Expr | None = None,
+    maxval: int | None = None,
+    probes: int | None = None,
+) -> pa.Table:
+    """Filtered exact/ANN kNN search (reference index.py:81-170)."""
+    cache = executor.get_cache(root)
+    req = executor.SearchRequest(
+        source=source,
+        column=column,
+        target=target,
+        metric=metric,
+        coding=coding,
+        select=select,
+        filter=filter,
+        maxval=maxval,
+        probes=probes,
+    )
+    return executor.execute_search(cache, req)

@@ -1,0 +1,121 @@
+"""Arrow ⇄ device-array bridge.
+
+Role parity: /root/reference/src/fenix/io/torch/torch.py:6-10 (zero-copy
+FixedSizeList → Tensor via DLPack). Here the bridge targets ``jax.Array``:
+Arrow FixedSizeList columns are viewed as dense ``[rows, list_size]``
+numpy arrays without copying on the host, then transferred to device
+(padded to TPU-friendly block multiples, with a validity row count kept
+alongside so kernels can mask the tail).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fixed_size_list_to_numpy(array: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Zero-copy view of a FixedSizeList array as ``[rows, list_size]``.
+
+    Requires a null-free array (the catalog never produces nulls for
+    vector columns; mirrors the reference's DLPack assumption).
+    """
+    if isinstance(array, pa.ChunkedArray):
+        array = array.combine_chunks()
+
+    assert pa.types.is_fixed_size_list(array.type), array.type
+    size = array.type.list_size
+
+    values = array.values
+    # Respect any slicing offset on the parent array.
+    start = array.offset * size
+    values = values.slice(start, len(array) * size)
+
+    flat = values.to_numpy(zero_copy_only=True)
+    return flat.reshape(-1, size)
+
+
+def scalar_column_to_numpy(array: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Dense numpy view of a primitive column (zero-copy when possible)."""
+    if isinstance(array, pa.ChunkedArray):
+        array = array.combine_chunks()
+    return array.to_numpy(zero_copy_only=array.null_count == 0)
+
+
+class DeviceColumn(NamedTuple):
+    """A device-resident dense column padded to a block multiple."""
+
+    data: jax.Array  # [rows_padded, dim] or [rows_padded]
+    rows: int  # valid rows (<= rows_padded)
+
+    @property
+    def rows_padded(self) -> int:
+        return self.data.shape[0]
+
+
+def to_device_matrix(
+    array: pa.Array | pa.ChunkedArray | np.ndarray,
+    *,
+    block: int = 1024,
+    dtype: jnp.dtype | None = None,
+    sharding: jax.sharding.Sharding | None = None,
+) -> DeviceColumn:
+    """Pad a ``[N, D]`` host matrix to ``N_pad`` rows and move to device."""
+    if not isinstance(array, np.ndarray):
+        array = fixed_size_list_to_numpy(array)
+
+    rows = array.shape[0]
+    rows_padded = max(round_up(rows, block), block)
+    if rows_padded != rows:
+        pad = np.zeros((rows_padded - rows, *array.shape[1:]), dtype=array.dtype)
+        array = np.concatenate([array, pad], axis=0)
+
+    data = jnp.asarray(array, dtype=dtype)
+    if sharding is not None:
+        data = jax.device_put(data, sharding)
+    return DeviceColumn(data=data, rows=rows)
+
+
+def to_device_vector(
+    array: pa.Array | pa.ChunkedArray | np.ndarray,
+    *,
+    block: int = 1024,
+    dtype: jnp.dtype | None = None,
+    fill: float | int = 0,
+    sharding: jax.sharding.Sharding | None = None,
+) -> DeviceColumn:
+    """Pad a 1-D host column and move to device (for ids / filter keys)."""
+    if not isinstance(array, np.ndarray):
+        array = scalar_column_to_numpy(array)
+
+    rows = array.shape[0]
+    rows_padded = max(round_up(rows, block), block)
+    if rows_padded != rows:
+        pad = np.full((rows_padded - rows,), fill, dtype=array.dtype)
+        array = np.concatenate([array, pad], axis=0)
+
+    data = jnp.asarray(array, dtype=dtype)
+    if sharding is not None:
+        data = jax.device_put(data, sharding)
+    return DeviceColumn(data=data, rows=rows)
+
+
+def from_device(array: jax.Array, rows: int | None = None) -> np.ndarray:
+    """Device → host, trimming any padding rows."""
+    host = np.asarray(array)
+    return host if rows is None else host[:rows]
+
+
+def numpy_to_fixed_size_list(matrix: np.ndarray, value_type: pa.DataType) -> pa.Array:
+    """Dense ``[N, D]`` host matrix → Arrow FixedSizeList array."""
+    n, d = matrix.shape
+    flat = pa.array(matrix.reshape(-1), type=value_type)
+    return pa.FixedSizeListArray.from_arrays(flat, list_size=d)

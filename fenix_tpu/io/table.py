@@ -1,0 +1,59 @@
+"""Named-table catalog over a root directory.
+
+Role parity: /root/reference/src/fenix/io/table/table.py:12-56 — tables
+live at ``<root>/sources/<name>.arrow``; multi-name loads concatenate;
+``join`` concatenates along rows (axis=0) or zips columns (axis=1).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, Literal, Sequence
+
+import pyarrow as pa
+
+from fenix_tpu.io import arrow
+
+LOCATION: str = "sources"
+
+
+def path_of(root: str, name: str) -> str:
+    return os.path.join(root, LOCATION, name + ".arrow")
+
+
+def load(root: str, name: str | Sequence[str]) -> pa.Table:
+    if isinstance(name, str):
+        return arrow.load(path_of(root, name))
+
+    assert isinstance(name, Sequence)
+    return join(*[load(root, n) for n in name])
+
+
+def make(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
+    return arrow.make(path_of(root, name), data)
+
+
+def join(*data: pa.Table, axis: Literal[0, 1] = 0) -> pa.Table:
+    if len(data) == 1:
+        return data[0]
+
+    match axis:
+        case 0:
+            return pa.concat_tables(data)
+        case 1:
+            return pa.table({c: t.column(c) for t in data for c in t.column_names})
+        case _:
+            raise ValueError(f"axis must be 0 or 1, got {axis}")
+
+
+def list(root: str) -> Iterator[str]:
+    base = os.path.join(root, LOCATION)
+    for path in sorted(glob.glob(os.path.join(base, "**", "*.arrow"), recursive=True)):
+        yield os.path.relpath(path, base).removesuffix(".arrow")
+
+
+def drop(root: str, name: str) -> None:
+    path = path_of(root, name)
+    if os.path.exists(path):
+        os.unlink(path)

@@ -1,0 +1,217 @@
+"""Distance metrics and streaming top-k search on TPU.
+
+Semantics parity: /root/reference/src/fenix/io/coder/coder.py:38-50
+(distance: l2 via cdist, cosine as ``0.5 - 0.5·cos``, dot as negated
+inner product — all "smaller is closer") and
+/root/reference/src/fenix/io/index/index.py:161-168 (filter → distance
+column → ascending top-k).
+
+TPU-first design: the corpus lives in HBM as a padded ``[N_pad, D]``
+block; search is a ``lax.scan`` over row blocks that keeps an MXU-sized
+distance tile and a running per-query top-k in VMEM — the full ``[Q, N]``
+distance matrix is never materialized. Predicate and IVF-probe masks are
+pushed below the distance matmul as score masks (−inf), so filtered
+search costs the same memory as unfiltered.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Canonical metric names; aliases mirror flight.py:254 of the reference.
+METRIC_ALIASES: dict[str, str] = {
+    "l2": "l2",
+    "euclidean": "l2",
+    "cosine": "cosine",
+    "dot": "dot",
+    "inner_product": "dot",
+}
+
+NEG_INF = float("-inf")
+
+
+def canonical_metric(metric: str) -> str:
+    try:
+        return METRIC_ALIASES[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(METRIC_ALIASES)}")
+
+
+def normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2-normalize along ``axis`` (torch.nn.functional.normalize semantics:
+    divide by max(norm, eps), reference coder.py:43-44)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def pairwise_distance(u: jax.Array, v: jax.Array, metric: str) -> jax.Array:
+    """``[Q, D] × [N, D] → [Q, N]`` distance matrix (fp32 accumulation).
+
+    l2 uses the matmul expansion ``|u|² − 2u·v + |v|²`` (clamped at 0)
+    — the same formulation torch.cdist selects for D > 25, so values
+    match the reference bit-for-bit up to fp32 reduction order.
+    """
+    metric = canonical_metric(metric)
+
+    if metric == "l2":
+        uu = jnp.sum(jnp.square(u), axis=-1, keepdims=True)  # [Q, 1]
+        vv = jnp.sum(jnp.square(v), axis=-1, keepdims=True).T  # [1, N]
+        uv = jax.lax.dot_general(
+            u,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sqrt(jnp.maximum(uu - 2.0 * uv + vv, 0.0))
+
+    if metric == "cosine":
+        u = normalize(u)
+        v = normalize(v)
+        uv = jax.lax.dot_general(
+            u,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0.5 - 0.5 * uv
+
+    # dot / inner_product
+    uv = jax.lax.dot_general(
+        u,
+        v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return -uv
+
+
+def _merge_topk(
+    carry_scores: jax.Array,  # [Q, K]
+    carry_ids: jax.Array,  # [Q, K]
+    scores: jax.Array,  # [Q, B]
+    ids: jax.Array,  # [Q, B]
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge a block of candidate scores into the running top-k.
+
+    Concat order puts the carry first so ties resolve to the earliest
+    (smallest) row id — deterministic, unlike the reference's
+    ``select_k_unstable`` (index.py:165-168).
+    """
+    all_scores = jnp.concatenate([carry_scores, scores], axis=1)
+    all_ids = jnp.concatenate([carry_ids, ids], axis=1)
+    top_scores, pos = jax.lax.top_k(all_scores, k)
+    top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+    return top_scores, top_ids
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "block"))
+def topk_search(
+    corpus: jax.Array,  # [N_pad, D]
+    queries: jax.Array,  # [Q, D]
+    mask: jax.Array,  # [N_pad] bool — validity ∧ pushed-down predicate
+    k: int,
+    metric: str,
+    block: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming exact top-k: returns (distances [Q, k], row ids [Q, k]).
+
+    Invalid/masked rows surface as +inf distance with id −1.
+    """
+    return _topk_search_impl(corpus, queries, mask, None, None, k, metric, block)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "block"))
+def topk_search_probed(
+    corpus: jax.Array,  # [N_pad, D]
+    queries: jax.Array,  # [Q, D]
+    mask: jax.Array,  # [N_pad] bool
+    coded: jax.Array,  # [N_pad] int32 cell id per row
+    cells: jax.Array,  # [Q, P] int32 probe cells per query
+    k: int,
+    metric: str,
+    block: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k restricted to rows whose cell id is in the query's probe set.
+
+    IVF semantics of reference index.py:113-126 (``isin`` over probed
+    cells AND'd into the filter), but evaluated per query *inside* the
+    scan so multi-query batches each probe their own cells.
+    """
+    return _topk_search_impl(corpus, queries, mask, coded, cells, k, metric, block)
+
+
+def _topk_search_impl(corpus, queries, mask, coded, cells, k, metric, block):
+    metric = canonical_metric(metric)
+    n_pad, dim = corpus.shape
+    q = queries.shape[0]
+    assert n_pad % block == 0, (n_pad, block)
+    num_blocks = n_pad // block
+
+    if metric == "cosine":
+        # Hoist query normalization out of the scan.
+        queries = normalize(queries)
+
+    init_scores = jnp.full((q, k), NEG_INF, dtype=jnp.float32)
+    init_ids = jnp.full((q, k), -1, dtype=jnp.int32)
+
+    corpus_blocks = corpus.reshape(num_blocks, block, dim)
+    mask_blocks = mask.reshape(num_blocks, block)
+    xs = (corpus_blocks, mask_blocks, jnp.arange(num_blocks, dtype=jnp.int32))
+    if coded is not None:
+        xs = xs + (coded.reshape(num_blocks, block),)
+
+    block_iota = jnp.arange(block, dtype=jnp.int32)
+
+    def body(carry, x):
+        carry_scores, carry_ids = carry
+        if coded is not None:
+            vblock, mblock, bid, cblock = x
+        else:
+            vblock, mblock, bid = x
+
+        if metric == "cosine":
+            vb = normalize(vblock)
+            s = 0.5 * jax.lax.dot_general(
+                queries,
+                vb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - 0.5
+            # score = -distance = 0.5·cos − 0.5
+        elif metric == "dot":
+            s = jax.lax.dot_general(
+                queries,
+                vblock,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:  # l2 — negate so "top" = nearest
+            s = -pairwise_distance(queries, vblock, "l2")
+
+        valid = mblock[None, :]
+        if coded is not None:
+            probe_ok = (cblock[None, :, None] == cells[:, None, :]).any(axis=-1)
+            valid = jnp.logical_and(valid, probe_ok)
+
+        s = jnp.where(valid, s, NEG_INF)
+        ids = bid * block + block_iota
+        ids = jnp.broadcast_to(ids[None, :], s.shape)
+
+        return _merge_topk(carry_scores, carry_ids, s, ids, k), None
+
+    (scores, ids), _ = jax.lax.scan(body, (init_scores, init_ids), xs)
+
+    distances = jnp.where(scores == NEG_INF, jnp.inf, -scores)
+    ids = jnp.where(scores == NEG_INF, -1, ids)
+    return distances, ids
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def all_distances(corpus: jax.Array, queries: jax.Array, metric: str) -> jax.Array:
+    """Full ``[Q, N_pad]`` distance matrix — for the no-top-k read path
+    (reference index.py:162 appends a distance column to every row)."""
+    return pairwise_distance(queries, corpus, metric)

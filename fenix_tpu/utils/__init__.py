@@ -1,0 +1,3 @@
+from fenix_tpu.utils import metrics
+
+__all__ = ["metrics"]

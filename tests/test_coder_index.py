@@ -1,0 +1,178 @@
+"""Coder training + index build + search executor tests (library level,
+no Flight server). Oracle: numpy brute force (tests/oracles.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fenix_tpu import coder, expr, index
+from fenix_tpu.engine import executor
+from fenix_tpu.io import ingest, table
+from tests import oracles
+
+ROWS, DIM = 2000, 32
+
+
+@pytest.fixture
+def root(tmp_path, rng):
+    root = str(tmp_path)
+    # Clustered data so k-means has structure (reference test_flight.py:22).
+    x = rng.standard_normal((ROWS, DIM)).astype(np.float32)
+    x[: ROWS // 2] += 3.0
+    data = pa.table(
+        {
+            "id": pa.array(np.arange(ROWS)),
+            "tag": pa.array(rng.integers(0, 4, ROWS)),
+            "vector": ingest.numpy_to_fixed_size_list(x, pa.float32()),
+        }
+    )
+    table.make(root, "test/table", data.to_reader())
+    return root
+
+
+CONFIG: coder.Config = {
+    "metric": "l2",
+    "codebook_size": 4,
+    "num_codebooks": 2,
+    "batch_size": 256,
+    "num_epochs": 2,
+}
+
+
+def corpus(root) -> np.ndarray:
+    return ingest.fixed_size_list_to_numpy(table.load(root, "test/table").column("vector"))
+
+
+def test_coder_lifecycle(root):
+    coding = coder.make(root, "test/l2", "test/table", "vector", CONFIG, seed=0)
+    assert coding["tensor"].shape == (2, 4, DIM)
+    assert coding["config"] == CONFIG
+    assert coding["column"] == pa.list_(pa.float32(), DIM)
+
+    assert [*coder.list(root)] == ["test/l2"]
+
+    loaded = coder.load(root, "test/l2")
+    np.testing.assert_array_equal(loaded["tensor"], coding["tensor"])
+
+    ranks = coder.call(np.zeros(DIM, dtype=np.float32), loaded, maxval=5)
+    assert ranks.shape == (5,)
+    scores = oracles.cell_scores(np.zeros((1, DIM), np.float32), loaded["tensor"], "l2")
+    np.testing.assert_array_equal(ranks, np.argsort(scores[0], kind="stable")[:5])
+
+    coder.drop(root, "test/l2")
+    assert [*coder.list(root)] == []
+
+
+def test_index_make_assigns_nearest_cells(root):
+    coder.make(root, "test/l2", "test/table", "vector", CONFIG, seed=0)
+    data = index.make(root, "test/l2", "test/table", "vector")
+
+    assert data.column_names[-1] == index.CODE_COL
+    codes = np.asarray(data.column(index.CODE_COL))
+
+    coding = coder.load(root, "test/l2")
+    scores = oracles.cell_scores(corpus(root), coding["tensor"], "l2")
+    np.testing.assert_array_equal(codes, np.argmin(scores, axis=-1))
+
+    assert [*index.list(root)] == ["test/table/vector/test/l2"]
+    index.drop(root, "test/l2", "test/table", "vector")
+    assert [*index.list(root)] == []
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "inner_product", "l2", "euclidean"])
+def test_exact_search_matches_oracle(root, rng, metric):
+    target = rng.standard_normal(DIM).astype(np.float32)
+    result = index.call(
+        root, None, "test/table", "vector", target, metric=metric, maxval=10
+    )
+
+    assert result.num_rows == 10
+    assert result.column_names[-1] == index.DIST_COL
+
+    dist = oracles.distance(target[None], corpus(root), metric)
+    want_d, want_i = oracles.topk(dist, 10)
+
+    np.testing.assert_array_equal(np.asarray(result.column("id")), want_i[0])
+    np.testing.assert_allclose(
+        np.asarray(result.column(index.DIST_COL)), want_d[0], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_filtered_search_pushdown(root, rng):
+    target = rng.standard_normal(DIM).astype(np.float32)
+    f = expr.field("tag") == 2
+    result = index.call(
+        root, None, "test/table", "vector", target, metric="l2", maxval=10, filter=f
+    )
+
+    assert result.num_rows == 10
+    assert set(np.asarray(result.column("tag")).tolist()) == {2}
+
+    data = table.load(root, "test/table")
+    keep = np.asarray(data.column("tag")) == 2
+    cand = np.flatnonzero(keep)
+    dist = oracles.distance(target[None], corpus(root)[keep], "l2")
+    _, want_i = oracles.topk(dist, 10)
+    np.testing.assert_array_equal(np.asarray(result.column("id")), cand[want_i[0]])
+
+
+def test_search_fewer_rows_than_maxval(root, rng):
+    target = rng.standard_normal(DIM).astype(np.float32)
+    f = expr.field("id") < 4
+    result = index.call(
+        root, None, "test/table", "vector", target, metric="l2", maxval=10, filter=f
+    )
+    assert result.num_rows == 4
+
+
+def test_search_no_maxval_returns_all_with_distance(root, rng):
+    target = rng.standard_normal(DIM).astype(np.float32)
+    result = index.call(root, None, "test/table", "vector", target, metric="l2")
+    assert result.num_rows == ROWS
+    dist = oracles.distance(target[None], corpus(root), "l2")[0]
+    np.testing.assert_allclose(
+        np.asarray(result.column(index.DIST_COL)), dist, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_probed_search_restricts_to_cells(root, rng):
+    coder.make(root, "test/l2", "test/table", "vector", CONFIG, seed=0)
+    index.make(root, "test/l2", "test/table", "vector")
+
+    target = rng.standard_normal(DIM).astype(np.float32)
+    result = index.call(
+        root, "test/l2", "test/table", "vector", target, metric="l2", maxval=10, probes=4
+    )
+
+    assert result.num_rows == 10
+    assert index.CODE_COL in result.column_names
+
+    coding = coder.load(root, "test/l2")
+    cells = coder.call(target, coding, maxval=4)
+    assert set(np.asarray(result.column(index.CODE_COL)).tolist()) <= set(cells.tolist())
+
+    # oracle: brute force restricted to probed cells
+    scores = oracles.cell_scores(corpus(root), coding["tensor"], "l2")
+    codes = np.argmin(scores, axis=-1)
+    keep = np.isin(codes, cells)
+    cand = np.flatnonzero(keep)
+    dist = oracles.distance(target[None], corpus(root)[keep], "l2")
+    _, want_i = oracles.topk(dist, 10)
+    np.testing.assert_array_equal(np.asarray(result.column("id")), cand[want_i[0]])
+
+
+def test_batched_search_adds_query_column(root, rng):
+    targets = rng.standard_normal((3, DIM)).astype(np.float32)
+    result = index.call(
+        root, None, "test/table", "vector", targets, metric="cosine", maxval=5
+    )
+    assert result.num_rows == 15
+    assert executor.QUERY_COL in result.column_names
+    qids = np.asarray(result.column(executor.QUERY_COL))
+    np.testing.assert_array_equal(qids, np.repeat([0, 1, 2], 5))
+
+    for qi in range(3):
+        dist = oracles.distance(targets[qi : qi + 1], corpus(root), "cosine")
+        _, want_i = oracles.topk(dist, 5)
+        got = np.asarray(result.filter(pa.array(qids == qi)).column("id"))
+        np.testing.assert_array_equal(got, want_i[0])

@@ -1,0 +1,181 @@
+"""End-to-end Flight client/server tests.
+
+Port of the reference's behavioral contract
+(/root/reference/tests/test_flight.py): table round-trip via
+do_put/do_get, index build schema (`__CODED_ID__:int64` appended),
+search result schema (`__DISTANCE__` appended), metric aliases, remove.
+Improvements per SURVEY.md §4: proper fixtures (no order-dependent
+state), random free port, plus filtered-search and stats coverage the
+reference lacks.
+"""
+
+import threading
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import fenix_tpu
+from fenix_tpu import expr
+
+VECTOR_SIZE = 64
+NUM_VECTORS = 5_000
+BATCH_SIZE = 500
+
+VECTOR = pa.list_(pa.float32(), list_size=VECTOR_SIZE)
+SCHEMA = pa.schema({"id": pa.int64(), "vector": VECTOR})
+
+METRICS = ["cosine", "dot", "inner_product", "l2", "euclidean"]
+
+CONFIG: fenix_tpu.coder.Config = {
+    "metric": "l2",
+    "codebook_size": 8,
+    "num_codebooks": 2,
+    "batch_size": 512,
+    "num_epochs": 2,
+}
+
+
+def generate_batches(seed: int = 0) -> Iterator[pa.RecordBatch]:
+    rng = np.random.default_rng(seed)
+    num_rows = 0
+    for _ in range(NUM_VECTORS // BATCH_SIZE):
+        x = rng.standard_normal((BATCH_SIZE, VECTOR_SIZE)).astype(np.float32)
+        x = x + 10 * x[0, :]  # cluster structure (reference test_flight.py:22)
+        a = pa.FixedSizeListArray.from_arrays(
+            pa.array(x.flatten()), list_size=VECTOR_SIZE
+        )
+        i = pa.array(np.arange(num_rows, num_rows + BATCH_SIZE))
+        num_rows += BATCH_SIZE
+        yield pa.record_batch([i, a], names=["id", "vector"])
+
+
+@pytest.fixture(scope="module")
+def source() -> pa.Table:
+    return pa.Table.from_batches(generate_batches(), SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fenix"))
+    server = fenix_tpu.Server(root, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve, daemon=True)
+    thread.start()
+    yield server
+    server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def flight(server, source) -> fenix_tpu.Flight:
+    client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
+    client.make_table("test/table", source.to_reader())
+    client.make_index(name="test/coder", source="test/table", column="vector", config=CONFIG)
+    return client
+
+
+def test_make_table_roundtrip(flight, source):
+    got = flight.read_table("test/table").read_all()
+    assert source == got
+
+
+def test_read_table_with_coding_schema(flight, source):
+    got = flight.read_table("test/table", "test/coder", "vector").read_all()
+    assert source == got.drop(["__CODED_ID__"])
+    assert got.schema == pa.schema([*source.schema, pa.field("__CODED_ID__", pa.int64())])
+
+
+def test_read_table_select_filter(flight, source):
+    got = flight.read_table(
+        "test/table", select=["id"], filter=expr.field("id") < 100
+    ).read_all()
+    assert got.column_names == ["id"]
+    assert got.num_rows == 100
+
+
+def test_list_actions(flight):
+    assert flight.list_tables() == ["test/table"]
+    assert flight.list_coders() == ["test/coder"]
+    assert flight.list_indexes() == ["test/table/vector/test/coder"]
+    assert flight.health() == {"status": "ok"}
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_search_without_index(flight, source, metric, rng):
+    result = flight.search(
+        target=rng.standard_normal(VECTOR_SIZE).astype(np.float32),
+        source="test/table",
+        column="vector",
+        metric=metric,
+        maxval=10,
+    )
+    assert result.num_rows == 10
+    assert result.schema == pa.schema(
+        [*source.schema, pa.field("__DISTANCE__", VECTOR.value_type)]
+    )
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_search_with_index(flight, source, metric, rng):
+    result = flight.search(
+        target=rng.standard_normal(VECTOR_SIZE).astype(np.float32),
+        source="test/table",
+        column="vector",
+        metric=metric,
+        coding="test/coder",
+        maxval=10,
+        probes=16,
+    )
+    assert result.num_rows == 10
+    assert result.schema == pa.schema(
+        [
+            *source.schema,
+            pa.field("__CODED_ID__", pa.int64()),
+            pa.field("__DISTANCE__", VECTOR.value_type),
+        ]
+    )
+
+
+def test_search_with_filter(flight, rng):
+    result = flight.search(
+        target=rng.standard_normal(VECTOR_SIZE).astype(np.float32),
+        source="test/table",
+        column="vector",
+        metric="l2",
+        filter=expr.field("id") >= 4000,
+        maxval=10,
+    )
+    assert result.num_rows == 10
+    assert (np.asarray(result.column("id")) >= 4000).all()
+
+
+def test_search_exactness_vs_oracle(flight, source, rng):
+    from tests import oracles
+
+    target = rng.standard_normal(VECTOR_SIZE).astype(np.float32)
+    result = flight.search(
+        target=target, source="test/table", column="vector", metric="l2", maxval=10
+    )
+    vectors = np.asarray(source.column("vector").combine_chunks().values).reshape(
+        -1, VECTOR_SIZE
+    )
+    _, want = oracles.topk(oracles.distance(target[None], vectors, "l2"), 10)
+    np.testing.assert_array_equal(np.asarray(result.column("id")), want[0])
+
+
+def test_stats_counts_queries(flight):
+    stats = flight.stats()
+    assert stats["search.count"] >= 1
+    assert stats["put.count"] >= 1
+
+
+def test_drop_index_and_remove(server, source):
+    client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
+    client.drop_index("test/coder")
+    assert client.list_coders() == []
+    assert client.list_indexes() == []
+
+    client.drop_table("test/table")
+    assert client.list_tables() == []
+
+    client.remove()

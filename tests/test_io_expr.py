@@ -1,0 +1,96 @@
+"""Storage layer + predicate expression tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fenix_tpu import expr
+from fenix_tpu.io import arrow, ingest, table
+
+
+def make_table(rows: int = 100, dim: int = 8, seed: int = 0) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vec = rng.standard_normal((rows, dim)).astype(np.float32)
+    return pa.table(
+        {
+            "id": pa.array(np.arange(rows)),
+            "tag": pa.array(rng.integers(0, 5, rows)),
+            "vector": ingest.numpy_to_fixed_size_list(vec, pa.float32()),
+        }
+    )
+
+
+def test_arrow_roundtrip(tmp_path):
+    data = make_table()
+    path = str(tmp_path / "t.arrow")
+    out = arrow.make(path, data.to_reader())
+    assert out == data
+    assert arrow.load(path) == data
+
+
+def test_table_catalog(tmp_path):
+    root = str(tmp_path)
+    data = make_table()
+    table.make(root, "ns/a", data.to_reader())
+    table.make(root, "ns/b", data.to_reader())
+
+    assert table.load(root, "ns/a") == data
+    both = table.load(root, ["ns/a", "ns/b"])
+    assert both.num_rows == 2 * data.num_rows
+    assert sorted(table.list(root)) == ["ns/a", "ns/b"]
+
+    table.drop(root, "ns/a")
+    assert sorted(table.list(root)) == ["ns/b"]
+
+
+def test_table_join_axis1(tmp_path):
+    data = make_table()
+    extra = pa.table({"extra": pa.array(np.arange(data.num_rows))})
+    joined = table.join(data, extra, axis=1)
+    assert joined.column_names == [*data.column_names, "extra"]
+
+
+def test_ingest_zero_copy_view():
+    data = make_table(rows=10, dim=4)
+    mat = ingest.fixed_size_list_to_numpy(data.column("vector"))
+    assert mat.shape == (10, 4)
+    np.testing.assert_array_equal(
+        mat, np.asarray(data.column("vector").combine_chunks().values).reshape(10, 4)
+    )
+
+
+def test_ingest_padding():
+    data = make_table(rows=100, dim=4)
+    col = ingest.to_device_matrix(data.column("vector"), block=64)
+    assert col.rows == 100
+    assert col.rows_padded == 128
+    assert np.asarray(col.data[100:]).sum() == 0
+
+
+def test_expr_roundtrip_and_masks():
+    data = make_table()
+    f = (expr.field("id") >= 10) & (expr.field("tag").isin([1, 2]) | (expr.field("id") < 3))
+
+    decoded = expr.Expr.from_json(f.to_json())
+    host_mask = decoded.mask(data)
+
+    ids = np.asarray(data.column("id"))
+    tags = np.asarray(data.column("tag"))
+    want = (ids >= 10) & (np.isin(tags, [1, 2]) | (ids < 3))
+    np.testing.assert_array_equal(host_mask, want)
+
+    import jax.numpy as jnp
+
+    device_mask = np.asarray(
+        decoded.device_mask({"id": jnp.asarray(ids), "tag": jnp.asarray(tags)})
+    )
+    np.testing.assert_array_equal(device_mask, want)
+
+    assert decoded.fields() == {"id", "tag"}
+
+
+def test_expr_to_arrow_filters_dataset():
+    data = make_table()
+    f = expr.field("id") < 5
+    got = data.filter(f.to_arrow())
+    assert got.num_rows == 5
