@@ -1,0 +1,144 @@
+"""Composite analytics queries: kNN search → device join → aggregate.
+
+BASELINE.json config 3: "Filtered search + hash join: kNN over
+embeddings joined to a 10M-row attributes table, hash aggregate over
+match groups." The reference has no such path (its baseline is DuckDB);
+here the whole pipeline runs on device: the top-k row ids from the
+distance kernel are joined (fenix_tpu.ops.relational.join_lookup)
+against the attribute table's key column resident in HBM, and the
+requested aggregate reduces over match groups — only the final group
+table returns to the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+from fenix_tpu.engine import executor
+from fenix_tpu.engine.session import DeviceCache
+from fenix_tpu.ops import relational
+
+GROUP_COL = "__GROUP__"
+AGG_COL = "__AGG__"
+
+
+@dataclass
+class JoinSpec:
+    """Enrichment join: attach rows of ``source`` where
+    ``source.right_on == <search result>.left_on``."""
+
+    source: str | Sequence[str]
+    right_on: str
+    left_on: str = "id"
+    columns: Sequence[str] | None = None  # None → all non-key columns
+
+    @staticmethod
+    def from_dict(obj: dict) -> "JoinSpec":
+        return JoinSpec(
+            source=obj["source"],
+            right_on=obj["right_on"],
+            left_on=obj.get("left_on", "id"),
+            columns=obj.get("columns"),
+        )
+
+
+@dataclass
+class AggregateSpec:
+    """Group the joined rows by ``group_by`` (a column of the joined
+    attribute table) and aggregate ``value`` with ``agg``."""
+
+    group_by: str
+    value: str | None = None  # None → count semantics
+    agg: str = "count"
+    max_groups: int = 1024
+
+    @staticmethod
+    def from_dict(obj: dict) -> "AggregateSpec":
+        return AggregateSpec(
+            group_by=obj["group_by"],
+            value=obj.get("value"),
+            agg=obj.get("agg", "count"),
+            max_groups=obj.get("max_groups", 1024),
+        )
+
+
+def execute_search_join(
+    cache: DeviceCache,
+    req: executor.SearchRequest,
+    join: JoinSpec,
+    aggregate: AggregateSpec | None = None,
+) -> pa.Table:
+    """Search, join each result row to the attribute table, and either
+    return the enriched rows or the aggregate over match groups."""
+    assert req.maxval is not None, "join/aggregate queries require maxval (top-k)"
+
+    result = executor.execute_search(cache, req)
+
+    left_keys_np = np.asarray(result.column(join.left_on)).astype(np.int64)
+    attr_keys = cache.scalar(join.source, join.right_on)
+
+    # device join: result keys → attribute row indices (−1 = miss)
+    ridx = relational.join_lookup(
+        jnp.asarray(left_keys_np.astype(np.int32)), attr_keys.data.astype(jnp.int32)
+    )
+    ridx_np = np.asarray(ridx)
+    # padding rows of the attr column can never match real keys only if
+    # keys are non-negative; mask any index beyond the valid row count.
+    ridx_np = np.where(ridx_np < attr_keys.rows, ridx_np, -1)
+
+    attrs = cache.host_table(join.source)
+
+    if aggregate is None:
+        import pyarrow.compute as pc
+
+        hit = ridx_np >= 0
+        take = pa.array(np.where(hit, ridx_np, 0).astype(np.int64))
+        columns = (
+            [c for c in attrs.column_names if c != join.right_on]
+            if join.columns is None
+            else [*join.columns]
+        )
+        out = result
+        hit_arr = pa.array(hit)
+        for name in columns:
+            col = attrs.column(name).take(take).combine_chunks()
+            if not hit.all():
+                col = pc.if_else(hit_arr, col, pa.nulls(len(col), col.type))
+            out = out.append_column(name, col)
+        return out
+
+    group_col = cache.scalar(join.source, aggregate.group_by)
+    hit = jnp.asarray(ridx_np >= 0)
+    safe_idx = jnp.asarray(np.where(ridx_np >= 0, ridx_np, 0))
+    groups = jnp.take(group_col.data, safe_idx).astype(jnp.int32)
+
+    if aggregate.value is None or aggregate.agg == "count":
+        values = jnp.ones(groups.shape[0], dtype=jnp.float32)
+        agg = "sum" if aggregate.agg == "count" else aggregate.agg
+    elif aggregate.value == executor.DIST_COL:
+        values = jnp.asarray(
+            np.asarray(result.column(executor.DIST_COL), dtype=np.float32)
+        )
+        agg = aggregate.agg
+    else:
+        value_col = cache.scalar(join.source, aggregate.value)
+        values = jnp.take(value_col.data, safe_idx).astype(jnp.float32)
+        agg = aggregate.agg
+
+    gk, gv, n = relational.group_aggregate(
+        groups, values, max_groups=aggregate.max_groups, agg=agg, mask=hit
+    )
+    n = int(n)
+    return pa.table(
+        {
+            GROUP_COL: pa.array(np.asarray(gk)[:n]),
+            AGG_COL: pa.array(np.asarray(gv)[:n].astype(np.float64)),
+        }
+    )
+
+

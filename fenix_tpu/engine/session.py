@@ -112,6 +112,21 @@ class DeviceCache:
         self._device[ckey] = (stamp, col)
         return col
 
+    def scalar(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
+        """Padded 1-D numeric column in HBM (join keys, filter columns,
+        group-by columns). Padding value is 0 with validity carried by
+        ``rows`` — callers mask the tail themselves."""
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+        ckey = (key, column, "scalar")
+        hit = self._device.get(ckey)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+        data = self.host_table(source)
+        col = ingest.to_device_vector(data.column(column), block=self.block)
+        self._device[ckey] = (stamp, col)
+        return col
+
     def coding(self, name: str) -> coder_mod.Coding:
         path = coder_mod.path_of(self.root, name)
         stamp = os.path.getmtime(path)

@@ -129,7 +129,21 @@ class Server(fl.FlightServerBase):
         with METRICS.timed(
             "search", source=config["source"], metric=config.get("metric")
         ) as record:
-            data = executor.execute_search(self.cache, req)
+            if config.get("join") is not None:
+                from fenix_tpu.engine import analytics
+
+                data = analytics.execute_search_join(
+                    self.cache,
+                    req,
+                    analytics.JoinSpec.from_dict(config["join"]),
+                    (
+                        analytics.AggregateSpec.from_dict(config["aggregate"])
+                        if config.get("aggregate") is not None
+                        else None
+                    ),
+                )
+            else:
+                data = executor.execute_search(self.cache, req)
             record["rows_returned"] = data.num_rows
 
         writer.begin(data.schema)
@@ -296,6 +310,8 @@ class Flight:
         filter: expr_mod.Expr | None = None,
         maxval: int | None = None,
         probes: int | None = None,
+        join: dict | None = None,
+        aggregate: dict | None = None,
     ) -> pa.Table:
         assert metric in METRICS_SET, f"metric must be one of {sorted(METRICS_SET)}"
         if filter is not None and not isinstance(filter, expr_mod.Expr):
@@ -312,6 +328,8 @@ class Flight:
                     "filter": filter.to_dict() if filter is not None else None,
                     "maxval": maxval,
                     "probes": probes,
+                    "join": join,
+                    "aggregate": aggregate,
                 }
             )
         )

@@ -108,6 +108,49 @@ def _merge_topk(
     return top_scores, top_ids
 
 
+# Bucket width for the two-level block top-k; one VPU lane tile.
+_BUCKET = 128
+
+
+def _merge_topk_bucketed(
+    carry_scores: jax.Array,  # [Q, K]
+    carry_ids: jax.Array,  # [Q, K]
+    scores: jax.Array,  # [Q, B] (−inf for masked)
+    base_id: jax.Array,  # scalar int32: global id of column 0
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact two-level top-k merge: O(B) VPU max-reduce + sorts over
+    ``B/128 + 128·k`` instead of ``B``.
+
+    Level 1 reduces each 128-lane bucket to its max; the top-k buckets
+    must contain every true top-k element (at most k buckets can hold a
+    value ≥ the k-th best, and ``lax.top_k``'s stable tie order keeps
+    the earliest — smallest-id — buckets). Level 2 gathers those
+    buckets' full lanes and merges with the carry. ~50× less sort work
+    per block than the naive merge, which is what made the XLA scan
+    path top-k-bound instead of HBM-bound.
+    """
+    q, b = scores.shape
+    if b // _BUCKET < 4 or k > b // _BUCKET:
+        ids = base_id + jax.lax.broadcasted_iota(jnp.int32, (q, b), 1)
+        return _merge_topk(carry_scores, carry_ids, scores, ids, k)
+
+    n_buckets = b // _BUCKET
+    sb = scores.reshape(q, n_buckets, _BUCKET)
+    bucket_max = sb.max(axis=-1)  # [Q, n_buckets]
+
+    _, bucket_idx = jax.lax.top_k(bucket_max, k)  # [Q, k], stable
+    cand = jnp.take_along_axis(sb, bucket_idx[:, :, None], axis=1)  # [Q, k, 128]
+    cand = cand.reshape(q, k * _BUCKET)
+    cand_ids = (
+        base_id
+        + bucket_idx[:, :, None] * _BUCKET
+        + jax.lax.broadcasted_iota(jnp.int32, (1, 1, _BUCKET), 2)
+    ).reshape(q, k * _BUCKET)
+
+    return _merge_topk(carry_scores, carry_ids, cand, cand_ids, k)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k", "block"))
 def topk_search(
     corpus: jax.Array,  # [N_pad, D]
@@ -164,7 +207,6 @@ def _topk_search_impl(corpus, queries, mask, coded, cells, k, metric, block):
     if coded is not None:
         xs = xs + (coded.reshape(num_blocks, block),)
 
-    block_iota = jnp.arange(block, dtype=jnp.int32)
 
     def body(carry, x):
         carry_scores, carry_ids = carry
@@ -198,10 +240,8 @@ def _topk_search_impl(corpus, queries, mask, coded, cells, k, metric, block):
             valid = jnp.logical_and(valid, probe_ok)
 
         s = jnp.where(valid, s, NEG_INF)
-        ids = bid * block + block_iota
-        ids = jnp.broadcast_to(ids[None, :], s.shape)
 
-        return _merge_topk(carry_scores, carry_ids, s, ids, k), None
+        return _merge_topk_bucketed(carry_scores, carry_ids, s, bid * block, k), None
 
     (scores, ids), _ = jax.lax.scan(body, (init_scores, init_ids), xs)
 

@@ -1,0 +1,206 @@
+"""Relational operators as device kernels: sort, filter-compaction,
+join, group-by aggregate.
+
+The reference delegates all of this to Arrow C++ / DuckDB on the host
+(SURVEY.md §2.3: filter/take/isin, `select_k_unstable`, hash joins in
+the DuckDB baseline). Here they are JAX/XLA computations over padded
+dense columns so they compose with the distance kernels on device.
+
+TPU-first shape discipline: every operator takes/returns **static**
+shapes; variable-size results come back as (padded arrays, valid
+count). Sort-based implementations are used where a CPU engine would
+hash — on TPU a bitonic/radix sort over lanes beats pointer-chasing
+hash tables, and XLA lowers ``sort`` to the native sort unit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+# -- sort -----------------------------------------------------------------
+
+
+@jax.jit
+def sort_kv(keys: jax.Array, values: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Stable ascending sort of (keys, values) pairs."""
+    return jax.lax.sort((keys, values), dimension=0, is_stable=True, num_keys=1)
+
+
+@jax.jit
+def argsort_stable(keys: jax.Array) -> jax.Array:
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    _, perm = jax.lax.sort((keys, iota), dimension=0, is_stable=True, num_keys=1)
+    return perm
+
+
+# -- filter → compaction --------------------------------------------------
+
+
+@jax.jit
+def compact(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Row indices where ``mask`` is True, stably packed to the front.
+
+    Returns (indices [N] int32 — valid prefix, padded with N), count.
+    The Arrow-C++ ``filter`` equivalent: gather ``indices[:count]``.
+    """
+    n = mask.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # sort by (!mask) keeps True rows first, stably (original order)
+    keys = jnp.where(mask, 0, 1).astype(jnp.int32)
+    _, packed = jax.lax.sort((keys, iota), dimension=0, is_stable=True, num_keys=1)
+    count = mask.sum(dtype=jnp.int32)
+    packed = jnp.where(jnp.arange(n, dtype=jnp.int32) < count, packed, n)
+    return packed, count
+
+
+# -- join -----------------------------------------------------------------
+
+
+@jax.jit
+def join_lookup(left_keys: jax.Array, right_keys: jax.Array) -> jax.Array:
+    """Primary-key (enrichment) join: for each left key, the index of a
+    matching row in ``right_keys`` or −1.
+
+    ``right_keys`` need not be sorted or unique; with duplicates the
+    first occurrence (smallest index) wins — deterministic. This is the
+    join shape the engine uses to attach attribute tables to kNN
+    results (BASELINE.json config 3).
+    """
+    n = right_keys.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sk, si = jax.lax.sort((right_keys, iota), dimension=0, is_stable=True, num_keys=1)
+    pos = jnp.searchsorted(sk, left_keys, side="left")
+    pos = jnp.clip(pos, 0, n - 1)
+    hit = sk[pos] == left_keys
+    return jnp.where(hit, si[pos], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def join_inner(
+    left_keys: jax.Array, right_keys: jax.Array, max_matches: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """General inner join on single keys.
+
+    Returns (left_idx [max_matches], right_idx [max_matches], count);
+    pairs beyond ``count`` are (−1, −1). Pairs are emitted in left-row
+    order, duplicates in right-row order — fully deterministic.
+    Sort + searchsorted + bounded expansion (the TPU-shaped analog of a
+    hash join probe; static ``max_matches`` replaces dynamic output).
+    """
+    n_right = right_keys.shape[0]
+    iota_r = jnp.arange(n_right, dtype=jnp.int32)
+    sk, si = jax.lax.sort((right_keys, iota_r), dimension=0, is_stable=True, num_keys=1)
+
+    lo = jnp.searchsorted(sk, left_keys, side="left")
+    hi = jnp.searchsorted(sk, left_keys, side="right")
+    counts = (hi - lo).astype(jnp.int32)  # matches per left row
+
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)[:-1]]
+    )
+    total = counts.sum(dtype=jnp.int32)
+
+    out_iota = jnp.arange(max_matches, dtype=jnp.int32)
+    # For each output slot, which left row does it belong to?
+    owner = jnp.searchsorted(starts + counts, out_iota, side="right").astype(jnp.int32)
+    owner = jnp.clip(owner, 0, left_keys.shape[0] - 1)
+    offset = out_iota - starts[owner]
+    ridx = si[jnp.clip(lo[owner] + offset, 0, n_right - 1)]
+
+    valid = out_iota < total
+    return (
+        jnp.where(valid, owner, -1),
+        jnp.where(valid, ridx, -1),
+        total,
+    )
+
+
+# -- group-by aggregate ---------------------------------------------------
+
+_AGG_INIT = {
+    "sum": 0.0,
+    "count": 0.0,
+    "min": jnp.inf,
+    "max": -jnp.inf,
+    "mean": 0.0,
+}
+
+
+@functools.partial(jax.jit, static_argnames=("max_groups", "agg"))
+def group_aggregate(
+    keys: jax.Array,
+    values: jax.Array,
+    max_groups: int,
+    agg: str = "sum",
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Group ``values`` by ``keys`` (hash-aggregate equivalent).
+
+    Returns (group_keys [max_groups], aggregates [max_groups], count):
+    groups sorted ascending by key; slots ≥ count carry key = max-int
+    sentinel. Sort + segment reduction — deterministic, exact.
+    """
+    if mask is not None:
+        sentinel = jnp.iinfo(keys.dtype).max
+        keys = jnp.where(mask, keys, sentinel)
+
+    sk, sv = jax.lax.sort((keys, values), dimension=0, is_stable=True, num_keys=1)
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
+    )
+    gid = jnp.cumsum(new_group) - 1  # [N] group index, ascending
+
+    if agg == "count":
+        contrib = jnp.ones_like(sv, dtype=jnp.float32)
+        out = jax.ops.segment_sum(contrib, gid, num_segments=max_groups)
+    elif agg == "sum":
+        out = jax.ops.segment_sum(sv.astype(jnp.float32), gid, num_segments=max_groups)
+    elif agg == "mean":
+        s = jax.ops.segment_sum(sv.astype(jnp.float32), gid, num_segments=max_groups)
+        c = jax.ops.segment_sum(
+            jnp.ones_like(sv, dtype=jnp.float32), gid, num_segments=max_groups
+        )
+        out = s / jnp.maximum(c, 1.0)
+    elif agg == "min":
+        out = jax.ops.segment_min(sv.astype(jnp.float32), gid, num_segments=max_groups)
+    elif agg == "max":
+        out = jax.ops.segment_max(sv.astype(jnp.float32), gid, num_segments=max_groups)
+    else:
+        raise ValueError(f"unknown agg {agg!r}")
+
+    group_keys = jax.ops.segment_max(
+        jnp.where(new_group == 1, sk, jnp.iinfo(sk.dtype).min),
+        gid,
+        num_segments=max_groups,
+    )
+
+    n_groups = gid[-1] + 1
+    if mask is not None:
+        # the sentinel group (masked rows) sorts last; drop it
+        has_sentinel = (sk[-1] == jnp.iinfo(keys.dtype).max).astype(jnp.int32)
+        n_groups = n_groups - has_sentinel
+
+    slot = jnp.arange(max_groups, dtype=jnp.int32)
+    valid = slot < n_groups
+    group_keys = jnp.where(valid, group_keys, jnp.iinfo(sk.dtype).max)
+    out = jnp.where(valid, out, 0)
+    return group_keys, out, n_groups
+
+
+# -- hash partition (for distributed shuffle) ------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_partitions",))
+def hash_partition(keys: jax.Array, num_partitions: int) -> jax.Array:
+    """Partition id per row via an avalanching integer hash
+    (fnv/murmur-style finalizer) — the shuffle key for multi-host
+    table distribution (BASELINE.json: hash-partitioned tables)."""
+    x = keys.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x % jnp.uint32(num_partitions)).astype(jnp.int32)

@@ -1,0 +1,101 @@
+"""Mesh-sharded kNN search with distributed top-k merge.
+
+North-star path (BASELINE.json config 4): corpus rows sharded over the
+mesh; each device runs the local streaming top-k scan
+(fenix_tpu.ops.distance) over its shard, then only ``k`` candidate
+(score, global-id) pairs per query cross the interconnect — an
+``all_gather`` of ``S·k`` candidates followed by an on-device merge.
+Raw vectors never move (SURVEY.md §5 long-context entry: "all-to-all
+only candidate ids + distances, never raw vectors").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fenix_tpu.ops import distance as distance_ops
+from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, row_sharding
+
+
+def build_sharded_search(
+    mesh: Mesh,
+    k: int,
+    metric: str,
+    block: int = 8192,
+):
+    """Compile a sharded exact top-k search step.
+
+    Returns ``fn(corpus, queries, mask) -> (distances [Q,k], ids [Q,k])``
+    where ``corpus`` is ``[N_pad, D]`` sharded over rows, ``queries``
+    replicated, ``mask`` row-sharded. ``N_pad / n_devices`` must be a
+    multiple of ``block``.
+    """
+    axes = (DATA_AXIS, MODEL_AXIS)
+    n_shards = mesh.devices.size
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(), P(axes)),
+        out_specs=(P(), P()),
+        # The scan carry starts replicated and becomes device-varying in
+        # the first iteration; skip the varying-manual-axes check.
+        check_vma=False,
+    )
+    def local_search(corpus_local, queries, mask_local):
+        rows_local = corpus_local.shape[0]
+        shard = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
+            MODEL_AXIS
+        ) + jax.lax.axis_index(MODEL_AXIS)
+
+        local_k = min(k, rows_local)
+        dist, ids = distance_ops._topk_search_impl(
+            corpus_local, queries, mask_local, None, None, local_k, metric, block
+        )
+        scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
+        gids = jnp.where(ids >= 0, ids + shard * rows_local, -1)
+
+        # [S, Q, local_k] candidate exchange — k·S values per query, not rows.
+        all_scores = jax.lax.all_gather(scores, axes)
+        all_gids = jax.lax.all_gather(gids, axes)
+
+        q = queries.shape[0]
+        # Shard-major concat keeps ties resolving to the smallest global id.
+        all_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * local_k)
+        all_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(q, n_shards * local_k)
+
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_gids = jnp.take_along_axis(all_gids, pos, axis=1)
+
+        out_dist = jnp.where(top_scores == distance_ops.NEG_INF, jnp.inf, -top_scores)
+        out_ids = jnp.where(top_scores == distance_ops.NEG_INF, -1, top_gids)
+        return out_dist, out_ids
+
+    return jax.jit(local_search)
+
+
+def shard_corpus(
+    mesh: Mesh, corpus, mask=None, block: int = 8192
+) -> tuple[jax.Array, jax.Array]:
+    """Place a host ``[N, D]`` matrix row-sharded on the mesh, padding
+    so every shard is a whole number of scan blocks."""
+    import numpy as np
+
+    n_shards = mesh.devices.size
+    n, d = corpus.shape
+    per = -(-n // n_shards)
+    per = -(-per // block) * block
+    n_pad = per * n_shards
+
+    full = np.zeros((n_pad, d), dtype=corpus.dtype)
+    full[:n] = corpus
+    m = np.zeros(n_pad, dtype=bool)
+    m[:n] = True if mask is None else mask
+
+    corpus_dev = jax.device_put(full, row_sharding(mesh, 2))
+    mask_dev = jax.device_put(m, row_sharding(mesh, 1))
+    return corpus_dev, mask_dev

@@ -1,0 +1,134 @@
+"""Search → device join → aggregate pipeline (BASELINE config 3 shape)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fenix_tpu.engine import analytics, executor
+from fenix_tpu.io import ingest, table
+from tests import oracles
+
+ROWS, DIM, ATTRS = 1500, 16, 900
+
+
+@pytest.fixture
+def root(tmp_path, rng):
+    root = str(tmp_path)
+    vecs = rng.standard_normal((ROWS, DIM)).astype(np.float32)
+    table.make(
+        root,
+        "vec",
+        pa.table(
+            {
+                "id": pa.array(np.arange(ROWS)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    # attrs table covers only a subset of ids, scrambled order
+    attr_ids = rng.permutation(ROWS)[:ATTRS]
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(attr_ids.astype(np.int64)),
+                "grp": pa.array((attr_ids % 7).astype(np.int64)),
+                "weight": pa.array(attr_ids.astype(np.float64) * 0.5),
+            }
+        ).to_reader(),
+    )
+    return root
+
+
+def make_request(root, rng, k=50):
+    target = rng.standard_normal(DIM).astype(np.float32)
+    return executor.SearchRequest(
+        source="vec", column="vector", target=target, metric="l2", maxval=k
+    )
+
+
+def test_join_enrichment(root, rng):
+    cache = executor.get_cache(root)
+    req = make_request(root, rng)
+    out = analytics.execute_search_join(
+        cache, req, analytics.JoinSpec(source="attrs", right_on="key")
+    )
+    assert out.num_rows == 50
+    assert {"grp", "weight"} <= set(out.column_names)
+
+    attrs = table.load(root, "attrs")
+    keys = np.asarray(attrs.column("key"))
+    weights = np.asarray(attrs.column("weight"))
+    lookup = dict(zip(keys.tolist(), weights.tolist()))
+    ids = np.asarray(out.column("id"))
+    got_w = out.column("weight").to_pylist()
+    for i, w in zip(ids.tolist(), got_w):
+        assert w == lookup.get(i, None)
+
+
+def test_join_aggregate_count(root, rng):
+    cache = executor.get_cache(root)
+    req = make_request(root, rng, k=100)
+    out = analytics.execute_search_join(
+        cache,
+        req,
+        analytics.JoinSpec(source="attrs", right_on="key"),
+        analytics.AggregateSpec(group_by="grp", agg="count"),
+    )
+
+    # oracle: brute-force top-100 then group counts over matched ids
+    vecs = ingest.fixed_size_list_to_numpy(table.load(root, "vec").column("vector"))
+    target = np.asarray(req.target, dtype=np.float32)[None]
+    _, top = oracles.topk(oracles.distance(target, vecs, "l2"), 100)
+    attrs = table.load(root, "attrs")
+    keys = np.asarray(attrs.column("key"))
+    grps = np.asarray(attrs.column("grp"))
+    lookup = dict(zip(keys.tolist(), grps.tolist()))
+    from collections import Counter
+
+    want = Counter(lookup[i] for i in top[0].tolist() if i in lookup)
+
+    got = dict(
+        zip(
+            np.asarray(out.column(analytics.GROUP_COL)).tolist(),
+            np.asarray(out.column(analytics.AGG_COL)).tolist(),
+        )
+    )
+    assert got == {k: float(v) for k, v in want.items()}
+
+
+def test_join_aggregate_sum_weight(root, rng):
+    cache = executor.get_cache(root)
+    req = make_request(root, rng, k=80)
+    out = analytics.execute_search_join(
+        cache,
+        req,
+        analytics.JoinSpec(source="attrs", right_on="key"),
+        analytics.AggregateSpec(group_by="grp", value="weight", agg="sum"),
+    )
+
+    vecs = ingest.fixed_size_list_to_numpy(table.load(root, "vec").column("vector"))
+    target = np.asarray(req.target, dtype=np.float32)[None]
+    _, top = oracles.topk(oracles.distance(target, vecs, "l2"), 80)
+    attrs = table.load(root, "attrs")
+    keys = np.asarray(attrs.column("key"))
+    grps = np.asarray(attrs.column("grp"))
+    weights = np.asarray(attrs.column("weight"))
+    glookup = dict(zip(keys.tolist(), grps.tolist()))
+    wlookup = dict(zip(keys.tolist(), weights.tolist()))
+
+    want: dict[int, float] = {}
+    for i in top[0].tolist():
+        if i in glookup:
+            want[glookup[i]] = want.get(glookup[i], 0.0) + wlookup[i]
+
+    got = dict(
+        zip(
+            np.asarray(out.column(analytics.GROUP_COL)).tolist(),
+            np.asarray(out.column(analytics.AGG_COL)).tolist(),
+        )
+    )
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6)

@@ -1,0 +1,60 @@
+"""Sharded search on the 8-device virtual CPU mesh (SURVEY.md §4:
+multi-host tests runnable without a pod)."""
+
+import jax
+import numpy as np
+import pytest
+
+from fenix_tpu.ops import kmeans
+from fenix_tpu.parallel import mesh as mesh_mod
+from fenix_tpu.parallel import search as psearch
+from tests import oracles
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return mesh_mod.make_mesh(8, model_parallel=2)
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
+def test_sharded_search_matches_single_device(mesh8, rng, metric):
+    n, d, q, k = 3000, 32, 4, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    corpus_dev, mask_dev = psearch.shard_corpus(mesh8, corpus, block=128)
+    fn = psearch.build_sharded_search(mesh8, k=k, metric=metric, block=128)
+    dist, ids = fn(corpus_dev, jax.numpy.asarray(queries), mask_dev)
+
+    want_d, want_i = oracles.topk(oracles.distance(queries, corpus, metric), k)
+    np.testing.assert_array_equal(np.asarray(ids), want_i)
+    np.testing.assert_allclose(np.asarray(dist), want_d, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_search_respects_mask(mesh8, rng):
+    n, d, k = 1000, 16, 8
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((2, d)).astype(np.float32)
+    user_mask = rng.random(n) < 0.2
+
+    corpus_dev, mask_dev = psearch.shard_corpus(mesh8, corpus, user_mask, block=128)
+    fn = psearch.build_sharded_search(mesh8, k=k, metric="l2", block=128)
+    _, ids = fn(corpus_dev, jax.numpy.asarray(queries), mask_dev)
+
+    allowed = set(np.flatnonzero(user_mask).tolist())
+    for row in np.asarray(ids):
+        for i in row:
+            assert i == -1 or int(i) in allowed
+
+
+def test_sharded_lloyd_step_matches_local(mesh8, rng):
+    n_books, k, d, b = 2, 8, 16, 128
+    q = rng.standard_normal((n_books, k, d)).astype(np.float32)
+    v = rng.standard_normal((n_books, b, d)).astype(np.float32)
+
+    step = kmeans.sharded_lloyd_step(mesh8, mesh_mod.DATA_AXIS, mesh_mod.MODEL_AXIS, "l2")
+    got = np.asarray(step(jax.numpy.asarray(q), jax.numpy.asarray(v)))
+    want = np.stack([oracles.lloyd_step(q[j], v[j], "l2") for j in range(n_books)])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

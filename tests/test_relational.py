@@ -1,0 +1,103 @@
+"""Relational device operators vs numpy oracles (exact-match)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenix_tpu.ops import relational as rel
+
+
+def test_sort_kv(rng):
+    keys = rng.integers(0, 100, 256).astype(np.int32)
+    vals = rng.standard_normal(256).astype(np.float32)
+    sk, sv = rel.sort_kv(jnp.asarray(keys), jnp.asarray(vals))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sv), vals[order])
+
+
+def test_compact(rng):
+    mask = rng.random(512) < 0.3
+    idx, count = rel.compact(jnp.asarray(mask))
+    idx, count = np.asarray(idx), int(count)
+    want = np.flatnonzero(mask)
+    assert count == len(want)
+    np.testing.assert_array_equal(idx[:count], want)
+    assert (idx[count:] == 512).all()
+
+
+def test_join_lookup(rng):
+    right = rng.permutation(1000)[:300].astype(np.int64)
+    left = rng.integers(0, 1000, 200).astype(np.int64)
+    got = np.asarray(rel.join_lookup(jnp.asarray(left), jnp.asarray(right)))
+    lookup = {k: i for i, k in reversed(list(enumerate(right)))}
+    want = np.array([lookup.get(k, -1) for k in left])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_join_lookup_duplicate_right_first_wins():
+    right = np.array([5, 3, 5, 7, 3], dtype=np.int64)
+    left = np.array([3, 5, 9], dtype=np.int64)
+    got = np.asarray(rel.join_lookup(jnp.asarray(left), jnp.asarray(right)))
+    np.testing.assert_array_equal(got, [1, 0, -1])
+
+
+def test_join_inner(rng):
+    left = rng.integers(0, 50, 100).astype(np.int64)
+    right = rng.integers(0, 50, 80).astype(np.int64)
+    li, ri, total = rel.join_inner(jnp.asarray(left), jnp.asarray(right), max_matches=1024)
+    li, ri, total = np.asarray(li), np.asarray(ri), int(total)
+
+    want = []
+    for i, lk in enumerate(left):
+        for j in np.flatnonzero(right == lk):
+            want.append((i, j))
+    assert total == len(want)
+    got = list(zip(li[:total].tolist(), ri[:total].tolist()))
+    assert got == want
+    assert (li[total:] == -1).all() and (ri[total:] == -1).all()
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "mean", "min", "max"])
+def test_group_aggregate(rng, agg):
+    keys = rng.integers(0, 20, 500).astype(np.int64)
+    vals = rng.standard_normal(500).astype(np.float32)
+    gk, gv, n = rel.group_aggregate(
+        jnp.asarray(keys), jnp.asarray(vals), max_groups=64, agg=agg
+    )
+    gk, gv, n = np.asarray(gk), np.asarray(gv), int(n)
+
+    uniq = np.unique(keys)
+    assert n == len(uniq)
+    np.testing.assert_array_equal(gk[:n], uniq)
+    for i, k in enumerate(uniq):
+        members = vals[keys == k]
+        want = {
+            "sum": members.sum(),
+            "count": float(len(members)),
+            "mean": members.mean(),
+            "min": members.min(),
+            "max": members.max(),
+        }[agg]
+        np.testing.assert_allclose(gv[i], want, rtol=1e-5, atol=1e-6)
+
+
+def test_group_aggregate_masked(rng):
+    keys = np.array([1, 2, 1, 3, 2, 1], dtype=np.int64)
+    vals = np.arange(6, dtype=np.float32)
+    mask = np.array([True, True, False, False, True, True])
+    gk, gv, n = rel.group_aggregate(
+        jnp.asarray(keys), jnp.asarray(vals), max_groups=8, agg="sum",
+        mask=jnp.asarray(mask),
+    )
+    assert int(n) == 2
+    np.testing.assert_array_equal(np.asarray(gk)[:2], [1, 2])
+    np.testing.assert_allclose(np.asarray(gv)[:2], [0 + 5, 1 + 4])
+
+
+def test_hash_partition_balanced(rng):
+    keys = jnp.asarray(np.arange(100_000, dtype=np.int64))
+    parts = np.asarray(rel.hash_partition(keys, 8))
+    counts = np.bincount(parts, minlength=8)
+    assert parts.min() >= 0 and parts.max() < 8
+    assert counts.min() > 100_000 / 8 * 0.9
