@@ -1,3 +1,3 @@
-from fenix_tpu.io import arrow, ingest, table
+from fenix_tpu.io import arrow, batch, ingest, table
 
-__all__ = ["arrow", "ingest", "table"]
+__all__ = ["arrow", "batch", "ingest", "table"]

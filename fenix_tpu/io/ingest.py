@@ -75,8 +75,9 @@ def to_device_matrix(
     rows = array.shape[0]
     rows_padded = max(round_up(rows, block), block)
     if rows_padded != rows:
-        pad = np.zeros((rows_padded - rows, *array.shape[1:]), dtype=array.dtype)
-        array = np.concatenate([array, pad], axis=0)
+        from fenix_tpu import native
+
+        array = native.pack_rows(array, rows_padded)
 
     data = jnp.asarray(array, dtype=dtype)
     if sharding is not None:
@@ -99,8 +100,17 @@ def to_device_vector(
     rows = array.shape[0]
     rows_padded = max(round_up(rows, block), block)
     if rows_padded != rows:
-        pad = np.full((rows_padded - rows,), fill, dtype=array.dtype)
-        array = np.concatenate([array, pad], axis=0)
+        if fill in (0, -1) and np.issubdtype(array.dtype, np.integer):
+            from fenix_tpu import native
+
+            array = native.pack_rows(array, rows_padded, 0xFF if fill == -1 else 0)
+        elif fill == 0:
+            from fenix_tpu import native
+
+            array = native.pack_rows(array, rows_padded)
+        else:
+            pad = np.full((rows_padded - rows,), fill, dtype=array.dtype)
+            array = np.concatenate([array, pad], axis=0)
 
     data = jnp.asarray(array, dtype=dtype)
     if sharding is not None:

@@ -94,3 +94,35 @@ def test_expr_to_arrow_filters_dataset():
     f = expr.field("id") < 5
     got = data.filter(f.to_arrow())
     assert got.num_rows == 5
+
+
+def test_random_batch_iterator(tmp_path):
+    from fenix_tpu.io import batch as batch_mod
+
+    root = str(tmp_path)
+    data = make_table(rows=103, dim=4)
+    table.make(root, "t", data.to_reader())
+
+    it = batch_mod.RandomBatchIterator(root, "t", size=10, column="vector", seed=0)
+    batches = [*it]
+    assert len(batches) == 10  # remainder dropped
+    assert all(b.shape == (10, 4) for b in batches)
+
+    # two epochs use different permutations
+    batches2 = [*it]
+    assert not all(np.array_equal(a, b) for a, b in zip(batches, batches2))
+
+
+def test_prefetch_to_device(tmp_path):
+    from fenix_tpu.io import batch as batch_mod
+
+    root = str(tmp_path)
+    data = make_table(rows=64, dim=4)
+    table.make(root, "t", data.to_reader())
+
+    it = batch_mod.RandomBatchIterator(root, "t", size=16, column="vector", seed=1)
+    out = [*batch_mod.prefetch_to_device(iter(it))]
+    assert len(out) == 4
+    import jax
+
+    assert all(isinstance(x, jax.Array) for x in out)
