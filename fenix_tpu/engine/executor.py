@@ -24,15 +24,51 @@ import jax.numpy as jnp
 import numpy as np
 import pyarrow as pa
 
+import functools
+
+import jax
+
 from fenix_tpu import expr as expr_mod
 from fenix_tpu.engine.session import DeviceCache
 from fenix_tpu.io import ingest
 from fenix_tpu.ops import cells as cells_ops
 from fenix_tpu.ops import distance as distance_ops
+from fenix_tpu.ops import topk2
 
 CODE_COL: str = "__CODED_ID__"
 DIST_COL: str = "__DISTANCE__"
 QUERY_COL: str = "__QUERY_ID__"
+
+# Canonical query-batch sizes (jit cache keys are shapes).
+_Q_STEPS = (1, 8, 64, 256, 1024)
+
+
+def _canonical_q(q: int) -> int:
+    for step in _Q_STEPS:
+        if q <= step:
+            return step
+    return -(-q // 1024) * 1024
+
+
+def _canonical_k(k: int) -> int:
+    p = 1
+    while p < k:
+        p <<= 1
+    return p
+
+
+@jax.jit
+def _overlay_mask(aux_add, mask):
+    """Fold a per-request row mask into the cached aux_add."""
+    import jax.numpy as jnp
+
+    return jnp.where(mask, aux_add, distance_ops.NEG_INF)
+
+
+@jax.jit
+def _probe_mask(coded, cells):
+    """[N] bool: row's cell ∈ probe set (single-query IVF pruning)."""
+    return (coded[:, None] == cells[None, :]).any(axis=-1)
 
 _CACHES: dict[str, DeviceCache] = {}
 
@@ -149,23 +185,53 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         return pa.concat_tables(tables).combine_chunks()
 
     # --- top-k path ------------------------------------------------------
+    # Canonicalized shapes (Q padded up, k rounded to a power of two)
+    # bound the jit-compile surface — compiles are expensive and
+    # per-process in this environment (no cross-process kernel cache).
     k = int(min(req.maxval, rows))
+    q_pad = _canonical_q(num_queries)
+    k_pad = min(_canonical_k(k), n_pad)
+    if q_pad != num_queries:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((q_pad - num_queries, queries.shape[1]), queries.dtype)]
+        )
+
     if coding_data is not None:
         codebooks = jnp.asarray(coding_data["tensor"])
         n_books, k_book, _ = codebooks.shape
         probes = int(min(req.probes, k_book**n_books))
         cells = cells_ops.topk_cells(queries, codebooks, metric=metric, maxval=probes)
         coded = cache.coded_ids(req.coding, req.source, req.column)
-        dists, ids = distance_ops.topk_search_probed(
-            corpus.data, queries, mask, coded.data, cells, k=k, metric=metric, block=cache.block
-        )
+        if num_queries == 1:
+            # single query: fold the probe set into the score mask and
+            # take the fused two-phase path
+            pmask = _probe_mask(coded.data, cells[0])
+            aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
+            aux_add = _overlay_mask(aux_add, jnp.logical_and(mask, pmask))
+            dists, ids = topk2.topk_two_phase(
+                corpus.data, queries, aux_mul, aux_add, k=k_pad, metric=metric
+            )
+        else:
+            dists, ids = distance_ops.topk_search_probed(
+                corpus.data,
+                queries,
+                mask,
+                coded.data,
+                cells,
+                k=k_pad,
+                metric=metric,
+                block=cache.block,
+            )
     else:
-        dists, ids = distance_ops.topk_search(
-            corpus.data, queries, mask, k=k, metric=metric, block=cache.block
+        aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
+        if req.filter is not None:
+            aux_add = _overlay_mask(aux_add, mask)
+        dists, ids = topk2.topk_two_phase(
+            corpus.data, queries, aux_mul, aux_add, k=k_pad, metric=metric
         )
 
-    dists = np.asarray(dists)
-    ids = np.asarray(ids)
+    dists = np.asarray(dists)[:num_queries, :k]
+    ids = np.asarray(ids)[:num_queries, :k]
 
     # --- host gather -----------------------------------------------------
     tables = []

@@ -127,6 +127,30 @@ class DeviceCache:
         self._device[ckey] = (stamp, col)
         return col
 
+    def metric_aux(self, source: str | Sequence[str], column: str, metric: str):
+        """Cached per-row (aux_mul, aux_add) for the fused two-phase
+        score (fenix_tpu.ops.topk2.prepare_aux) with padding rows
+        pre-masked to −inf. Request filters overlay on top per query."""
+        import jax.numpy as jnp
+
+        from fenix_tpu.ops import distance as distance_ops
+        from fenix_tpu.ops import topk2
+
+        metric = distance_ops.canonical_metric(metric)
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+        ckey = (key, column, "aux", metric)
+        hit = self._device.get(ckey)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+
+        col = self.matrix(source, column)
+        valid = jnp.arange(col.rows_padded) < col.rows
+        aux = topk2.prepare_aux(col.data, valid, metric)
+        aux = (aux[0].block_until_ready(), aux[1].block_until_ready())
+        self._device[ckey] = (stamp, aux)
+        return aux
+
     def coding(self, name: str) -> coder_mod.Coding:
         path = coder_mod.path_of(self.root, name)
         stamp = os.path.getmtime(path)

@@ -167,8 +167,57 @@ def bucket_scores_pallas(
     return out.reshape(nb * buckets_per_block, qt).T
 
 
+def bucket_scores_scan(
+    queries_p: jax.Array,  # [QT, D]
+    corpus: jax.Array,  # [N, D]
+    aux_mul: jax.Array,
+    aux_add: jax.Array,
+    block_rows: int = 262144,
+) -> jax.Array:  # [QT, N // BUCKET]
+    """Phase 1 as a ``lax.scan`` over corpus blocks.
+
+    Each step is matmul → scale/shift → per-bucket max — XLA fuses the
+    reduction into the matmul consumer, so per-step traffic is the
+    corpus block plus the tiny [QT, block/128] summary. No per-block
+    ``top_k``, no cross-block carry: selection happens once at the end
+    (topk_two_phase). Compiles as plain XLA — the safe default until
+    the Pallas kernel wins.
+    """
+    n, d = corpus.shape
+    qt = queries_p.shape[0]
+    # largest power-of-two block ≤ block_rows that divides N_pad
+    cand = min(block_rows, n)
+    while cand > BUCKET and n % cand != 0:
+        cand //= 2
+    block_rows = cand
+    if n % block_rows != 0 or n == block_rows:
+        return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add)
+    nb = n // block_rows
+
+    xs = (
+        corpus.reshape(nb, block_rows, d),
+        aux_mul.reshape(nb, block_rows),
+        aux_add.reshape(nb, block_rows),
+    )
+
+    def body(_, x):
+        vb, mb, ab = x
+        s = jax.lax.dot_general(
+            queries_p,
+            vb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * mb[None, :] + ab[None, :]
+        out = s.reshape(qt, block_rows // BUCKET, BUCKET).max(axis=-1)
+        return None, out
+
+    _, stacked = jax.lax.scan(body, None, xs)  # [nb, QT, block//BUCKET]
+    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
+
+
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return False  # Pallas phase 1 pending a compile-safe reduction
 
 
 # -- phase 2: gather + exact rescore --------------------------------------
@@ -195,7 +244,7 @@ def topk_two_phase(
     if _use_pallas():
         bucket_max = bucket_scores_pallas(queries_p, corpus, aux_mul, aux_add, block_rows)
     else:
-        bucket_max = bucket_scores_xla(queries_p, corpus, aux_mul, aux_add)
+        bucket_max = bucket_scores_scan(queries_p, corpus, aux_mul, aux_add)
 
     kp = min(k + BUCKET_PAD, n_buckets)
     _, bidx = jax.lax.top_k(bucket_max, kp)  # [Q, kp], stable ties

@@ -1,3 +1,3 @@
-from fenix_tpu.parallel import mesh, search
+from fenix_tpu.parallel import mesh, search, shuffle
 
-__all__ = ["mesh", "search"]
+__all__ = ["mesh", "search", "shuffle"]
