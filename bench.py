@@ -3,11 +3,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-Workload: exact top-10 cosine kNN over 1M×128-dim fp32 (BASELINE.json
-config 1), measured two ways on the single available chip:
-- bandwidth-bound scan rate (Q=8): rows/s vs the chip's HBM roofline
-  (vs_baseline = fraction of roofline; target ≥0.80 per BASELINE.md);
+Workload: exact top-10 cosine kNN over 1M×128-dim fp32 vectors
+(BASELINE.json config 1) through the engine's two-phase kernel
+(fenix_tpu.ops.topk2), measured two ways on the single available chip:
+- bandwidth-bound scan rate (Q=8): rows/s, with vs_baseline = fraction
+  of the chip's HBM roofline (target ≥0.80 per BASELINE.md);
 - throughput (Q=1024 batch): queries/s.
+
+Timing note: through the axon tunnel ``block_until_ready`` returns
+before execution finishes; the device→host readback of the tiny [Q, k]
+result is the only reliable fence.
 """
 
 from __future__ import annotations
@@ -40,47 +45,35 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fenix_tpu.ops import distance as distance_ops
+    from fenix_tpu.ops import topk2
 
     dev = jax.devices()[0]
 
-    n, d, k = 1_000_000, 128, 10
-    block = 65536
-    n_pad = ((n + block - 1) // block) * block
-
+    n, d, k_pad = 1_048_576, 128, 16  # canonical: N pow2, k→16 (top-10 padded)
     rng = np.random.default_rng(0)
-    corpus_host = rng.standard_normal((n_pad, d)).astype(np.float32)
-    corpus = jnp.asarray(corpus_host)
-    mask = jnp.ones((n_pad,), dtype=bool)
+    corpus = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    aux_mul, aux_add = topk2.prepare_aux(corpus, None, "cosine")
 
     def timed(q: int, iters: int) -> float:
-        queries = jnp.asarray(
-            rng.standard_normal((q, d)).astype(np.float32)
-        )
-        # warmup (compile); sync via small host transfer — through the
-        # axon tunnel block_until_ready returns before execution finishes,
-        # so device→host readback of the [Q,k] result is the only
-        # reliable fence (and it is tiny).
-        np.asarray(
-            distance_ops.topk_search(corpus, queries, mask, k=k, metric="cosine", block=block)[0]
+        queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+        np.asarray(  # warmup / compile
+            topk2.topk_two_phase(corpus, queries, aux_mul, aux_add, k=k_pad, metric="cosine")[0]
         )
         start = time.perf_counter()
         for _ in range(iters):
-            out = distance_ops.topk_search(
-                corpus, queries, mask, k=k, metric="cosine", block=block
+            out = topk2.topk_two_phase(
+                corpus, queries, aux_mul, aux_add, k=k_pad, metric="cosine"
             )
         np.asarray(out[0])
         return (time.perf_counter() - start) / iters
 
-    # bandwidth-bound scan (small query batch)
-    t_scan = timed(q=8, iters=10)
-    scan_rows_per_s = n_pad / t_scan
-    scan_bytes_per_s = n_pad * d * 4 / t_scan
+    t_scan = timed(q=8, iters=20)
+    scan_rows_per_s = n / t_scan
+    scan_bytes_per_s = n * d * 4 / t_scan
     roofline = detect_hbm_bw(dev)
 
-    # throughput (large query batch)
     q_big = 1024
-    t_batch = timed(q=q_big, iters=5)
+    t_batch = timed(q=q_big, iters=10)
     qps = q_big / t_batch
 
     result = {

@@ -76,25 +76,18 @@ def make(
     metric = config["metric"]
     num_rows, dim = matrix.shape
 
-    rng = np.random.default_rng(seed)
-
-    # Init: a random subset of k·n rows, viewed as [n, k, dim]
-    # (reference coder.py:98-104).
-    init_rows = np.sort(rng.choice(num_rows, size=k * n, replace=False))
-    codebooks = jnp.asarray(matrix[init_rows].reshape(n, k, dim), dtype=jnp.float32)
-
-    # Whole corpus on device once; per-step batches are device-side takes.
+    # Whole training is one fused device computation (ops/kmeans.train):
+    # random-row init + num_epochs × permuted Lloyd steps, single dispatch.
     corpus = jnp.asarray(matrix, dtype=jnp.float32)
-
-    batch_rows_per_step = n * b
-    steps_per_epoch = num_rows // batch_rows_per_step
-
-    for _ in range(config["num_epochs"]):
-        perm = rng.permutation(num_rows)[: steps_per_epoch * batch_rows_per_step]
-        perm = perm.reshape(steps_per_epoch, n, b)
-        for step in range(steps_per_epoch):
-            sample = jnp.take(corpus, jnp.asarray(perm[step]), axis=0)  # [n, b, dim]
-            codebooks = kmeans.lloyd_step(codebooks, sample, metric=metric)
+    codebooks = kmeans.train(
+        corpus,
+        np.uint32(seed if seed is not None else np.random.default_rng().integers(1 << 31)),
+        num_codebooks=n,
+        codebook_size=k,
+        batch_size=b,
+        num_epochs=config["num_epochs"],
+        metric=metric,
+    )
 
     path = path_of(root, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -58,6 +58,57 @@ def lloyd_step(
     return jax.vmap(lloyd_step_single, in_axes=(0, 0, None))(codebooks, batch, metric)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_codebooks", "codebook_size", "batch_size", "num_epochs", "metric")
+)
+def train(
+    corpus: jax.Array,  # [N, D]
+    seed: jax.Array,  # scalar uint32
+    num_codebooks: int,
+    codebook_size: int,
+    batch_size: int,
+    num_epochs: int,
+    metric: str,
+) -> jax.Array:
+    """Full multi-codebook k-means training as ONE device computation.
+
+    Reference semantics (coder.py:94-127): random-row init, then per
+    epoch a fresh permutation consumed in ``num_codebooks·batch_size``
+    batches, one vmapped Lloyd step each. Runs as nested ``lax.scan``s
+    so the whole training is a single dispatch — the reference pays a
+    host round-trip per batch (and this environment ~1.7 ms per
+    dispatch, which dominated per-step training).
+    """
+    n_rows, dim = corpus.shape
+    key = jax.random.PRNGKey(seed)
+
+    key, init_key = jax.random.split(key)
+    init_rows = jax.random.choice(init_key, n_rows, (codebook_size * num_codebooks,), replace=False)
+    codebooks = jnp.take(corpus, init_rows, axis=0).reshape(
+        num_codebooks, codebook_size, dim
+    )
+
+    rows_per_step = num_codebooks * batch_size
+    steps = n_rows // rows_per_step
+
+    def epoch(carry, epoch_key):
+        cbs = carry
+        perm = jax.random.permutation(epoch_key, n_rows)[: steps * rows_per_step]
+        idx = perm.reshape(steps, num_codebooks, batch_size)
+
+        def step(cbs, step_idx):
+            sample = jnp.take(corpus, step_idx, axis=0)  # [n, b, D]
+            cbs = jax.vmap(lloyd_step_single, in_axes=(0, 0, None))(cbs, sample, metric)
+            return cbs, None
+
+        cbs, _ = jax.lax.scan(step, cbs, idx)
+        return cbs, None
+
+    epoch_keys = jax.random.split(key, num_epochs)
+    codebooks, _ = jax.lax.scan(epoch, codebooks, epoch_keys)
+    return codebooks
+
+
 def sharded_lloyd_step(mesh: jax.sharding.Mesh, data_axis: str, model_axis: str | None, metric: str):
     """Build a pjit'd Lloyd step over a device mesh.
 

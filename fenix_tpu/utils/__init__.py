@@ -1,3 +1,3 @@
-from fenix_tpu.utils import metrics
+from fenix_tpu.utils import metrics, profiling
 
-__all__ = ["metrics"]
+__all__ = ["metrics", "profiling"]
