@@ -34,6 +34,8 @@ from fenix_tpu import expr as expr_mod
 from fenix_tpu import index as index_mod
 from fenix_tpu.engine import executor
 from fenix_tpu.io import ingest, table
+from fenix_tpu.utils import replay
+from fenix_tpu.utils.faults import GLOBAL as FAULTS
 from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
 LOGGER = logging.getLogger("fenix_tpu")
@@ -74,6 +76,7 @@ class Server(fl.FlightServerBase):
         reader: fl.MetadataRecordBatchReader,
         writer: fl.FlightMetadataWriter,
     ) -> None:
+        FAULTS.check("put")
         name = descriptor.path[0].decode()
         with METRICS.timed("put", table=name):
             table.make(self.root, name, reader.to_reader())
@@ -81,6 +84,7 @@ class Server(fl.FlightServerBase):
     # -- table read (reference flight.py:46-60, stateless) ----------------
 
     def do_get(self, ctx: fl.ServerCallContext, ticket: fl.Ticket):
+        FAULTS.check("get")
         req = _loads(ticket.ticket)
         source = req["source"]
         coding = req.get("coding")
@@ -111,8 +115,10 @@ class Server(fl.FlightServerBase):
         reader: fl.MetadataRecordBatchReader,
         writer: fl.MetadataRecordBatchWriter,
     ) -> None:
+        FAULTS.check("search")
         config = _loads(descriptor.command)
-        target = reader.read_all().column("target").combine_chunks()
+        target_table = reader.read_all()
+        target = target_table.column("target").combine_chunks()
 
         req = executor.SearchRequest(
             source=config["source"],
@@ -145,6 +151,8 @@ class Server(fl.FlightServerBase):
             else:
                 data = executor.execute_search(self.cache, req)
             record["rows_returned"] = data.num_rows
+
+        replay.record(config, target_table, data)
 
         writer.begin(data.schema)
         writer.write_table(data)
@@ -198,6 +206,11 @@ class Server(fl.FlightServerBase):
             case "health":
                 return iter([fl.Result(b'{"status":"ok"}')])
 
+            case "fault-inject":
+                # arm deterministic failure points (resilience testing)
+                FAULTS.configure(config.get("spec", ""))
+                return iter([])
+
             case _:
                 raise ValueError(f"unknown action {action.type!r}")
 
@@ -209,12 +222,35 @@ class Server(fl.FlightServerBase):
 
 
 class Flight:
-    """Client SDK (reference flight.py:137-292 method parity)."""
+    """Client SDK (reference flight.py:137-292 method parity).
 
-    def __init__(self, host: str = "0.0.0.0", port: int = 9001) -> None:
+    ``retries`` > 0 re-issues **idempotent** requests (search, reads,
+    admin queries) on transient server failures with exponential
+    backoff — paired with the server's fault-injection points for
+    resilience testing.
+    """
+
+    def __init__(
+        self, host: str = "0.0.0.0", port: int = 9001, retries: int = 0
+    ) -> None:
         self.host = host
         self.port = port
+        self.retries = retries
         self._conn: fl.FlightClient | None = None
+
+    def _retrying(self, fn):
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                return fn()
+            except fl.FlightError as e:  # noqa: PERF203
+                last = e
+                if attempt < self.retries:
+                    _time.sleep(0.05 * (2**attempt))
+        assert last is not None
+        raise last
 
     @property
     def conn(self) -> fl.FlightClient:
@@ -336,12 +372,15 @@ class Flight:
 
         target = self._encode_target(target)
 
-        writer, reader = self.conn.do_exchange(descriptor)
-        with writer:
-            writer.begin(target.schema)
-            writer.write_table(target)
-            writer.done_writing()
-            return reader.read_all()
+        def attempt() -> pa.Table:
+            writer, reader = self.conn.do_exchange(descriptor)
+            with writer:
+                writer.begin(target.schema)
+                writer.write_table(target)
+                writer.done_writing()
+                return reader.read_all()
+
+        return self._retrying(attempt)
 
     @staticmethod
     def _encode_target(target: Any) -> pa.Table:

@@ -169,6 +169,45 @@ def test_stats_counts_queries(flight):
     assert stats["put.count"] >= 1
 
 
+def test_fault_injection_and_retry(server, flight, rng):
+    """Arm a one-shot search fault; a retrying client succeeds."""
+    import pyarrow.flight as fl
+
+    client = fenix_tpu.Flight(host="127.0.0.1", port=server.port, retries=2)
+    client._action("fault-inject", {"spec": "search:1"})
+
+    target = rng.standard_normal(VECTOR_SIZE).astype(np.float32)
+    result = client.search(
+        target=target, source="test/table", column="vector", metric="l2", maxval=5
+    )
+    assert result.num_rows == 5
+
+    # without retries the armed fault surfaces
+    client._action("fault-inject", {"spec": "search:1"})
+    bare = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
+    with pytest.raises(fl.FlightError):
+        bare.search(target=target, source="test/table", column="vector", metric="l2", maxval=5)
+    client._action("fault-inject", {"spec": ""})
+
+
+def test_query_log_replay(server, flight, rng, tmp_path, monkeypatch):
+    """Recorded queries replay with identical result digests."""
+    import os
+
+    from fenix_tpu.utils import replay
+
+    log = str(tmp_path / "queries.jsonl")
+    monkeypatch.setenv(replay.LOG_ENV, log)
+
+    target = rng.standard_normal(VECTOR_SIZE).astype(np.float32)
+    for metric in ("l2", "cosine"):
+        flight.search(target=target, source="test/table", column="vector", metric=metric, maxval=7)
+
+    assert os.path.exists(log)
+    stats = replay.replay(log, server.root)
+    assert stats == {"total": 2, "matched": 2, "mismatched": 0}
+
+
 def test_drop_index_and_remove(server, source):
     client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
     client.drop_index("test/coder")
