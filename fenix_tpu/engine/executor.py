@@ -65,11 +65,6 @@ def _overlay_mask(aux_add, mask):
     return jnp.where(mask, aux_add, distance_ops.NEG_INF)
 
 
-@jax.jit
-def _probe_mask(coded, cells):
-    """[N] bool: row's cell ∈ probe set (single-query IVF pruning)."""
-    return (coded[:, None] == cells[None, :]).any(axis=-1)
-
 _CACHES: dict[str, DeviceCache] = {}
 
 
@@ -202,26 +197,19 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         probes = int(min(req.probes, k_book**n_books))
         cells = cells_ops.topk_cells(queries, codebooks, metric=metric, maxval=probes)
         coded = cache.coded_ids(req.coding, req.source, req.column)
-        if num_queries == 1:
-            # single query: fold the probe set into the score mask and
-            # take the fused two-phase path
-            pmask = _probe_mask(coded.data, cells[0])
-            aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
-            aux_add = _overlay_mask(aux_add, jnp.logical_and(mask, pmask))
-            dists, ids = topk2.topk_two_phase(
-                corpus.data, queries, aux_mul, aux_add, k=k_pad, metric=metric
-            )
-        else:
-            dists, ids = distance_ops.topk_search_probed(
-                corpus.data,
-                queries,
-                mask,
-                coded.data,
-                cells,
-                k=k_pad,
-                metric=metric,
-                block=cache.block,
-            )
+        aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
+        if req.filter is not None:
+            aux_add = _overlay_mask(aux_add, mask)
+        dists, ids = topk2.topk_two_phase_probed(
+            corpus.data,
+            queries,
+            aux_mul,
+            aux_add,
+            coded.data,
+            cells,
+            k=k_pad,
+            metric=metric,
+        )
     else:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
         if req.filter is not None:

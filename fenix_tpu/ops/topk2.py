@@ -216,6 +216,131 @@ def bucket_scores_scan(
     return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
 
 
+def bucket_scores_scan_probed(
+    queries_p: jax.Array,  # [QT, D]
+    corpus: jax.Array,  # [N, D]
+    aux_mul: jax.Array,
+    aux_add: jax.Array,
+    coded: jax.Array,  # [N] int32 cell ids
+    cells: jax.Array,  # [QT, P] per-query probe cells
+    block_rows: int = 262144,
+) -> jax.Array:  # [QT, N // BUCKET]
+    """Phase 1 with per-query IVF probe masks applied inside the scan
+    (reference index.py:113-126 semantics, per query)."""
+    n, d = corpus.shape
+    qt = queries_p.shape[0]
+    cand = min(block_rows, n)
+    while cand > BUCKET and n % cand != 0:
+        cand //= 2
+    block_rows = cand
+    nb = max(n // block_rows, 1)
+
+    xs = (
+        corpus.reshape(nb, block_rows, d),
+        aux_mul.reshape(nb, block_rows),
+        aux_add.reshape(nb, block_rows),
+        coded.reshape(nb, block_rows),
+    )
+
+    def body(_, x):
+        vb, mb, ab, cb = x
+        s = jax.lax.dot_general(
+            queries_p,
+            vb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * mb[None, :] + ab[None, :]
+        probe_ok = (cb[None, :, None] == cells[:, None, :]).any(axis=-1)  # [QT, B]
+        s = jnp.where(probe_ok, s, NEG_INF)
+        out = s.reshape(qt, block_rows // BUCKET, BUCKET).max(axis=-1)
+        return None, out
+
+    _, stacked = jax.lax.scan(body, None, xs)
+    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
+def topk_two_phase_probed(
+    corpus: jax.Array,  # [N_pad, D]
+    queries: jax.Array,  # [Q, D]
+    aux_mul: jax.Array,
+    aux_add: jax.Array,
+    coded: jax.Array,  # [N_pad] int32 (−1 on padding)
+    cells: jax.Array,  # [Q, P] int32 probe cells per query
+    k: int,
+    metric: str,
+    block_rows: int = 262144,
+) -> tuple[jax.Array, jax.Array]:
+    """Probed (IVF) exact-within-probes top-k, two-phase."""
+    metric = canonical_metric(metric)
+    n, d = corpus.shape
+    q = queries.shape[0]
+    n_buckets = n // BUCKET
+
+    queries_p = prepare_queries(queries, metric)
+    bucket_max = bucket_scores_scan_probed(
+        queries_p, corpus, aux_mul, aux_add, coded, cells, block_rows
+    )
+
+    kp = min(k + BUCKET_PAD, n_buckets)
+    _, bidx = jax.lax.top_k(bucket_max, kp)
+    bidx = jnp.sort(bidx, axis=-1)
+
+    rows = corpus.reshape(n_buckets, BUCKET, d)
+    mul_b = aux_mul.reshape(n_buckets, BUCKET)
+    add_b = aux_add.reshape(n_buckets, BUCKET)
+    coded_b = coded.reshape(n_buckets, BUCKET)
+    kk = min(k, kp * BUCKET)
+    lane_iota = jnp.arange(BUCKET, dtype=jnp.int32)[None, None, :]
+
+    def rescore_chunk(args):
+        qp_c, bidx_c, cells_c = args
+        cand_v = rows[bidx_c]
+        s = jnp.einsum("qd,qkbd->qkb", qp_c, cand_v, preferred_element_type=jnp.float32)
+        s = s * mul_b[bidx_c] + add_b[bidx_c]
+        probe_ok = (coded_b[bidx_c][:, :, :, None] == cells_c[:, None, None, :]).any(-1)
+        s = jnp.where(probe_ok, s, NEG_INF)
+        c = qp_c.shape[0]
+        s = s.reshape(c, kp * BUCKET)
+        ids = (bidx_c[:, :, None] * BUCKET + lane_iota).reshape(c, kp * BUCKET)
+        top_s, pos = jax.lax.top_k(s, kk)
+        return top_s, jnp.take_along_axis(ids, pos, axis=1)
+
+    chunk = min(q, 64)
+    pad_rows = (-q) % chunk
+    if pad_rows:
+        queries_p2 = jnp.concatenate([queries_p, jnp.zeros((pad_rows, d), queries_p.dtype)])
+        bidx2 = jnp.concatenate([bidx, jnp.zeros((pad_rows, kp), bidx.dtype)])
+        cells2 = jnp.concatenate(
+            [cells, jnp.full((pad_rows, cells.shape[1]), -1, cells.dtype)]
+        )
+    else:
+        queries_p2, bidx2, cells2 = queries_p, bidx, cells
+
+    nc = queries_p2.shape[0] // chunk
+    top_s, top_ids = jax.lax.map(
+        rescore_chunk,
+        (
+            queries_p2.reshape(nc, chunk, d),
+            bidx2.reshape(nc, chunk, kp),
+            cells2.reshape(nc, chunk, cells.shape[1]),
+        ),
+    )
+    top_s = top_s.reshape(nc * chunk, kk)[:q]
+    top_ids = top_ids.reshape(nc * chunk, kk)[:q]
+
+    if kk < k:
+        pad = k - kk
+        top_s = jnp.concatenate([top_s, jnp.full((q, pad), NEG_INF)], axis=1)
+        top_ids = jnp.concatenate([top_ids, jnp.full((q, pad), -1, jnp.int32)], axis=1)
+
+    dist = scores_to_distances(top_s, queries, metric)
+    dist = jnp.where(top_s == NEG_INF, jnp.inf, dist)
+    top_ids = jnp.where(top_s == NEG_INF, -1, top_ids)
+    return dist, top_ids
+
+
 def _use_pallas() -> bool:
     return False  # Pallas phase 1 pending a compile-safe reduction
 

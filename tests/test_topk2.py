@@ -94,3 +94,31 @@ def test_pallas_kernel_interpret_matches_xla(rng):
         got = np.asarray(topk2.bucket_scores_pallas(qp, corpus, aux_mul, aux_add, 1024))
 
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("q", [1, 5, 100])
+def test_two_phase_probed_matches_scan(rng, q):
+    n, d, k, n_cells, probes = 2048, 16, 8, 16, 4
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    coded = rng.integers(0, n_cells, n).astype(np.int32)
+    cells = np.stack([rng.choice(n_cells, probes, replace=False) for _ in range(q)]).astype(np.int32)
+
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "l2")
+    dist, ids = topk2.topk_two_phase_probed(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add,
+        jnp.asarray(coded), jnp.asarray(cells), k=k, metric="l2",
+    )
+    dist, ids = np.asarray(dist), np.asarray(ids)
+
+    for qi in range(q):
+        keep = np.isin(coded, cells[qi])
+        cand = np.flatnonzero(keep)
+        want_d, want_i = oracles.topk(
+            oracles.distance(queries[qi:qi+1], corpus[keep], "l2"), k
+        )
+        got_valid = ids[qi] >= 0
+        assert got_valid.sum() == min(k, keep.sum())
+        np.testing.assert_array_equal(ids[qi][got_valid], cand[want_i[0][:got_valid.sum()]])
+        np.testing.assert_allclose(dist[qi][got_valid], want_d[0][:got_valid.sum()],
+                                   rtol=1e-4, atol=1e-5)
