@@ -1,3 +1,3 @@
-from fenix_tpu.parallel import mesh, search, shuffle
+from fenix_tpu.parallel import distributed, mesh, search, shuffle
 
-__all__ = ["mesh", "search", "shuffle"]
+__all__ = ["distributed", "mesh", "search", "shuffle"]

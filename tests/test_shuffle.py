@@ -75,3 +75,39 @@ def test_estimate_capacity(rng):
     skewed = np.zeros(1000, dtype=np.int64)
     cap_skew = shuffle.estimate_capacity(skewed, 8, rows_per_shard=1024)
     assert cap_skew == 1024
+
+
+def test_shard_table_and_manifest(tmp_path, rng):
+    import pyarrow as pa
+
+    from fenix_tpu.io import ingest, table
+    from fenix_tpu.parallel import distributed
+
+    root = str(tmp_path)
+    n = 1000
+    vecs = rng.standard_normal((n, 8)).astype(np.float32)
+    table.make(root, "t", pa.table({
+        "id": pa.array(np.arange(n)),
+        "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+    }).to_reader())
+
+    manifest = distributed.shard_table(root, "t", num_shards=4)
+    assert manifest.num_shards == 4
+
+    total = 0
+    seen_ids = []
+    for s in range(4):
+        part = table.load(root, manifest.shard_name(s))
+        ids = np.asarray(part.column("id"))
+        parts, _ = native.hash_partition(ids.astype(np.int64), 4)
+        assert (parts == s).all()  # every row on its owning shard
+        total += len(ids)
+        seen_ids.append(ids)
+    assert total == n
+    assert set(np.concatenate(seen_ids).tolist()) == set(range(n))
+
+    # round-trip manifest
+    m2 = distributed.ShardManifest.from_json(manifest.to_json())
+    assert m2 == manifest
+    assert m2.local_shards(0, 2) == [0, 2]
+    assert m2.local_shards(1, 2) == [1, 3]
