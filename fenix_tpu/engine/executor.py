@@ -91,6 +91,9 @@ class SearchRequest:
     filter: expr_mod.Expr | None = None
     maxval: int | None = None
     probes: int | None = None
+    # "fp32" = exact; "bf16" = half-traffic phase-1 scan with exact
+    # fp32 rescore of candidates (recall ≈ 1, not guaranteed).
+    precision: str = "fp32"
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -214,8 +217,19 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
         if req.filter is not None:
             aux_add = _overlay_mask(aux_add, mask)
+        corpus_scan = (
+            cache.matrix_bf16(req.source, req.column).data
+            if req.precision == "bf16"
+            else None
+        )
         dists, ids = topk2.topk_two_phase(
-            corpus.data, queries, aux_mul, aux_add, k=k_pad, metric=metric
+            corpus.data,
+            queries,
+            aux_mul,
+            aux_add,
+            k=k_pad,
+            metric=metric,
+            corpus_scan=corpus_scan,
         )
 
     dists = np.asarray(dists)[:num_queries, :k]

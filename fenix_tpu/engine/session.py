@@ -127,6 +127,22 @@ class DeviceCache:
         self._device[ckey] = (stamp, col)
         return col
 
+    def matrix_bf16(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
+        """bf16 copy of the vector column for half-traffic phase-1 scans
+        (opt-in ``precision="bf16"``; fp32 stays resident for rescore)."""
+        import jax.numpy as jnp
+
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+        ckey = (key, column, "matrix_bf16")
+        hit = self._device.get(ckey)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+        full = self.matrix(source, column)
+        col = ingest.DeviceColumn(data=full.data.astype(jnp.bfloat16), rows=full.rows)
+        self._device[ckey] = (stamp, col)
+        return col
+
     def metric_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Cached per-row (aux_mul, aux_add) for the fused two-phase
         score (fenix_tpu.ops.topk2.prepare_aux) with padding rows

@@ -130,6 +130,7 @@ class Server(fl.FlightServerBase):
             filter=_decode_filter(config.get("filter")),
             maxval=config.get("maxval"),
             probes=config.get("probes"),
+            precision=config.get("precision") or "fp32",
         )
 
         with METRICS.timed(
@@ -348,6 +349,7 @@ class Flight:
         probes: int | None = None,
         join: dict | None = None,
         aggregate: dict | None = None,
+        precision: str = "fp32",
     ) -> pa.Table:
         assert metric in METRICS_SET, f"metric must be one of {sorted(METRICS_SET)}"
         if filter is not None and not isinstance(filter, expr_mod.Expr):
@@ -366,6 +368,7 @@ class Flight:
                     "probes": probes,
                     "join": join,
                     "aggregate": aggregate,
+                    "precision": precision,
                 }
             )
         )

@@ -356,9 +356,17 @@ def topk_two_phase(
     aux_add: jax.Array,  # [N_pad]  (−inf on masked/padding rows)
     k: int,
     metric: str,
-    block_rows: int = 1024,
+    block_rows: int = 262144,
+    corpus_scan: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k: (distances [Q, k], row ids [Q, k]; +inf / −1 padding)."""
+    """Exact top-k: (distances [Q, k], row ids [Q, k]; +inf / −1 padding).
+
+    ``corpus_scan`` optionally substitutes a lower-precision (bf16)
+    copy for phase 1 — half the HBM scan traffic. Phase 2 always
+    rescores candidates against the fp32 ``corpus``, so returned
+    distances stay exact fp32; only bucket *selection* becomes
+    approximate (recall ≈ 1 with the BUCKET_PAD margin; opt-in via the
+    executor's ``precision`` knob)."""
     metric = canonical_metric(metric)
     n, d = corpus.shape
     q = queries.shape[0]
@@ -366,10 +374,13 @@ def topk_two_phase(
 
     queries_p = prepare_queries(queries, metric)
 
+    scan_c = corpus if corpus_scan is None else corpus_scan
+    scan_q = queries_p if corpus_scan is None else queries_p.astype(corpus_scan.dtype)
+
     if _use_pallas():
-        bucket_max = bucket_scores_pallas(queries_p, corpus, aux_mul, aux_add, block_rows)
+        bucket_max = bucket_scores_pallas(scan_q, scan_c, aux_mul, aux_add, block_rows)
     else:
-        bucket_max = bucket_scores_scan(queries_p, corpus, aux_mul, aux_add)
+        bucket_max = bucket_scores_scan(scan_q, scan_c, aux_mul, aux_add)
 
     kp = min(k + BUCKET_PAD, n_buckets)
     _, bidx = jax.lax.top_k(bucket_max, kp)  # [Q, kp], stable ties

@@ -122,3 +122,30 @@ def test_two_phase_probed_matches_scan(rng, q):
         np.testing.assert_array_equal(ids[qi][got_valid], cand[want_i[0][:got_valid.sum()]])
         np.testing.assert_allclose(dist[qi][got_valid], want_d[0][:got_valid.sum()],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_two_phase_bf16_scan_high_recall(rng):
+    n, d, q, k = 4096, 32, 8, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "cosine")
+
+    dist, ids = topk2.topk_two_phase(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add,
+        k=k, metric="cosine",
+        corpus_scan=jnp.asarray(corpus, dtype=jnp.bfloat16),
+    )
+    _, want_i = oracles.topk(oracles.distance(queries, corpus, "cosine"), k)
+
+    # recall@k over the batch must be near-perfect; distances are fp32-exact
+    recall = np.mean([
+        len(set(ids[i].tolist()) & set(want_i[i].tolist())) / k for i in range(q)
+    ])
+    assert recall >= 0.95
+    # distances of returned rows are the exact fp32 values
+    got_ids = np.asarray(ids)
+    exact = oracles.distance(queries, corpus, "cosine")
+    for i in range(q):
+        np.testing.assert_allclose(
+            np.asarray(dist)[i], exact[i][got_ids[i]], rtol=1e-4, atol=1e-5
+        )
