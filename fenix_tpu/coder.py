@@ -34,6 +34,19 @@ from fenix_tpu.ops import kmeans
 LOCATION: str = "codings"
 
 
+def distance(u, v, metric: str) -> np.ndarray:
+    """Pairwise distance on host arrays (API parity with reference
+    coder.py:38-50; device path is fenix_tpu.ops.distance)."""
+    from fenix_tpu.ops import distance as distance_ops
+
+    out = distance_ops.pairwise_distance(
+        jnp.asarray(np.asarray(u, dtype=np.float32)),
+        jnp.asarray(np.asarray(v, dtype=np.float32)),
+        metric,
+    )
+    return np.asarray(out)
+
+
 class Config(TypedDict):
     metric: str
     codebook_size: int

@@ -176,3 +176,34 @@ def test_batched_search_adds_query_column(root, rng):
         _, want_i = oracles.topk(dist, 5)
         got = np.asarray(result.filter(pa.array(qids == qi)).column("id"))
         np.testing.assert_array_equal(got, want_i[0])
+
+
+def test_multi_source_search(root, rng):
+    """Searches across a list of sources concatenate row spaces
+    (reference table.py:18-21 multi-load semantics)."""
+    extra = rng.standard_normal((500, DIM)).astype(np.float32) + 5.0
+    table.make(
+        root,
+        "test/extra",
+        pa.table(
+            {
+                "id": pa.array(np.arange(ROWS, ROWS + 500)),
+                "tag": pa.array(rng.integers(0, 4, 500)),
+                "vector": ingest.numpy_to_fixed_size_list(extra, pa.float32()),
+            }
+        ).to_reader(),
+    )
+
+    target = rng.standard_normal(DIM).astype(np.float32)
+    result = index.call(
+        root, None, ["test/table", "test/extra"], "vector", target, metric="l2", maxval=10
+    )
+    assert result.num_rows == 10
+
+    both = np.concatenate([corpus(root), extra])
+    dist = oracles.distance(target[None], both, "l2")
+    _, want_pos = oracles.topk(dist, 10)
+    all_ids = np.concatenate(
+        [np.arange(ROWS), np.arange(ROWS, ROWS + 500)]
+    )
+    np.testing.assert_array_equal(np.asarray(result.column("id")), all_ids[want_pos[0]])
