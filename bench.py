@@ -76,6 +76,29 @@ def main() -> None:
     t_batch = timed(q=q_big, iters=10)
     qps = q_big / t_batch
 
+    # opt-in bf16 phase-1 scan (exact fp32 rescore) — recall≈1 fast path
+    corpus_bf16 = corpus.astype(jnp.bfloat16)
+
+    def timed_bf16(q: int, iters: int) -> float:
+        queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+        np.asarray(
+            topk2.topk_two_phase(
+                corpus, queries, aux_mul, aux_add, k=k_pad, metric="cosine",
+                corpus_scan=corpus_bf16,
+            )[0]
+        )
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = topk2.topk_two_phase(
+                corpus, queries, aux_mul, aux_add, k=k_pad, metric="cosine",
+                corpus_scan=corpus_bf16,
+            )
+        np.asarray(out[0])
+        return (time.perf_counter() - start) / iters
+
+    t_batch_bf16 = timed_bf16(q=q_big, iters=10)
+    qps_bf16 = q_big / t_batch_bf16
+
     result = {
         "metric": "scan_rows_per_sec_per_chip_1Mx128_cosine_top10",
         "value": round(scan_rows_per_s, 1),
@@ -86,6 +109,7 @@ def main() -> None:
             "hbm_roofline_bytes_per_s": roofline,
             "scan_gbytes_per_s": round(scan_bytes_per_s / 1e9, 2),
             "qps_batch1024": round(qps, 1),
+            "qps_batch1024_bf16scan": round(qps_bf16, 1),
             "scan_seconds": round(t_scan, 5),
             "batch1024_seconds": round(t_batch, 5),
         },

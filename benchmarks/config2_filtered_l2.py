@@ -1,0 +1,51 @@
+"""BASELINE config 2: exact top-100 L2 over 10M×768 with a scalar
+filter pushed below the distance kernel.
+
+Full size needs ~30 GB fp32; ``--scale`` shrinks rows to fit the chip
+(default 0.2 → 2M×768 ≈ 6 GB)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from benchmarks import common
+
+
+def main() -> None:
+    args = common.parser("filtered L2 top-100").parse_args()
+
+    import jax.numpy as jnp
+
+    from fenix_tpu.ops import topk2
+
+    n = int(10_000_000 * min(args.scale, 1.0) // 131072 * 131072) or 131072
+    d, k = 768, 128  # top-100 canonicalized to 128
+    rng = np.random.default_rng(0)
+
+    corpus = jnp.asarray(common.make_corpus(n, d))
+    tags = rng.integers(0, 10, n)
+    mask = jnp.asarray(tags < 3)  # 30% selectivity scalar predicate
+    aux_mul, aux_add = topk2.prepare_aux(corpus, mask, "l2")
+    queries = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32))
+
+    t = common.timeit(
+        lambda: topk2.topk_two_phase(
+            corpus, queries, aux_mul, aux_add, k=k, metric="l2"
+        ),
+        args.iters,
+    )
+    common.emit(
+        "filtered_scan_rows_per_sec",
+        n / t,
+        "rows/s/chip",
+        n=n,
+        d=d,
+        k=k,
+        selectivity=0.3,
+        seconds=round(t, 5),
+        gbytes_per_s=round(n * d * 4 / t / 1e9, 1),
+    )
+
+
+if __name__ == "__main__":
+    main()

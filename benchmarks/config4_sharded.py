@@ -1,0 +1,63 @@
+"""BASELINE config 4: sharded brute-force across a device mesh with the
+distributed candidate-merge top-k; reports scaling efficiency
+(1 device vs N devices).
+
+On a single-chip/virtual-CPU environment this validates the sharded
+path and measures the *software* scaling overhead; real ICI scaling
+needs a pod slice."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from benchmarks import common
+
+
+def main() -> None:
+    p = common.parser("sharded search scaling")
+    p.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fenix_tpu.parallel import mesh as mesh_mod
+    from fenix_tpu.parallel import search as psearch
+
+    devices = mesh_mod.best_devices(args.devices or None)
+    n_dev = len(devices)
+
+    n = int(1_048_576 * min(args.scale, 16.0)) // (8192 * max(n_dev, 1)) * (
+        8192 * max(n_dev, 1)
+    ) or 8192 * n_dev
+    d, k, q = 128, 16, 64
+    rng = np.random.default_rng(0)
+    corpus = common.make_corpus(n, d)
+    queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+
+    results = {}
+    for nd in ([1, n_dev] if n_dev > 1 else [1]):
+        mesh = mesh_mod.make_mesh(nd, model_parallel=1, devices=devices[:nd])
+        corpus_dev, mask_dev = psearch.shard_corpus(mesh, corpus, block=8192)
+        fn = psearch.build_sharded_search(mesh, k=k, metric="cosine", block=8192)
+        t = common.timeit(lambda: fn(corpus_dev, queries, mask_dev), args.iters)
+        results[nd] = t
+
+    base = results[1]
+    best = results.get(n_dev, base)
+    efficiency = (base / best) / n_dev if n_dev > 1 else 1.0
+
+    common.emit(
+        "sharded_scan_scaling_efficiency",
+        efficiency,
+        "fraction",
+        devices=n_dev,
+        rows=n,
+        t1=round(base, 5),
+        tN=round(best, 5),
+        rows_per_sec_N=round(n / best, 1),
+    )
+
+
+if __name__ == "__main__":
+    main()

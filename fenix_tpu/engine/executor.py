@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 import pyarrow as pa
 
-import functools
 
 import jax
 

@@ -200,20 +200,26 @@ def bucket_scores_scan(
         aux_add.reshape(nb, block_rows),
     )
 
+    # bf16 corpus → bf16 score tiles: halves the materialized s-tile
+    # traffic and doubles MXU rate; selection-only precision (the final
+    # top_k over bucket maxima happens in f32 upstream).
+    acc_dtype = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
+
     def body(_, x):
         vb, mb, ab = x
         s = jax.lax.dot_general(
             queries_p,
             vb,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
         )
-        s = s * mb[None, :] + ab[None, :]
+        s = s * mb[None, :].astype(acc_dtype) + ab[None, :].astype(acc_dtype)
         out = s.reshape(qt, block_rows // BUCKET, BUCKET).max(axis=-1)
         return None, out
 
     _, stacked = jax.lax.scan(body, None, xs)  # [nb, QT, block//BUCKET]
-    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
+    out = jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
+    return out.astype(jnp.float32)
 
 
 def bucket_scores_scan_probed(

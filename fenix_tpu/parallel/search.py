@@ -15,7 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from fenix_tpu.ops import distance as distance_ops
 from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, row_sharding
