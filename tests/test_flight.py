@@ -208,6 +208,17 @@ def test_query_log_replay(server, flight, rng, tmp_path, monkeypatch):
     assert stats == {"total": 2, "matched": 2, "mismatched": 0}
 
 
+def test_torch_tensor_target_client_compat(flight, source, rng):
+    """Reference clients pass torch tensors (flight.py:273-275); the
+    client SDK accepts anything numpy-convertible."""
+    torch = pytest.importorskip("torch")
+    target = torch.randn(VECTOR_SIZE)
+    result = flight.search(
+        target=target, source="test/table", column="vector", metric="l2", maxval=5
+    )
+    assert result.num_rows == 5
+
+
 def test_drop_index_and_remove(server, source):
     client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
     client.drop_index("test/coder")
