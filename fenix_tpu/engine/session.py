@@ -38,23 +38,41 @@ class DeviceCache:
         self.block = block
         self._host: dict = {}
         self._device: dict = {}
+        # The Flight server dispatches handlers from a thread pool; a
+        # single lock serializes cache fills (first query per column) —
+        # steady-state hits only read the dicts.
+        import threading
+
+        self._lock = threading.RLock()
 
     # -- host tables ------------------------------------------------------
 
     def _mtimes(self, sources: tuple[str, ...]) -> tuple[float, ...]:
         return tuple(os.path.getmtime(table.path_of(self.root, s)) for s in sources)
 
+    def _memo(self, store: dict, ckey, stamp, build):
+        """Double-checked locked memoization keyed by file mtimes."""
+        hit = store.get(ckey)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+        with self._lock:
+            hit = store.get(ckey)
+            if hit is not None and hit[0] == stamp:
+                return hit[1]
+            value = build()
+            store[ckey] = (stamp, value)
+            return value
+
     def host_table(self, source: str | Sequence[str]) -> pa.Table:
         key = _source_key(source)
         stamp = self._mtimes(key)
-        hit = self._host.get(key)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
-        data = table.load(self.root, key if len(key) > 1 else key[0])
-        self._host[key] = (stamp, data)
-        # Any newer table revision invalidates derived device columns.
-        self._device = {k: v for k, v in self._device.items() if k[0] != key}
-        return data
+
+        def build() -> pa.Table:
+            # A newer table revision invalidates derived device columns.
+            self._device = {k: v for k, v in self._device.items() if k[0] != key}
+            return table.load(self.root, key if len(key) > 1 else key[0])
+
+        return self._memo(self._host, key, stamp, build)
 
     def coded_table(self, coding: str, source: str | Sequence[str], column: str) -> pa.Table:
         """Host table with the ``__CODED_ID__`` column joined on
@@ -76,14 +94,12 @@ class DeviceCache:
         """Padded ``[N_pad, D]`` fp32 vector column in HBM."""
         key = _source_key(source)
         stamp = self._mtimes(key)
-        ckey = (key, column, "matrix")
-        hit = self._device.get(ckey)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
-        data = self.host_table(source)
-        col = ingest.to_device_matrix(data.column(column), block=self.block)
-        self._device[ckey] = (stamp, col)
-        return col
+
+        def build() -> ingest.DeviceColumn:
+            data = self.host_table(source)
+            return ingest.to_device_matrix(data.column(column), block=self.block)
+
+        return self._memo(self._device, (key, column, "matrix"), stamp, build)
 
     def coded_ids(
         self, coding: str, source: str | Sequence[str], column: str
@@ -94,23 +110,18 @@ class DeviceCache:
 
         key = _source_key(source)
         stamp = self._mtimes(key)
-        ckey = (key, column, "coded", coding)
-        hit = self._device.get(ckey)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
 
-        parts = []
-        for s in key:
-            path = index_mod.path_of(self.root, coding, s, column)
-            parts.append(
-                ingest.scalar_column_to_numpy(arrow.load(path).column(index_mod.CODE_COL))
-            )
-        codes = np.concatenate(parts) if len(parts) > 1 else parts[0]
-        col = ingest.to_device_vector(
-            codes.astype(np.int32), block=self.block, fill=-1
-        )
-        self._device[ckey] = (stamp, col)
-        return col
+        def build() -> ingest.DeviceColumn:
+            parts = []
+            for s in key:
+                path = index_mod.path_of(self.root, coding, s, column)
+                parts.append(
+                    ingest.scalar_column_to_numpy(arrow.load(path).column(index_mod.CODE_COL))
+                )
+            codes = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            return ingest.to_device_vector(codes.astype(np.int32), block=self.block, fill=-1)
+
+        return self._memo(self._device, (key, column, "coded", coding), stamp, build)
 
     def scalar(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
         """Padded 1-D numeric column in HBM (join keys, filter columns,
@@ -118,14 +129,12 @@ class DeviceCache:
         ``rows`` — callers mask the tail themselves."""
         key = _source_key(source)
         stamp = self._mtimes(key)
-        ckey = (key, column, "scalar")
-        hit = self._device.get(ckey)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
-        data = self.host_table(source)
-        col = ingest.to_device_vector(data.column(column), block=self.block)
-        self._device[ckey] = (stamp, col)
-        return col
+
+        def build() -> ingest.DeviceColumn:
+            data = self.host_table(source)
+            return ingest.to_device_vector(data.column(column), block=self.block)
+
+        return self._memo(self._device, (key, column, "scalar"), stamp, build)
 
     def matrix_bf16(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
         """bf16 copy of the vector column for half-traffic phase-1 scans
@@ -134,14 +143,12 @@ class DeviceCache:
 
         key = _source_key(source)
         stamp = self._mtimes(key)
-        ckey = (key, column, "matrix_bf16")
-        hit = self._device.get(ckey)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
-        full = self.matrix(source, column)
-        col = ingest.DeviceColumn(data=full.data.astype(jnp.bfloat16), rows=full.rows)
-        self._device[ckey] = (stamp, col)
-        return col
+
+        def build() -> ingest.DeviceColumn:
+            full = self.matrix(source, column)
+            return ingest.DeviceColumn(data=full.data.astype(jnp.bfloat16), rows=full.rows)
+
+        return self._memo(self._device, (key, column, "matrix_bf16"), stamp, build)
 
     def metric_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Cached per-row (aux_mul, aux_add) for the fused two-phase
@@ -152,32 +159,26 @@ class DeviceCache:
         from fenix_tpu.ops import distance as distance_ops
         from fenix_tpu.ops import topk2
 
-        metric = distance_ops.canonical_metric(metric)
+        canonical = distance_ops.canonical_metric(metric)
         key = _source_key(source)
         stamp = self._mtimes(key)
-        ckey = (key, column, "aux", metric)
-        hit = self._device.get(ckey)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
 
-        col = self.matrix(source, column)
-        valid = jnp.arange(col.rows_padded) < col.rows
-        aux = topk2.prepare_aux(col.data, valid, metric)
-        aux = (aux[0].block_until_ready(), aux[1].block_until_ready())
-        self._device[ckey] = (stamp, aux)
-        return aux
+        def build():
+            col = self.matrix(source, column)
+            valid = jnp.arange(col.rows_padded) < col.rows
+            aux = topk2.prepare_aux(col.data, valid, canonical)
+            return (aux[0].block_until_ready(), aux[1].block_until_ready())
+
+        return self._memo(self._device, (key, column, "aux", canonical), stamp, build)
 
     def coding(self, name: str) -> coder_mod.Coding:
         path = coder_mod.path_of(self.root, name)
         stamp = os.path.getmtime(path)
-        ckey = ("coding", name)
-        hit = self._device.get(ckey)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
-        data = coder_mod.load(self.root, name)
-        self._device[ckey] = (stamp, data)
-        return data
+        return self._memo(
+            self._device, ("coding", name), stamp, lambda: coder_mod.load(self.root, name)
+        )
 
     def invalidate(self) -> None:
-        self._host.clear()
-        self._device.clear()
+        with self._lock:
+            self._host.clear()
+            self._device.clear()

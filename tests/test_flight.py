@@ -219,6 +219,32 @@ def test_torch_tensor_target_client_compat(flight, source, rng):
     assert result.num_rows == 5
 
 
+def test_concurrent_searches(flight, server, rng):
+    """The Flight thread pool serves concurrent queries against a
+    shared device cache (reference's session-state races are designed
+    out; this guards the cache-fill path)."""
+    import concurrent.futures
+
+    targets = rng.standard_normal((8, VECTOR_SIZE)).astype(np.float32)
+
+    def one(i):
+        c = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
+        r = c.search(targets[i], "test/table", "vector", metric="l2", maxval=5)
+        return np.asarray(r.column("id")).tolist()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = [*pool.map(one, range(8))]
+
+    from tests import oracles
+
+    vectors = np.asarray(
+        flight.read_table("test/table").read_all().column("vector").combine_chunks().values
+    ).reshape(-1, VECTOR_SIZE)
+    for i, ids in enumerate(results):
+        _, want = oracles.topk(oracles.distance(targets[i : i + 1], vectors, "l2"), 5)
+        assert ids == want[0].tolist()
+
+
 def test_drop_index_and_remove(server, source):
     client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
     client.drop_index("test/coder")
