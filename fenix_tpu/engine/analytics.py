@@ -80,16 +80,14 @@ def execute_search_join(
     result = executor.execute_search(cache, req)
 
     left_keys_np = np.asarray(result.column(join.left_on)).astype(np.int64)
-    attr_keys = cache.scalar(join.source, join.right_on)
+    sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
 
-    # device join: result keys → attribute row indices (−1 = miss)
-    ridx = relational.join_lookup(
-        jnp.asarray(left_keys_np.astype(np.int32)), attr_keys.data.astype(jnp.int32)
+    # device join probe against the cached sorted build side (−1 = miss)
+    ridx = relational.join_lookup_sorted(
+        jnp.asarray(left_keys_np.astype(sorted_keys.dtype)), sorted_keys, sorted_index
     )
     ridx_np = np.asarray(ridx)
-    # padding rows of the attr column can never match real keys only if
-    # keys are non-negative; mask any index beyond the valid row count.
-    ridx_np = np.where(ridx_np < attr_keys.rows, ridx_np, -1)
+    ridx_np = np.where(ridx_np < attr_rows, ridx_np, -1)
 
     attrs = cache.host_table(join.source)
 

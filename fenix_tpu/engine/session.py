@@ -171,6 +171,29 @@ class DeviceCache:
 
         return self._memo(self._device, (key, column, "aux", canonical), stamp, build)
 
+    def sorted_key(self, source: str | Sequence[str], column: str):
+        """Pre-sorted (keys, original positions) for lookup joins —
+        built once per attrs table, probed per query
+        (fenix_tpu.ops.relational.join_lookup_sorted)."""
+        from fenix_tpu.ops import relational
+
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            col = self.scalar(source, column)
+            import jax.numpy as jnp
+
+            keys = col.data.astype(jnp.int64 if col.data.dtype.itemsize >= 8 else jnp.int32)
+            # padding rows carry key 0; exclude them by setting max-int
+            pad_key = jnp.iinfo(keys.dtype).max
+            valid = jnp.arange(col.rows_padded) < col.rows
+            keys = jnp.where(valid, keys, pad_key)
+            sk, si = relational.sort_with_index(keys)
+            return (sk.block_until_ready(), si.block_until_ready(), col.rows)
+
+        return self._memo(self._device, (key, column, "sorted_key"), stamp, build)
+
     def coding(self, name: str) -> coder_mod.Coding:
         path = coder_mod.path_of(self.root, name)
         stamp = os.path.getmtime(path)

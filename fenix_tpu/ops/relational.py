@@ -98,6 +98,26 @@ def compact(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 @jax.jit
+def sort_with_index(keys: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(sorted keys, original positions) — the build side of a lookup
+    join, cacheable per table (stable: duplicate keys keep row order)."""
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    return jax.lax.sort((keys, iota), dimension=0, is_stable=True, num_keys=1)
+
+
+@jax.jit
+def join_lookup_sorted(
+    left_keys: jax.Array, sorted_keys: jax.Array, sorted_index: jax.Array
+) -> jax.Array:
+    """Probe side of the lookup join against a pre-sorted build side."""
+    n = sorted_keys.shape[0]
+    pos = jnp.searchsorted(sorted_keys, left_keys, side="left")
+    pos = jnp.clip(pos, 0, n - 1)
+    hit = sorted_keys[pos] == left_keys
+    return jnp.where(hit, sorted_index[pos], -1)
+
+
+@jax.jit
 def join_lookup(left_keys: jax.Array, right_keys: jax.Array) -> jax.Array:
     """Primary-key (enrichment) join: for each left key, the index of a
     matching row in ``right_keys`` or −1.
