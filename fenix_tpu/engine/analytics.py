@@ -19,12 +19,45 @@ import jax.numpy as jnp
 import numpy as np
 import pyarrow as pa
 
+import functools
+
+import jax
+
 from fenix_tpu.engine import executor
 from fenix_tpu.engine.session import DeviceCache
 from fenix_tpu.ops import relational
 
 GROUP_COL = "__GROUP__"
 AGG_COL = "__AGG__"
+
+
+@functools.partial(jax.jit, static_argnames=("agg", "max_groups", "use_value_col"))
+def _join_aggregate_device(
+    left_keys,  # [M] result row keys
+    sorted_keys,  # [A] pre-sorted attr keys
+    sorted_index,  # [A] original attr positions
+    attr_rows,  # scalar: valid attr rows
+    group_col,  # [A_pad] group-by column
+    value_col,  # [A_pad] value column (or dummy)
+    left_values,  # [M] values from the search result (or dummy)
+    agg: str,
+    max_groups: int,
+    use_value_col: bool,
+):
+    """Join probe + group gather + aggregate as ONE dispatch.
+
+    Device→host roundtrips cost ~tens of ms each through remote device
+    transports; this path fetches only the final (keys, aggregates,
+    count) triple."""
+    ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
+    ridx = jnp.where(ridx < attr_rows, ridx, -1)
+    hit = ridx >= 0
+    safe = jnp.where(hit, ridx, 0)
+    groups = jnp.take(group_col, safe).astype(jnp.int32)
+    values = jnp.take(value_col, safe).astype(jnp.float32) if use_value_col else left_values
+    return relational.group_aggregate(
+        groups, values, max_groups=max_groups, agg=agg, mask=hit
+    )
 
 
 @dataclass
@@ -81,62 +114,73 @@ def execute_search_join(
 
     left_keys_np = np.asarray(result.column(join.left_on)).astype(np.int64)
     sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
+    left_keys = jnp.asarray(left_keys_np.astype(sorted_keys.dtype))
 
-    # device join probe against the cached sorted build side (−1 = miss)
-    ridx = relational.join_lookup_sorted(
-        jnp.asarray(left_keys_np.astype(sorted_keys.dtype)), sorted_keys, sorted_index
-    )
+    if aggregate is not None:
+        group_col = cache.scalar(join.source, aggregate.group_by)
+        use_value_col = aggregate.value is not None and aggregate.value != executor.DIST_COL
+        if use_value_col:
+            value_col = cache.scalar(join.source, aggregate.value).data
+            left_values = jnp.zeros((left_keys.shape[0],), jnp.float32)
+            agg = aggregate.agg
+        elif aggregate.value == executor.DIST_COL:
+            value_col = group_col.data  # dummy, unused
+            left_values = jnp.asarray(
+                np.asarray(result.column(executor.DIST_COL), dtype=np.float32)
+            )
+            agg = aggregate.agg
+        else:  # count semantics
+            value_col = group_col.data  # dummy, unused
+            left_values = jnp.ones((left_keys.shape[0],), jnp.float32)
+            agg = "sum" if aggregate.agg == "count" else aggregate.agg
+
+        gk, gv, n = _join_aggregate_device(
+            left_keys,
+            sorted_keys,
+            sorted_index,
+            attr_rows,
+            group_col.data,
+            value_col,
+            left_values,
+            agg=agg,
+            max_groups=aggregate.max_groups,
+            use_value_col=use_value_col,
+        )
+        # one batched fetch instead of three sequential roundtrips
+        for x in (gk, gv, n):
+            x.copy_to_host_async()
+        n = int(n)
+        return pa.table(
+            {
+                GROUP_COL: pa.array(np.asarray(gk)[:n].astype(np.int64)),
+                AGG_COL: pa.array(np.asarray(gv)[:n].astype(np.float64)),
+            }
+        )
+
+    # enrichment path (host gather of joined columns)
+    ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
     ridx_np = np.asarray(ridx)
     ridx_np = np.where(ridx_np < attr_rows, ridx_np, -1)
 
     attrs = cache.host_table(join.source)
 
-    if aggregate is None:
-        import pyarrow.compute as pc
+    import pyarrow.compute as pc
 
-        hit = ridx_np >= 0
-        take = pa.array(np.where(hit, ridx_np, 0).astype(np.int64))
-        columns = (
-            [c for c in attrs.column_names if c != join.right_on]
-            if join.columns is None
-            else [*join.columns]
-        )
-        out = result
-        hit_arr = pa.array(hit)
-        for name in columns:
-            col = attrs.column(name).take(take).combine_chunks()
-            if not hit.all():
-                col = pc.if_else(hit_arr, col, pa.nulls(len(col), col.type))
-            out = out.append_column(name, col)
-        return out
-
-    group_col = cache.scalar(join.source, aggregate.group_by)
-    hit = jnp.asarray(ridx_np >= 0)
-    safe_idx = jnp.asarray(np.where(ridx_np >= 0, ridx_np, 0))
-    groups = jnp.take(group_col.data, safe_idx).astype(jnp.int32)
-
-    if aggregate.value is None or aggregate.agg == "count":
-        values = jnp.ones(groups.shape[0], dtype=jnp.float32)
-        agg = "sum" if aggregate.agg == "count" else aggregate.agg
-    elif aggregate.value == executor.DIST_COL:
-        values = jnp.asarray(
-            np.asarray(result.column(executor.DIST_COL), dtype=np.float32)
-        )
-        agg = aggregate.agg
-    else:
-        value_col = cache.scalar(join.source, aggregate.value)
-        values = jnp.take(value_col.data, safe_idx).astype(jnp.float32)
-        agg = aggregate.agg
-
-    gk, gv, n = relational.group_aggregate(
-        groups, values, max_groups=aggregate.max_groups, agg=agg, mask=hit
+    hit = ridx_np >= 0
+    take = pa.array(np.where(hit, ridx_np, 0).astype(np.int64))
+    columns = (
+        [c for c in attrs.column_names if c != join.right_on]
+        if join.columns is None
+        else [*join.columns]
     )
-    n = int(n)
-    return pa.table(
-        {
-            GROUP_COL: pa.array(np.asarray(gk)[:n]),
-            AGG_COL: pa.array(np.asarray(gv)[:n].astype(np.float64)),
-        }
-    )
+    out = result
+    hit_arr = pa.array(hit)
+    for name in columns:
+        col = attrs.column(name).take(take).combine_chunks()
+        if not hit.all():
+            col = pc.if_else(hit_arr, col, pa.nulls(len(col), col.type))
+        out = out.append_column(name, col)
+    return out
+
 
 

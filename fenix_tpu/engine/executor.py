@@ -231,6 +231,10 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             corpus_scan=corpus_scan,
         )
 
+    # one overlapped fetch — each device→host readback pays a full
+    # transport roundtrip, so issue both before waiting
+    dists.copy_to_host_async()
+    ids.copy_to_host_async()
     dists = np.asarray(dists)[:num_queries, :k]
     ids = np.asarray(ids)[:num_queries, :k]
 
