@@ -55,8 +55,16 @@ def _join_aggregate_device(
     safe = jnp.where(hit, ridx, 0)
     groups = jnp.take(group_col, safe).astype(jnp.int32)
     values = jnp.take(value_col, safe).astype(jnp.float32) if use_value_col else left_values
-    return relational.group_aggregate(
+    gk, gv, n = relational.group_aggregate(
         groups, values, max_groups=max_groups, agg=agg, mask=hit
+    )
+    # pack (keys, aggregates, count) into one array → one host fetch
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(gk.astype(jnp.int32), jnp.float32),
+            gv.astype(jnp.float32),
+            jax.lax.bitcast_convert_type(n.astype(jnp.int32)[None], jnp.float32),
+        ]
     )
 
 
@@ -134,26 +142,28 @@ def execute_search_join(
             left_values = jnp.ones((left_keys.shape[0],), jnp.float32)
             agg = "sum" if aggregate.agg == "count" else aggregate.agg
 
-        gk, gv, n = _join_aggregate_device(
-            left_keys,
-            sorted_keys,
-            sorted_index,
-            attr_rows,
-            group_col.data,
-            value_col,
-            left_values,
-            agg=agg,
-            max_groups=aggregate.max_groups,
-            use_value_col=use_value_col,
-        )
-        # one batched fetch instead of three sequential roundtrips
-        for x in (gk, gv, n):
-            x.copy_to_host_async()
-        n = int(n)
+        packed = np.asarray(
+            _join_aggregate_device(
+                left_keys,
+                sorted_keys,
+                sorted_index,
+                attr_rows,
+                group_col.data,
+                value_col,
+                left_values,
+                agg=agg,
+                max_groups=aggregate.max_groups,
+                use_value_col=use_value_col,
+            )
+        )  # one roundtrip
+        g = aggregate.max_groups
+        gk = packed[:g].view(np.int32)
+        gv = packed[g : 2 * g]
+        n = int(packed[2 * g :].view(np.int32)[0])
         return pa.table(
             {
-                GROUP_COL: pa.array(np.asarray(gk)[:n].astype(np.int64)),
-                AGG_COL: pa.array(np.asarray(gv)[:n].astype(np.float64)),
+                GROUP_COL: pa.array(gk[:n].astype(np.int64)),
+                AGG_COL: pa.array(gv[:n].astype(np.float64)),
             }
         )
 

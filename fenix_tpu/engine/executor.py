@@ -59,9 +59,28 @@ def _canonical_k(k: int) -> int:
 @jax.jit
 def _overlay_mask(aux_add, mask):
     """Fold a per-request row mask into the cached aux_add."""
-    import jax.numpy as jnp
-
     return jnp.where(mask, aux_add, distance_ops.NEG_INF)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _search_packed(corpus, queries, aux_mul, aux_add, k, metric, corpus_scan=None):
+    """Two-phase search returning one packed [2,Q,k] array — a single
+    device→host roundtrip for (distances, ids)."""
+    d, i = topk2.topk_two_phase(
+        corpus, queries, aux_mul, aux_add, k=k, metric=metric, corpus_scan=corpus_scan
+    )
+    return topk2.pack_result(d, i)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _search_probed_packed(corpus, queries, aux_mul, aux_add, coded, cells, k, metric):
+    d, i = topk2.topk_two_phase_probed(
+        corpus, queries, aux_mul, aux_add, coded, cells, k=k, metric=metric
+    )
+    return topk2.pack_result(d, i)
 
 
 _CACHES: dict[str, DeviceCache] = {}
@@ -202,7 +221,7 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
         if req.filter is not None:
             aux_add = _overlay_mask(aux_add, mask)
-        dists, ids = topk2.topk_two_phase_probed(
+        packed = _search_probed_packed(
             corpus.data,
             queries,
             aux_mul,
@@ -221,7 +240,7 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             if req.precision == "bf16"
             else None
         )
-        dists, ids = topk2.topk_two_phase(
+        packed = _search_packed(
             corpus.data,
             queries,
             aux_mul,
@@ -231,12 +250,9 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             corpus_scan=corpus_scan,
         )
 
-    # one overlapped fetch — each device→host readback pays a full
-    # transport roundtrip, so issue both before waiting
-    dists.copy_to_host_async()
-    ids.copy_to_host_async()
-    dists = np.asarray(dists)[:num_queries, :k]
-    ids = np.asarray(ids)[:num_queries, :k]
+    dists, ids = topk2.unpack_result(packed)  # single roundtrip fetch
+    dists = dists[:num_queries, :k]
+    ids = ids[:num_queries, :k]
 
     # --- host gather -----------------------------------------------------
     tables = []

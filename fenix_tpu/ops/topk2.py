@@ -38,6 +38,21 @@ BUCKET = 128  # rows per bucket = one sublane-tile group in the kernel
 BUCKET_PAD = 8  # extra buckets gathered for fp-rounding safety
 
 
+def pack_result(dist: jax.Array, ids: jax.Array) -> jax.Array:
+    """[Q,k] f32 + [Q,k] i32 → [2,Q,k] f32 (ids bitcast, lossless).
+
+    One device→host fetch instead of two — each readback pays a full
+    transport roundtrip."""
+    return jnp.stack([dist, jax.lax.bitcast_convert_type(ids, jnp.float32)])
+
+
+def unpack_result(packed) -> tuple:
+    import numpy as np
+
+    packed = np.asarray(packed)
+    return packed[0], packed[1].view(np.int32)
+
+
 # -- metric preparation ----------------------------------------------------
 
 
