@@ -58,12 +58,14 @@ def _join_aggregate_device(
     gk, gv, n = relational.group_aggregate(
         groups, values, max_groups=max_groups, agg=agg, mask=hit
     )
-    # pack (keys, aggregates, count) into one array → one host fetch
+    # pack (keys, aggregates, count) into ONE int32 array → one host
+    # fetch; int carrier because TPU flushes denormal floats (see
+    # topk2.pack_result)
     return jnp.concatenate(
         [
-            jax.lax.bitcast_convert_type(gk.astype(jnp.int32), jnp.float32),
-            gv.astype(jnp.float32),
-            jax.lax.bitcast_convert_type(n.astype(jnp.int32)[None], jnp.float32),
+            gk.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(gv.astype(jnp.float32), jnp.int32),
+            n.astype(jnp.int32)[None],
         ]
     )
 
@@ -157,9 +159,9 @@ def execute_search_join(
             )
         )  # one roundtrip
         g = aggregate.max_groups
-        gk = packed[:g].view(np.int32)
-        gv = packed[g : 2 * g]
-        n = int(packed[2 * g :].view(np.int32)[0])
+        gk = packed[:g]
+        gv = packed[g : 2 * g].view(np.float32)
+        n = int(packed[2 * g])
         return pa.table(
             {
                 GROUP_COL: pa.array(gk[:n].astype(np.int64)),

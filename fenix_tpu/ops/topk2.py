@@ -39,18 +39,21 @@ BUCKET_PAD = 8  # extra buckets gathered for fp-rounding safety
 
 
 def pack_result(dist: jax.Array, ids: jax.Array) -> jax.Array:
-    """[Q,k] f32 + [Q,k] i32 → [2,Q,k] f32 (ids bitcast, lossless).
+    """[Q,k] f32 + [Q,k] i32 → [2,Q,k] **int32** (distances bitcast).
 
     One device→host fetch instead of two — each readback pays a full
-    transport roundtrip."""
-    return jnp.stack([dist, jax.lax.bitcast_convert_type(ids, jnp.float32)])
+    transport roundtrip. The carrier dtype must be integer: bitcasting
+    small ints into float32 yields denormals, which TPU arithmetic
+    flushes to zero (ids would silently corrupt); float bits ride
+    through an int array unharmed."""
+    return jnp.stack([jax.lax.bitcast_convert_type(dist, jnp.int32), ids])
 
 
 def unpack_result(packed) -> tuple:
     import numpy as np
 
     packed = np.asarray(packed)
-    return packed[0], packed[1].view(np.int32)
+    return packed[0].view(np.float32), packed[1]
 
 
 # -- metric preparation ----------------------------------------------------
