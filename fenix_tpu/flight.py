@@ -91,6 +91,7 @@ class Server(fl.FlightServerBase):
         column = req.get("column")
         select = req.get("select")
         filter_ = _decode_filter(req.get("filter"))
+        order_by = req.get("order_by")  # [[column, "ascending"|"descending"], ...]
 
         with METRICS.timed("get", source=source):
             if coding is not None and column is not None:
@@ -100,6 +101,13 @@ class Server(fl.FlightServerBase):
 
             if filter_ is not None:
                 data = data.filter(pa.array(filter_.mask(data)))
+
+            if order_by:
+                import pyarrow.compute as pc
+
+                data = data.take(
+                    pc.sort_indices(data, sort_keys=[(c, d) for c, d in order_by])
+                )
 
             if select is not None:
                 data = data.select(select)
@@ -287,6 +295,7 @@ class Flight:
         column: str | None = None,
         select: Sequence[str] | None = None,
         filter: expr_mod.Expr | None = None,
+        order_by: Sequence[tuple[str, str]] | None = None,
     ) -> pa.RecordBatchReader:
         if filter is not None and not isinstance(filter, expr_mod.Expr):
             raise TypeError(
@@ -302,10 +311,13 @@ class Flight:
                     "column": column,
                     "select": [*select] if select is not None else None,
                     "filter": filter.to_dict() if filter is not None else None,
+                    "order_by": (
+                        [[c, d] for c, d in order_by] if order_by is not None else None
+                    ),
                 }
             )
         )
-        return self.conn.do_get(ticket).to_reader()
+        return self._retrying(lambda: self.conn.do_get(ticket).to_reader())
 
     def drop_table(self, name: str) -> "Flight":
         self._action("drop-table", {"name": name})

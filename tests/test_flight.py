@@ -245,6 +245,15 @@ def test_concurrent_searches(flight, server, rng):
         assert ids == want[0].tolist()
 
 
+def test_read_table_order_by(flight):
+    got = flight.read_table(
+        "test/table", select=["id"], order_by=[("id", "descending")]
+    ).read_all()
+    ids = np.asarray(got.column("id"))
+    assert ids[0] == NUM_VECTORS - 1
+    assert (np.diff(ids) < 0).all()
+
+
 def test_drop_index_and_remove(server, source):
     client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
     client.drop_index("test/coder")
