@@ -62,7 +62,7 @@ class Coding(TypedDict):
 
 
 def path_of(root: str, name: str) -> str:
-    return os.path.join(root, LOCATION, name + ".npz")
+    return table.safe_join(root, LOCATION, name + ".npz")
 
 
 def make(
@@ -88,6 +88,7 @@ def make(
     b = config["batch_size"]
     metric = config["metric"]
     num_rows, dim = matrix.shape
+    cells_ops.check_cell_space(k, n)
 
     # Whole training is one fused device computation (ops/kmeans.train):
     # random-row init + num_epochs × permuted Lloyd steps, single dispatch.
@@ -175,6 +176,11 @@ def call(
         target = target[None, :]
 
     targets = jnp.asarray(target)
+
+    if maxval is not None:
+        # reference coder.py:184 tolerates maxval > k^n only implicitly
+        # via argsort; clamp so lax.top_k stays in range
+        maxval = min(maxval, k**n)
 
     if maxval is None:
         out = np.asarray(

@@ -1,3 +1,3 @@
-from fenix_tpu.engine import executor, session
+from fenix_tpu.engine import executor, service, session
 
-__all__ = ["executor", "session"]
+__all__ = ["executor", "service", "session"]

@@ -75,6 +75,17 @@ def _search_packed(corpus, queries, aux_mul, aux_add, k, metric, corpus_scan=Non
     return topk2.pack_result(d, i)
 
 
+def _rank_cells(queries, coding_data, metric: str, probes: int):
+    """Top-``probes`` composite cells per query, with the bounded beam
+    fallback when k^n exceeds dense enumeration (mirrors coder.call)."""
+    codebooks = jnp.asarray(coding_data["tensor"])
+    n_books, k_book, _ = codebooks.shape
+    probes = int(min(probes, k_book**n_books))
+    if k_book**n_books > cells_ops.DENSE_CELL_LIMIT:
+        return cells_ops.topk_cells_bounded(queries, codebooks, metric, probes)
+    return cells_ops.topk_cells(queries, codebooks, metric=metric, maxval=probes)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _search_probed_packed(corpus, queries, aux_mul, aux_add, coded, cells, k, metric):
     d, i = topk2.topk_two_phase_probed(
@@ -186,11 +197,28 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         dists = np.asarray(
             distance_ops.all_distances(corpus.data, queries, metric=metric)
         )[:, :rows]
+        # IVF probe pruning applies here too (reference index.py:113-126
+        # ANDs the probe mask into the filter regardless of maxval).
+        probe_masks: np.ndarray | None = None
+        if coding_data is not None:
+            cells = _rank_cells(queries, coding_data, metric, int(req.probes))
+            codes_np = np.asarray(data.column(CODE_COL))
+            probe_masks = np.stack(
+                [np.isin(codes_np, np.asarray(cells[qi])) for qi in range(num_queries)]
+            )
+        shared = (
+            data.filter(pa.array(mask_np[:rows])) if probe_masks is None else None
+        )
         tables = []
         for qi in range(num_queries):
-            part = data.filter(pa.array(mask_np[:rows]))
+            if probe_masks is None:
+                row_mask = mask_np[:rows]
+                part = shared
+            else:
+                row_mask = mask_np[:rows] & probe_masks[qi]
+                part = data.filter(pa.array(row_mask))
             part = part.append_column(
-                DIST_COL, pa.array(dists[qi][mask_np[:rows]].astype(value_dtype))
+                DIST_COL, pa.array(dists[qi][row_mask].astype(value_dtype))
             )
             part = part.select(select)
             if num_queries > 1:
@@ -213,10 +241,7 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         )
 
     if coding_data is not None:
-        codebooks = jnp.asarray(coding_data["tensor"])
-        n_books, k_book, _ = codebooks.shape
-        probes = int(min(req.probes, k_book**n_books))
-        cells = cells_ops.topk_cells(queries, codebooks, metric=metric, maxval=probes)
+        cells = _rank_cells(queries, coding_data, metric, int(req.probes))
         coded = cache.coded_ids(req.coding, req.source, req.column)
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
         if req.filter is not None:

@@ -1,0 +1,48 @@
+"""Wire-config → engine dispatch, shared by the Flight server and the
+replay tool so recorded queries re-execute on exactly the code path
+that produced them (including join/aggregate and precision)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+from fenix_tpu import expr as expr_mod
+from fenix_tpu.engine import analytics, executor
+from fenix_tpu.engine.session import DeviceCache
+
+
+def request_from_config(config: dict[str, Any], target: Any) -> executor.SearchRequest:
+    return executor.SearchRequest(
+        source=config["source"],
+        column=config["column"],
+        target=target,
+        metric=config.get("metric"),
+        coding=config.get("coding"),
+        select=config.get("select"),
+        filter=(
+            expr_mod.Expr.from_dict(config["filter"])
+            if config.get("filter") is not None
+            else None
+        ),
+        maxval=config.get("maxval"),
+        probes=config.get("probes"),
+        precision=config.get("precision") or "fp32",
+    )
+
+
+def run_search_config(cache: DeviceCache, config: dict[str, Any], target: Any) -> pa.Table:
+    req = request_from_config(config, target)
+    if config.get("join") is not None:
+        return analytics.execute_search_join(
+            cache,
+            req,
+            analytics.JoinSpec.from_dict(config["join"]),
+            (
+                analytics.AggregateSpec.from_dict(config["aggregate"])
+                if config.get("aggregate") is not None
+                else None
+            ),
+        )
+    return executor.execute_search(cache, req)

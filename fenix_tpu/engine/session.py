@@ -166,8 +166,7 @@ class DeviceCache:
         def build():
             col = self.matrix(source, column)
             valid = jnp.arange(col.rows_padded) < col.rows
-            aux = topk2.prepare_aux(col.data, valid, canonical)
-            return (aux[0].block_until_ready(), aux[1].block_until_ready())
+            return topk2.prepare_aux(col.data, valid, canonical)
 
         return self._memo(self._device, (key, column, "aux", canonical), stamp, build)
 
@@ -190,7 +189,7 @@ class DeviceCache:
             valid = jnp.arange(col.rows_padded) < col.rows
             keys = jnp.where(valid, keys, pad_key)
             sk, si = relational.sort_with_index(keys)
-            return (sk.block_until_ready(), si.block_until_ready(), col.rows)
+            return (sk, si, col.rows)
 
         return self._memo(self._device, (key, column, "sorted_key"), stamp, build)
 

@@ -32,7 +32,7 @@ import pyarrow.flight as fl
 from fenix_tpu import coder as coder_mod
 from fenix_tpu import expr as expr_mod
 from fenix_tpu import index as index_mod
-from fenix_tpu.engine import executor
+from fenix_tpu.engine import executor, service
 from fenix_tpu.io import ingest, table
 from fenix_tpu.utils import replay
 from fenix_tpu.utils.faults import GLOBAL as FAULTS
@@ -128,37 +128,10 @@ class Server(fl.FlightServerBase):
         target_table = reader.read_all()
         target = target_table.column("target").combine_chunks()
 
-        req = executor.SearchRequest(
-            source=config["source"],
-            column=config["column"],
-            target=target,
-            metric=config.get("metric"),
-            coding=config.get("coding"),
-            select=config.get("select"),
-            filter=_decode_filter(config.get("filter")),
-            maxval=config.get("maxval"),
-            probes=config.get("probes"),
-            precision=config.get("precision") or "fp32",
-        )
-
         with METRICS.timed(
             "search", source=config["source"], metric=config.get("metric")
         ) as record:
-            if config.get("join") is not None:
-                from fenix_tpu.engine import analytics
-
-                data = analytics.execute_search_join(
-                    self.cache,
-                    req,
-                    analytics.JoinSpec.from_dict(config["join"]),
-                    (
-                        analytics.AggregateSpec.from_dict(config["aggregate"])
-                        if config.get("aggregate") is not None
-                        else None
-                    ),
-                )
-            else:
-                data = executor.execute_search(self.cache, req)
+            data = service.run_search_config(self.cache, config, target)
             record["rows_returned"] = data.num_rows
 
         replay.record(config, target_table, data)

@@ -35,7 +35,7 @@ ASSIGN_BLOCK: int = 1 << 16  # rows per device assignment batch
 
 
 def path_of(root: str, name: str, source: str, column: str) -> str:
-    return os.path.join(root, LOCATION, source, column, name + ".arrow")
+    return table.safe_join(root, LOCATION, source, column, name + ".arrow")
 
 
 def load(root: str, name: str, source: str | Sequence[str], column: str) -> pa.Table:
@@ -96,9 +96,13 @@ def drop(root: str, name: str, source: str, column: str) -> None:
 
 def drop_all(root: str, name: str) -> None:
     """Drop every index built from coder ``name`` (fixes the reference's
-    unreachable path-parse in flight.py:95-100)."""
+    unreachable path-parse in flight.py:95-100).
+
+    The coder name must match a whole path suffix at a ``/`` boundary —
+    a bare ``endswith(name + ".arrow")`` would also delete indexes of
+    any coder whose name merely ends with the same string."""
     base = os.path.join(root, LOCATION)
-    suffix = os.path.join("", name + ".arrow")
+    suffix = os.sep + name + ".arrow"
     for path in glob.glob(os.path.join(base, "**", "*.arrow"), recursive=True):
         if path.endswith(suffix):
             os.unlink(path)

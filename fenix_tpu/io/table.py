@@ -18,8 +18,25 @@ from fenix_tpu.io import arrow
 LOCATION: str = "sources"
 
 
+def safe_join(root: str, location: str, *parts: str) -> str:
+    """Join client-supplied path parts under ``root/location``,
+    rejecting traversal. Names may contain ``/`` for namespacing (the
+    reference uses names like ``test/table``) but must stay inside
+    their artifact directory — a table name must not be able to
+    address coder or index files, let alone anything outside the root."""
+    for part in parts:
+        segments = part.replace("\\", "/").split("/")
+        if ".." in segments or part.startswith(("/", "\\")):
+            raise ValueError(f"name escapes storage root: {parts!r}")
+    base = os.path.abspath(os.path.join(root, location))
+    path = os.path.abspath(os.path.join(base, *parts))
+    if not path.startswith(base + os.sep):
+        raise ValueError(f"name escapes storage root: {parts!r}")
+    return path
+
+
 def path_of(root: str, name: str) -> str:
-    return os.path.join(root, LOCATION, name + ".arrow")
+    return safe_join(root, LOCATION, name + ".arrow")
 
 
 def load(root: str, name: str | Sequence[str]) -> pa.Table:

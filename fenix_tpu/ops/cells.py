@@ -27,6 +27,21 @@ from fenix_tpu.ops.distance import canonical_metric, pairwise_distance
 # k^n at or below this is scored by direct enumeration on device.
 DENSE_CELL_LIMIT = 1 << 20
 
+# Composite cell ids are int32 on device (jax x64 stays off for TPU
+# perf); configs beyond this are rejected up front instead of silently
+# wrapping (the reference's int64 ids make such configs "work", but
+# 2^31 composite cells is far past any useful IVF geometry).
+MAX_CELLS = (1 << 31) - 1
+
+
+def check_cell_space(codebook_size: int, num_codebooks: int) -> None:
+    if codebook_size**num_codebooks > MAX_CELLS:
+        raise ValueError(
+            f"codebook_size**num_codebooks = {codebook_size}**{num_codebooks} "
+            f"exceeds the int32 composite-cell id space ({MAX_CELLS}); "
+            "reduce codebook_size or num_codebooks"
+        )
+
 
 def codebook_distances(
     targets: jax.Array,  # [Q, D]

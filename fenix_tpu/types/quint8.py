@@ -48,6 +48,13 @@ class QUInt8NDArray(np.ndarray):
         q.shift = shift
         return q
 
+    def __array_finalize__(self, obj) -> None:
+        # numpy creates slices/views without rerunning __new__; carry
+        # the affine params along so sliced arrays still dequantize
+        if obj is not None:
+            self.scale = getattr(obj, "scale", 1.0)
+            self.shift = getattr(obj, "shift", 0)
+
     @staticmethod
     def quantize(array: np.ndarray) -> "QUInt8NDArray":
         q, scale, shift = dynamic_quantize(array)

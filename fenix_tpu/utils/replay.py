@@ -66,11 +66,14 @@ def load(path: str) -> Iterator[dict[str, Any]]:
 
 
 def replay(path: str, root: str) -> dict[str, int]:
-    """Re-execute a query log against ``root``; returns match counts."""
+    """Re-execute a query log against ``root``; returns match counts.
+
+    Dispatches through engine.service so every recorded config —
+    including join/aggregate and precision — replays on the same code
+    path that produced the original digest."""
     import base64
 
-    from fenix_tpu import expr as expr_mod
-    from fenix_tpu.engine import executor
+    from fenix_tpu.engine import executor, service
 
     cache = executor.get_cache(root)
     stats = {"total": 0, "matched": 0, "mismatched": 0}
@@ -79,22 +82,9 @@ def replay(path: str, root: str) -> dict[str, int]:
         target = pa.ipc.open_stream(
             pa.py_buffer(base64.b64decode(entry["target_ipc"]))
         ).read_all()
-        req = executor.SearchRequest(
-            source=config["source"],
-            column=config["column"],
-            target=target.column("target").combine_chunks(),
-            metric=config.get("metric"),
-            coding=config.get("coding"),
-            select=config.get("select"),
-            filter=(
-                expr_mod.Expr.from_dict(config["filter"])
-                if config.get("filter") is not None
-                else None
-            ),
-            maxval=config.get("maxval"),
-            probes=config.get("probes"),
+        result = service.run_search_config(
+            cache, config, target.column("target").combine_chunks()
         )
-        result = executor.execute_search(cache, req)
         stats["total"] += 1
         if digest(result) == entry["digest"]:
             stats["matched"] += 1
