@@ -133,6 +133,14 @@ class Server(fl.FlightServerBase):
         ) as record:
             data = service.run_search_config(self.cache, config, target)
             record["rows_returned"] = data.num_rows
+            # flat value column = one query (reference wire shape);
+            # FixedSizeList column = one query per row
+            record["queries"] = (
+                len(target) if pa.types.is_fixed_size_list(target.type) else 1
+            )
+            record["maxval"] = config.get("maxval")
+            record["probes"] = config.get("probes")
+            record["precision"] = config.get("precision") or "fp32"
 
         replay.record(config, target_table, data)
 
