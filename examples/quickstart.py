@@ -1,0 +1,86 @@
+"""End-to-end quickstart: server + client in one process.
+
+Run:  python examples/quickstart.py            (TPU if available)
+      PYTHONPATH=. JAX_PLATFORMS=cpu python examples/quickstart.py
+"""
+
+from __future__ import annotations
+
+import tempfile
+import threading
+
+import numpy as np
+import pyarrow as pa
+
+import fenix_tpu
+from fenix_tpu import expr
+from fenix_tpu.io import ingest
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    n, d = 50_000, 128
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+
+    # ---- server --------------------------------------------------------
+    root = tempfile.mkdtemp(prefix="fenix_quickstart_")
+    server = fenix_tpu.Server(root, host="127.0.0.1", port=0)
+    threading.Thread(target=server.serve, daemon=True).start()
+    client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
+
+    # ---- ingest --------------------------------------------------------
+    client.make_table(
+        "demo/items",
+        pa.table(
+            {
+                "id": pa.array(np.arange(n)),
+                "category": pa.array(rng.integers(0, 10, n)),
+                "vector": ingest.numpy_to_fixed_size_list(vectors, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    print("tables:", client.list_tables())
+
+    # ---- exact filtered kNN -------------------------------------------
+    query = rng.standard_normal(d).astype(np.float32)
+    hits = client.search(
+        query,
+        source="demo/items",
+        column="vector",
+        metric="cosine",
+        filter=expr.field("category").isin([2, 3]),
+        maxval=5,
+    )
+    print("exact filtered top-5 ids:", hits.column("id").to_pylist())
+    print("distances:", [round(x, 4) for x in hits.column("__DISTANCE__").to_pylist()])
+
+    # ---- train an IVF coder + probe it --------------------------------
+    client.make_index(
+        "demo/ivf",
+        "demo/items",
+        "vector",
+        {
+            "metric": "cosine",
+            "codebook_size": 8,
+            "num_codebooks": 2,
+            "batch_size": 1024,
+            "num_epochs": 3,
+        },
+    )
+    approx = client.search(
+        query,
+        source="demo/items",
+        column="vector",
+        metric="cosine",
+        coding="demo/ivf",
+        maxval=5,
+        probes=16,
+    )
+    print("IVF top-5 ids:", approx.column("id").to_pylist())
+
+    print("server stats:", {k: v for k, v in client.stats().items() if k.endswith("count")})
+    server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -154,7 +154,9 @@ def normalize_target(target: Any, dim: int) -> np.ndarray:
 
 def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     """Run a search request against device-resident columns."""
-    # --- host-side table (for result gather and schema parity) ---------
+    # --- host-side table (for result gather and schema parity),
+    # snapshot-consistent with the device-resident matrix -----------------
+    _, corpus = cache.snapshot(req.source, req.column)
     if req.coding is not None:
         data = cache.coded_table(req.coding, req.source, req.column)
     else:
@@ -174,8 +176,6 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     assert metric is not None, "metric is required when no coder supplies one"
     metric = distance_ops.canonical_metric(metric)
 
-    # --- device columns --------------------------------------------------
-    corpus = cache.matrix(req.source, req.column)
     n_pad, rows = corpus.rows_padded, corpus.rows
 
     # validity ∧ user predicate mask

@@ -200,6 +200,21 @@ class DeviceCache:
             self._device, ("coding", name), stamp, lambda: coder_mod.load(self.root, name)
         )
 
+    def snapshot(self, source: str | Sequence[str], column: str):
+        """(host table, device matrix) from the SAME table revision.
+
+        Fetching them separately can straddle a concurrent re-ingest —
+        device ids would then be gathered from a different table version
+        than was scanned. Retry until both reads observe one mtime."""
+        key = _source_key(source)
+        for _ in range(5):
+            stamp = self._mtimes(key)
+            data = self.host_table(source)
+            matrix = self.matrix(source, column)
+            if self._mtimes(key) == stamp:
+                return data, matrix
+        raise RuntimeError(f"table {source!r} kept changing during snapshot")
+
     def invalidate(self) -> None:
         with self._lock:
             self._host.clear()

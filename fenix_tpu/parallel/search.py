@@ -78,6 +78,59 @@ def build_sharded_search(
     return jax.jit(local_search)
 
 
+def build_sharded_search_probed(
+    mesh: Mesh,
+    k: int,
+    metric: str,
+    block: int = 8192,
+):
+    """Sharded IVF search: row-sharded cell ids travel with the corpus;
+    each shard scans only rows whose cell is in the query's probe set,
+    then candidates merge exactly as in the exact path.
+
+    ``fn(corpus, queries, mask, coded, cells) → (dist [Q,k], ids [Q,k])``
+    with ``coded`` row-sharded int32 and ``cells`` replicated [Q, P].
+    """
+    axes = (DATA_AXIS, MODEL_AXIS)
+    n_shards = mesh.devices.size
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(), P(axes), P(axes), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def local_search(corpus_local, queries, mask_local, coded_local, cells):
+        rows_local = corpus_local.shape[0]
+        shard = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
+            MODEL_AXIS
+        ) + jax.lax.axis_index(MODEL_AXIS)
+
+        local_k = min(k, rows_local)
+        dist, ids = distance_ops._topk_search_impl(
+            corpus_local, queries, mask_local, coded_local, cells, local_k, metric, block
+        )
+        scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
+        gids = jnp.where(ids >= 0, ids + shard * rows_local, -1)
+
+        all_scores = jax.lax.all_gather(scores, axes)
+        all_gids = jax.lax.all_gather(gids, axes)
+
+        q = queries.shape[0]
+        all_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * local_k)
+        all_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(q, n_shards * local_k)
+
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_gids = jnp.take_along_axis(all_gids, pos, axis=1)
+
+        out_dist = jnp.where(top_scores == distance_ops.NEG_INF, jnp.inf, -top_scores)
+        out_ids = jnp.where(top_scores == distance_ops.NEG_INF, -1, top_gids)
+        return out_dist, out_ids
+
+    return jax.jit(local_search)
+
+
 def shard_corpus(
     mesh: Mesh, corpus, mask=None, block: int = 8192
 ) -> tuple[jax.Array, jax.Array]:

@@ -58,3 +58,41 @@ def test_sharded_lloyd_step_matches_local(mesh8, rng):
     got = np.asarray(step(jax.numpy.asarray(q), jax.numpy.asarray(v)))
     want = np.stack([oracles.lloyd_step(q[j], v[j], "l2") for j in range(n_books)])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_probed_search(mesh8, rng):
+    """IVF probe masks apply per shard; merged result equals the
+    single-device probed oracle."""
+    from fenix_tpu.parallel.mesh import row_sharding
+
+    n, d, k, n_cells, probes = 2048, 16, 8, 32, 6
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    coded = rng.integers(0, n_cells, n).astype(np.int32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    cells = np.stack(
+        [rng.choice(n_cells, probes, replace=False) for _ in range(3)]
+    ).astype(np.int32)
+
+    corpus_dev, mask_dev = psearch.shard_corpus(mesh8, corpus, block=64)
+    # pad the coded column identically to the corpus
+    n_pad = corpus_dev.shape[0]
+    coded_pad = np.full(n_pad, -1, dtype=np.int32)
+    coded_pad[:n] = coded
+    coded_dev = jax.device_put(coded_pad, row_sharding(mesh8, 1))
+
+    fn = psearch.build_sharded_search_probed(mesh8, k=k, metric="l2", block=64)
+    dist, ids = fn(
+        corpus_dev, jax.numpy.asarray(queries), mask_dev, coded_dev,
+        jax.numpy.asarray(cells),
+    )
+    dist, ids = np.asarray(dist), np.asarray(ids)
+
+    for qi in range(3):
+        keep = np.isin(coded, cells[qi])
+        cand = np.flatnonzero(keep)
+        want_d, want_i = oracles.topk(
+            oracles.distance(queries[qi : qi + 1], corpus[keep], "l2"), k
+        )
+        valid = ids[qi] >= 0
+        assert valid.sum() == min(k, keep.sum())
+        np.testing.assert_array_equal(ids[qi][valid], cand[want_i[0][: valid.sum()]])
