@@ -204,11 +204,28 @@ class Server(fl.FlightServerBase):
             case _:
                 raise ValueError(f"unknown action {action.type!r}")
 
-    def get_flight_info(self, ctx, descriptor):  # reference flight.py:24-27
-        raise NotImplementedError()
+    # The reference leaves these unimplemented (flight.py:24-32);
+    # here they expose the catalog through the standard Flight APIs.
 
-    def list_flights(self, ctx, criteria):  # reference flight.py:29-32
-        raise NotImplementedError()
+    def _flight_info(self, name: str) -> fl.FlightInfo:
+        data = table.load(self.root, name)
+        return fl.FlightInfo(
+            data.schema,
+            fl.FlightDescriptor.for_path(name),
+            [fl.FlightEndpoint(_dumps({"source": name}), [])],
+            data.num_rows,
+            -1,
+        )
+
+    def get_flight_info(
+        self, ctx: fl.ServerCallContext, descriptor: fl.FlightDescriptor
+    ) -> fl.FlightInfo:
+        name = descriptor.path[0].decode()
+        return self._flight_info(name)
+
+    def list_flights(self, ctx: fl.ServerCallContext, criteria: bytes):
+        for name in table.list(self.root):
+            yield self._flight_info(name)
 
 
 class Flight:

@@ -254,6 +254,20 @@ def test_read_table_order_by(flight):
     assert (np.diff(ids) < 0).all()
 
 
+def test_list_flights_and_info(flight, source):
+    """Catalog discovery via standard Flight APIs (unimplemented in the
+    reference, flight.py:24-32)."""
+    infos = [*flight.conn.list_flights()]
+    names = [i.descriptor.path[0].decode() for i in infos]
+    assert "test/table" in names
+
+    info = flight.conn.get_flight_info(
+        __import__("pyarrow.flight", fromlist=["x"]).FlightDescriptor.for_path("test/table")
+    )
+    assert info.total_records == source.num_rows
+    assert info.schema == source.schema
+
+
 def test_drop_index_and_remove(server, source):
     client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
     client.drop_index("test/coder")
