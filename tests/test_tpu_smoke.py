@@ -24,12 +24,13 @@ def test_packed_result_survives_tpu_transfer():
 
     from fenix_tpu.ops import topk2
 
-    dist = jnp.asarray(np.array([[0.5, 1.5, 1e-38]], np.float32))
+    dist_np = np.array([[0.5, 1.5, 1e-38]], np.float32)
+    dist = jnp.asarray(dist_np)
     ids = jnp.asarray(np.array([[7, 70, 2_000_000_000]], np.int32))
     packed = jax.jit(topk2.pack_result)(dist, ids)
     d, i = topk2.unpack_result(packed)
     np.testing.assert_array_equal(i, [[7, 70, 2_000_000_000]])
-    np.testing.assert_array_equal(d, [[0.5, 1.5, 1e-38]])
+    np.testing.assert_array_equal(d, dist_np)  # bit-exact fp32 round-trip
 
 
 @requires_tpu
