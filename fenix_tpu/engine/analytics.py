@@ -60,7 +60,9 @@ def _join_aggregate_device(
     )
     # pack (keys, aggregates, count) into ONE int32 array → one host
     # fetch; int carrier because TPU flushes denormal floats (see
-    # topk2.pack_result)
+    # topk2.pack_result). ``n`` is the TRUE distinct-group count — the
+    # host raises if it exceeds max_groups rather than silently
+    # truncating the aggregate.
     return jnp.concatenate(
         [
             gk.astype(jnp.int32),
@@ -123,6 +125,14 @@ def execute_search_join(
     result = executor.execute_search(cache, req)
 
     left_keys_np = np.asarray(result.column(join.left_on)).astype(np.int64)
+    if left_keys_np.size and (
+        left_keys_np.max() > np.iinfo(np.int32).max
+        or left_keys_np.min() < np.iinfo(np.int32).min
+    ):
+        raise ValueError(
+            f"join key {join.left_on!r} has values outside the device "
+            "int32 range; re-key below 2^31"
+        )
     sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
     left_keys = jnp.asarray(left_keys_np.astype(sorted_keys.dtype))
 
@@ -162,6 +172,11 @@ def execute_search_join(
         gk = packed[:g]
         gv = packed[g : 2 * g].view(np.float32)
         n = int(packed[2 * g])
+        if n > g:
+            raise ValueError(
+                f"aggregate produced {n} distinct groups but max_groups={g}; "
+                "raise aggregate.max_groups"
+            )
         return pa.table(
             {
                 GROUP_COL: pa.array(gk[:n].astype(np.int64)),
@@ -180,8 +195,11 @@ def execute_search_join(
 
     hit = ridx_np >= 0
     take = pa.array(np.where(hit, ridx_np, 0).astype(np.int64))
+    existing = set(result.column_names)
     columns = (
-        [c for c in attrs.column_names if c != join.right_on]
+        # skip the key column and anything that would collide with a
+        # result column — duplicate names break downstream .column()
+        [c for c in attrs.column_names if c != join.right_on and c not in existing]
         if join.columns is None
         else [*join.columns]
     )

@@ -156,11 +156,7 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     """Run a search request against device-resident columns."""
     # --- host-side table (for result gather and schema parity),
     # snapshot-consistent with the device-resident matrix -----------------
-    _, corpus = cache.snapshot(req.source, req.column)
-    if req.coding is not None:
-        data = cache.coded_table(req.coding, req.source, req.column)
-    else:
-        data = cache.host_table(req.source)
+    data, corpus = cache.snapshot(req.source, req.column, coding=req.coding)
 
     column_type = data.schema.field(req.column).type
     value_dtype = column_type.value_type.to_pandas_dtype()

@@ -69,24 +69,35 @@ class DeviceCache:
 
         def build() -> pa.Table:
             # A newer table revision invalidates derived device columns.
-            self._device = {k: v for k, v in self._device.items() if k[0] != key}
+            # Mutate in place: concurrent _memo calls hold a reference to
+            # this dict, and a rebind would orphan their cache writes.
+            for stale in [k for k in self._device if k[0] == key]:
+                del self._device[stale]
             return table.load(self.root, key if len(key) > 1 else key[0])
 
         return self._memo(self._host, key, stamp, build)
 
-    def coded_table(self, coding: str, source: str | Sequence[str], column: str) -> pa.Table:
-        """Host table with the ``__CODED_ID__`` column joined on
-        (reference index.py:19-34)."""
+    def _coded_paths(self, coding: str, key: tuple[str, ...], column: str) -> list[str]:
         from fenix_tpu import index as index_mod
 
+        return [index_mod.path_of(self.root, coding, s, column) for s in key]
+
+    def coded_table(self, coding: str, source: str | Sequence[str], column: str) -> pa.Table:
+        """Host table with the ``__CODED_ID__`` column joined on
+        (reference index.py:19-34). Memoized on the table AND index
+        file mtimes — previously re-joined from disk per query."""
         key = _source_key(source)
-        parts = []
-        for s in key:
-            path = index_mod.path_of(self.root, coding, s, column)
-            parts.append(
-                table.join(table.load(self.root, s), arrow.load(path), axis=1)
-            )
-        return table.join(*parts)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build() -> pa.Table:
+            parts = [
+                table.join(table.load(self.root, s), arrow.load(p), axis=1)
+                for s, p in zip(key, paths)
+            ]
+            return table.join(*parts)
+
+        return self._memo(self._host, (key, column, "coded_table", coding), stamp, build)
 
     # -- device columns ---------------------------------------------------
 
@@ -132,7 +143,19 @@ class DeviceCache:
 
         def build() -> ingest.DeviceColumn:
             data = self.host_table(source)
-            return ingest.to_device_vector(data.column(column), block=self.block)
+            host = ingest.scalar_column_to_numpy(data.column(column))
+            if host.dtype == np.int64 and host.size:
+                # jax x64 is off: device ints are int32. Guard instead of
+                # silently wrapping (aliased join keys / group ids).
+                if host.max(initial=0) > np.iinfo(np.int32).max or host.min(
+                    initial=0
+                ) < np.iinfo(np.int32).min:
+                    raise ValueError(
+                        f"column {column!r} has int64 values outside the "
+                        "device int32 range; re-key the table below 2^31"
+                    )
+                host = host.astype(np.int32)
+            return ingest.to_device_vector(host, block=self.block)
 
         return self._memo(self._device, (key, column, "scalar"), stamp, build)
 
@@ -183,7 +206,7 @@ class DeviceCache:
             col = self.scalar(source, column)
             import jax.numpy as jnp
 
-            keys = col.data.astype(jnp.int64 if col.data.dtype.itemsize >= 8 else jnp.int32)
+            keys = col.data.astype(jnp.int32)  # scalar() guards the range
             # padding rows carry key 0; exclude them by setting max-int
             pad_key = jnp.iinfo(keys.dtype).max
             valid = jnp.arange(col.rows_padded) < col.rows
@@ -200,18 +223,32 @@ class DeviceCache:
             self._device, ("coding", name), stamp, lambda: coder_mod.load(self.root, name)
         )
 
-    def snapshot(self, source: str | Sequence[str], column: str):
+    def snapshot(self, source: str | Sequence[str], column: str, coding: str | None = None):
         """(host table, device matrix) from the SAME table revision.
 
         Fetching them separately can straddle a concurrent re-ingest —
         device ids would then be gathered from a different table version
-        than was scanned. Retry until both reads observe one mtime."""
+        than was scanned. With ``coding``, the returned host table
+        carries the ``__CODED_ID__`` join and the index file mtimes are
+        part of the consistency check. Retries until stable."""
         key = _source_key(source)
+
+        def stamps() -> tuple:
+            base = self._mtimes(key)
+            if coding is None:
+                return base
+            paths = self._coded_paths(coding, key, column)
+            return base + tuple(os.path.getmtime(p) for p in paths)
+
         for _ in range(5):
-            stamp = self._mtimes(key)
-            data = self.host_table(source)
+            stamp = stamps()
+            data = (
+                self.coded_table(coding, source, column)
+                if coding is not None
+                else self.host_table(source)
+            )
             matrix = self.matrix(source, column)
-            if self._mtimes(key) == stamp:
+            if stamps() == stamp:
                 return data, matrix
         raise RuntimeError(f"table {source!r} kept changing during snapshot")
 

@@ -197,7 +197,14 @@ class Server(fl.FlightServerBase):
                 return iter([fl.Result(b'{"status":"ok"}')])
 
             case "fault-inject":
-                # arm deterministic failure points (resilience testing)
+                # arm deterministic failure points — resilience testing
+                # only, and only when the operator opted in (any client
+                # could otherwise deny service with one request)
+                if os.environ.get("FENIX_ENABLE_FAULT_INJECTION") != "1":
+                    raise PermissionError(
+                        "fault injection disabled; set "
+                        "FENIX_ENABLE_FAULT_INJECTION=1 on the server"
+                    )
                 FAULTS.configure(config.get("spec", ""))
                 return iter([])
 
@@ -433,8 +440,11 @@ class Flight:
 
     def _action(self, verb: str, body: Any) -> list[fl.Result]:
         # Drain the result iterator: pyarrow executes the action lazily
-        # and server-side errors only surface on consumption.
-        return [*self.conn.do_action(fl.Action(verb, _dumps(body)))]
+        # and server-side errors only surface on consumption. Admin
+        # verbs are idempotent → retried like reads.
+        return self._retrying(
+            lambda: [*self.conn.do_action(fl.Action(verb, _dumps(body)))]
+        )
 
     def _action_json(self, verb: str) -> Any:
         results = self._action(verb, {})

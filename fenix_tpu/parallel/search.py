@@ -21,6 +21,65 @@ from fenix_tpu.ops import distance as distance_ops
 from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, row_sharding
 
 
+def _build(mesh: Mesh, k: int, metric: str, block: int, probed: bool):
+    axes = (DATA_AXIS, MODEL_AXIS)
+    n_shards = mesh.devices.size
+
+    in_specs = (P(axes, None), P(), P(axes))
+    if probed:
+        in_specs = in_specs + (P(axes), P())
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P()),
+        # The scan carry starts replicated and becomes device-varying in
+        # the first iteration; skip the varying-manual-axes check.
+        check_vma=False,
+    )
+    def local_search(corpus_local, queries, mask_local, *probe_args):
+        rows_local = corpus_local.shape[0]
+        shard = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
+            MODEL_AXIS
+        ) + jax.lax.axis_index(MODEL_AXIS)
+
+        coded_local, cells = probe_args if probed else (None, None)
+
+        local_k = min(k, rows_local)
+        dist, ids = distance_ops._topk_search_impl(
+            corpus_local, queries, mask_local, coded_local, cells, local_k, metric, block
+        )
+        scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
+        gids = jnp.where(ids >= 0, ids + shard * rows_local, -1)
+
+        # [S, Q, local_k] candidate exchange — k·S values per query, not rows.
+        all_scores = jax.lax.all_gather(scores, axes)
+        all_gids = jax.lax.all_gather(gids, axes)
+
+        q = queries.shape[0]
+        # Shard-major concat keeps ties resolving to the smallest global id.
+        width = n_shards * local_k
+        all_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, width)
+        all_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(q, width)
+
+        kk = min(k, width)  # k can exceed the merged candidate pool
+        top_scores, pos = jax.lax.top_k(all_scores, kk)
+        top_gids = jnp.take_along_axis(all_gids, pos, axis=1)
+        if kk < k:
+            pad = k - kk
+            top_scores = jnp.concatenate(
+                [top_scores, jnp.full((q, pad), distance_ops.NEG_INF)], axis=1
+            )
+            top_gids = jnp.concatenate([top_gids, jnp.full((q, pad), -1, jnp.int32)], axis=1)
+
+        out_dist = jnp.where(top_scores == distance_ops.NEG_INF, jnp.inf, -top_scores)
+        out_ids = jnp.where(top_scores == distance_ops.NEG_INF, -1, top_gids)
+        return out_dist, out_ids
+
+    return jax.jit(local_search)
+
+
 def build_sharded_search(
     mesh: Mesh,
     k: int,
@@ -34,48 +93,7 @@ def build_sharded_search(
     replicated, ``mask`` row-sharded. ``N_pad / n_devices`` must be a
     multiple of ``block``.
     """
-    axes = (DATA_AXIS, MODEL_AXIS)
-    n_shards = mesh.devices.size
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axes, None), P(), P(axes)),
-        out_specs=(P(), P()),
-        # The scan carry starts replicated and becomes device-varying in
-        # the first iteration; skip the varying-manual-axes check.
-        check_vma=False,
-    )
-    def local_search(corpus_local, queries, mask_local):
-        rows_local = corpus_local.shape[0]
-        shard = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
-            MODEL_AXIS
-        ) + jax.lax.axis_index(MODEL_AXIS)
-
-        local_k = min(k, rows_local)
-        dist, ids = distance_ops._topk_search_impl(
-            corpus_local, queries, mask_local, None, None, local_k, metric, block
-        )
-        scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
-        gids = jnp.where(ids >= 0, ids + shard * rows_local, -1)
-
-        # [S, Q, local_k] candidate exchange — k·S values per query, not rows.
-        all_scores = jax.lax.all_gather(scores, axes)
-        all_gids = jax.lax.all_gather(gids, axes)
-
-        q = queries.shape[0]
-        # Shard-major concat keeps ties resolving to the smallest global id.
-        all_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * local_k)
-        all_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(q, n_shards * local_k)
-
-        top_scores, pos = jax.lax.top_k(all_scores, k)
-        top_gids = jnp.take_along_axis(all_gids, pos, axis=1)
-
-        out_dist = jnp.where(top_scores == distance_ops.NEG_INF, jnp.inf, -top_scores)
-        out_ids = jnp.where(top_scores == distance_ops.NEG_INF, -1, top_gids)
-        return out_dist, out_ids
-
-    return jax.jit(local_search)
+    return _build(mesh, k, metric, block, probed=False)
 
 
 def build_sharded_search_probed(
@@ -85,50 +103,12 @@ def build_sharded_search_probed(
     block: int = 8192,
 ):
     """Sharded IVF search: row-sharded cell ids travel with the corpus;
-    each shard scans only rows whose cell is in the query's probe set,
-    then candidates merge exactly as in the exact path.
+    each shard scans only rows whose cell is in the query's probe set.
 
     ``fn(corpus, queries, mask, coded, cells) → (dist [Q,k], ids [Q,k])``
     with ``coded`` row-sharded int32 and ``cells`` replicated [Q, P].
     """
-    axes = (DATA_AXIS, MODEL_AXIS)
-    n_shards = mesh.devices.size
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axes, None), P(), P(axes), P(axes), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    def local_search(corpus_local, queries, mask_local, coded_local, cells):
-        rows_local = corpus_local.shape[0]
-        shard = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
-            MODEL_AXIS
-        ) + jax.lax.axis_index(MODEL_AXIS)
-
-        local_k = min(k, rows_local)
-        dist, ids = distance_ops._topk_search_impl(
-            corpus_local, queries, mask_local, coded_local, cells, local_k, metric, block
-        )
-        scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
-        gids = jnp.where(ids >= 0, ids + shard * rows_local, -1)
-
-        all_scores = jax.lax.all_gather(scores, axes)
-        all_gids = jax.lax.all_gather(gids, axes)
-
-        q = queries.shape[0]
-        all_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * local_k)
-        all_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(q, n_shards * local_k)
-
-        top_scores, pos = jax.lax.top_k(all_scores, k)
-        top_gids = jnp.take_along_axis(all_gids, pos, axis=1)
-
-        out_dist = jnp.where(top_scores == distance_ops.NEG_INF, jnp.inf, -top_scores)
-        out_ids = jnp.where(top_scores == distance_ops.NEG_INF, -1, top_gids)
-        return out_dist, out_ids
-
-    return jax.jit(local_search)
+    return _build(mesh, k, metric, block, probed=True)
 
 
 def shard_corpus(

@@ -58,6 +58,9 @@ def source() -> pa.Table:
 
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
+    import os
+
+    os.environ["FENIX_ENABLE_FAULT_INJECTION"] = "1"
     root = str(tmp_path_factory.mktemp("fenix"))
     server = fenix_tpu.Server(root, host="127.0.0.1", port=0)
     thread = threading.Thread(target=server.serve, daemon=True)
