@@ -31,6 +31,11 @@ from fenix_tpu.ops import cells as cells_ops
 
 LOCATION: str = "indexes"
 
+__all__ = [
+    "CODE_COL", "DIST_COL", "QUERY_COL", "call", "drop", "drop_all",
+    "list", "load", "make", "path_of",
+]
+
 ASSIGN_BLOCK: int = 1 << 16  # rows per device assignment batch
 
 
