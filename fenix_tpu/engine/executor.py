@@ -66,11 +66,20 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
-def _search_packed(corpus, queries, aux_mul, aux_add, k, metric, corpus_scan=None):
+def _search_packed(
+    corpus, queries, aux_mul, aux_add, k, metric, corpus_scan=None, corpus_scan_int8=None
+):
     """Two-phase search returning one packed [2,Q,k] array — a single
     device→host roundtrip for (distances, ids)."""
     d, i = topk2.topk_two_phase(
-        corpus, queries, aux_mul, aux_add, k=k, metric=metric, corpus_scan=corpus_scan
+        corpus,
+        queries,
+        aux_mul,
+        aux_add,
+        k=k,
+        metric=metric,
+        corpus_scan=corpus_scan,
+        corpus_scan_int8=corpus_scan_int8,
     )
     return topk2.pack_result(d, i)
 
@@ -120,8 +129,9 @@ class SearchRequest:
     filter: expr_mod.Expr | None = None
     maxval: int | None = None
     probes: int | None = None
-    # "fp32" = exact; "bf16" = half-traffic phase-1 scan with exact
-    # fp32 rescore of candidates (recall ≈ 1, not guaranteed).
+    # "fp32" = exact; "bf16" / "int8" = half-/quarter-traffic phase-1
+    # scan with exact fp32 rescore of candidates (recall ≈ 1, not
+    # guaranteed).
     precision: str = "fp32"
     extra: dict[str, Any] = field(default_factory=dict)
 
@@ -261,6 +271,10 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             if req.precision == "bf16"
             else None
         )
+        corpus_scan_int8 = None
+        if req.precision == "int8":
+            v8, sv = cache.matrix_int8(req.source, req.column)
+            corpus_scan_int8 = (v8.data, sv.data)
         packed = _search_packed(
             corpus.data,
             queries,
@@ -269,6 +283,7 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             k=k_pad,
             metric=metric,
             corpus_scan=corpus_scan,
+            corpus_scan_int8=corpus_scan_int8,
         )
 
     dists, ids = topk2.unpack_result(packed)  # single roundtrip fetch

@@ -173,6 +173,26 @@ class DeviceCache:
 
         return self._memo(self._device, (key, column, "matrix_bf16"), stamp, build)
 
+    def matrix_int8(self, source: str | Sequence[str], column: str):
+        """Per-row symmetric int8 copy ``(v8, sv)`` of the vector column
+        for quarter-traffic phase-1 scans (opt-in ``precision="int8"``;
+        fp32 stays resident for the exact rescore). Padding rows are
+        zeros and quantize to zeros with scale ~0."""
+        from fenix_tpu.ops import topk2
+
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            full = self.matrix(source, column)
+            v8, sv = topk2.quantize_corpus_int8(full.data)
+            return (
+                ingest.DeviceColumn(data=v8, rows=full.rows),
+                ingest.DeviceColumn(data=sv, rows=full.rows),
+            )
+
+        return self._memo(self._device, (key, column, "matrix_int8"), stamp, build)
+
     def metric_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Cached per-row (aux_mul, aux_add) for the fused two-phase
         score (fenix_tpu.ops.topk2.prepare_aux) with padding rows

@@ -369,6 +369,7 @@ class Flight:
         precision: str = "fp32",
     ) -> pa.Table:
         assert metric in METRICS_SET, f"metric must be one of {sorted(METRICS_SET)}"
+        assert precision in ("fp32", "bf16", "int8"), precision
         if filter is not None and not isinstance(filter, expr_mod.Expr):
             raise TypeError("filter must be a fenix_tpu.expr.Expr")
 

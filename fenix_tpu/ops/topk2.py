@@ -37,6 +37,28 @@ from fenix_tpu.ops.distance import NEG_INF, canonical_metric, normalize
 BUCKET = 128  # rows per bucket = one sublane-tile group in the kernel
 BUCKET_PAD = 8  # extra buckets gathered for fp-rounding safety
 
+# Phase-1 strategy (measured on v5e, benchmarks/exp_phase1{,b}.py):
+# a single unblocked dot streams the corpus at ~96% of the achievable
+# HBM read rate, while a lax.scan over blocks stalls between steps
+# (~2.6x slower at Q=8). The dot materializes a [N, Q] f32/i32 tile in
+# HBM, so it only wins while that intermediate is modest; above the cap
+# we fall back to a scan whose per-step [Q, block] tile fits VMEM (XLA
+# then fuses the bucket-max into the matmul — zero intermediate
+# traffic, MXU-bound).
+ONESHOT_INTERMEDIATE_CAP = 4 << 30  # bytes of [N, Q] tile tolerated
+FUSABLE_TILE_BYTES = 8 << 20  # per-step [Q, block] tile target (≤ half VMEM)
+
+
+def _fusable_block(n: int, qt: int, requested: int | None = None) -> int:
+    """Largest power-of-two row block with a VMEM-fusable [qt, block]
+    f32 tile that divides ``n`` (corpora are padded to 16384-row
+    multiples upstream, so powers of two up to 16384 always divide)."""
+    want = requested or max(FUSABLE_TILE_BYTES // (4 * qt), BUCKET)
+    cand = min(want, n)
+    while cand > BUCKET and n % cand != 0:
+        cand //= 2
+    return cand
+
 
 def pack_result(dist: jax.Array, ids: jax.Array) -> jax.Array:
     """[Q,k] f32 + [Q,k] i32 → [2,Q,k] **int32** (distances bitcast).
@@ -96,6 +118,84 @@ def prepare_aux(
     return aux_mul, aux_add
 
 
+def quantize_corpus_int8(corpus: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: ``v ≈ sv · v8``.
+
+    Returns (v8 [N, D] int8, sv [N] f32). Quarter the scan traffic of
+    fp32; phase 2 always rescores in fp32 so returned distances are
+    exact — only bucket *selection* sees quantization error (recall ≈ 1
+    with the BUCKET_PAD margin; opt-in via the executor's
+    ``precision="int8"`` knob, same contract as bf16)."""
+    sv = jnp.max(jnp.abs(corpus), axis=-1) / 127.0
+    sv = jnp.maximum(sv, 1e-30)  # zero rows quantize to zeros
+    v8 = jnp.clip(jnp.round(corpus / sv[:, None]), -127, 127).astype(jnp.int8)
+    return v8, sv
+
+
+def quantize_queries_int8(queries_p: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-query symmetric int8 quantization of *prepared* queries.
+
+    Returns (q8 [Q, D] int8, inv_sq [Q] f32). The per-query scale is a
+    positive constant within each query's score row, so dividing
+    ``aux_add`` by it (instead of multiplying the dot) preserves the
+    per-query score ORDER exactly in real arithmetic."""
+    sq = jnp.max(jnp.abs(queries_p), axis=-1) / 127.0
+    sq = jnp.maximum(sq, 1e-30)
+    q8 = jnp.clip(jnp.round(queries_p / sq[:, None]), -127, 127).astype(jnp.int8)
+    return q8, 1.0 / sq
+
+
+def bucket_scores_scan_int8(
+    q8: jax.Array,  # [QT, D] int8
+    corpus8: jax.Array,  # [N, D] int8
+    aux_mul_s: jax.Array,  # [N] f32 — aux_mul · sv (corpus scale folded in)
+    aux_add: jax.Array,  # [N] f32
+    inv_sq: jax.Array,  # [QT] f32 — per-query 1/scale
+) -> jax.Array:  # [QT, N // BUCKET]
+    """int8 phase 1: s8[q,i] = (q8·v8)·sv_i·aux_mul_i + aux_add_i/sq_q.
+
+    The dot runs int8×int8→int32 on the MXU; scales fold into the f32
+    FMA epilogue. Per query this is the exact score divided by sq_q —
+    a positive constant — so bucket ranking matches fp32 up to int8
+    rounding of the dot."""
+    n, d = corpus8.shape
+    qt = q8.shape[0]
+
+    def fuse(s32, mb, ab):
+        s = s32.astype(jnp.float32) * mb[None, :] + ab[None, :] * inv_sq[:, None]
+        return s.reshape(qt, -1, BUCKET).max(axis=-1)
+
+    if n * qt * 4 <= ONESHOT_INTERMEDIATE_CAP:
+        s32 = jax.lax.dot_general(
+            q8,
+            corpus8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [QT, N]
+        return fuse(s32, aux_mul_s, aux_add)
+
+    block_rows = _fusable_block(n, qt)
+    nb = max(n // block_rows, 1)
+    xs = (
+        corpus8.reshape(nb, block_rows, d),
+        aux_mul_s.reshape(nb, block_rows),
+        aux_add.reshape(nb, block_rows),
+    )
+
+    def body(_, x):
+        vb, mb, ab = x
+        s32 = jax.lax.dot_general(
+            q8,
+            vb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [QT, block]
+        return None, fuse(s32, mb, ab)
+
+    _, stacked = jax.lax.scan(body, None, xs)
+    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
+
+
 def scores_to_distances(scores: jax.Array, queries: jax.Array, metric: str) -> jax.Array:
     """Exact distance from fused score (reference coder.py:38-50 values)."""
     metric = canonical_metric(metric)
@@ -116,16 +216,27 @@ def bucket_scores_xla(
     aux_mul: jax.Array,  # [N]
     aux_add: jax.Array,  # [N]
 ) -> jax.Array:  # [QT, N // BUCKET]
-    """Reference/CPU fallback for the Pallas kernel (same math)."""
+    """Unblocked phase 1: one dot over the whole corpus.
+
+    The production fast path for small query batches: XLA's dot
+    streams HBM at ~96% of the measured read ceiling, where a blocked
+    ``lax.scan`` stalls between steps (benchmarks/exp_phase1b.py). The
+    [QT, N] score tile it materializes costs QT/64 of the corpus bytes
+    in extra traffic — bucket_scores_scan switches to the blocked form
+    past ONESHOT_INTERMEDIATE_CAP."""
+    # bf16 corpus → bf16 accumulate + bf16 score tile: halves the
+    # materialized [QT, N] intermediate and doubles MXU rate
+    # (selection-only precision; rescore is fp32 upstream).
+    acc = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
     s = jax.lax.dot_general(
         queries_p,
         corpus,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
-    s = s * aux_mul[None, :] + aux_add[None, :]
+    s = s * aux_mul[None, :].astype(acc) + aux_add[None, :].astype(acc)
     qt, n = s.shape
-    return s.reshape(qt, n // BUCKET, BUCKET).max(axis=-1)
+    return s.reshape(qt, n // BUCKET, BUCKET).max(axis=-1).astype(jnp.float32)
 
 
 def _pallas_kernel(q_ref, v_ref, mul_ref, add_ref, out_ref):
@@ -185,29 +296,137 @@ def bucket_scores_pallas(
     return out.reshape(nb * buckets_per_block, qt).T
 
 
+# -- large-Q fused kernel ----------------------------------------------------
+#
+# For big query batches neither XLA form is free: the unblocked dot
+# materializes an [N, QT] tile in HBM (at Q=1024/1M rows that is 4 GB —
+# the measured 5 ms floor of exp_phase1b is exactly that tile's traffic)
+# and the VMEM-fusable scan stalls between steps. A Pallas kernel
+# computes the [BN, BQ] score tile in VMEM and writes only the [BN/128,
+# BQ] bucket maxima — 1/128th of the oneshot's intermediate traffic —
+# leaving the MXU as the only floor.
+
+_BIGQ_BN = 512  # corpus rows per grid cell
+_BIGQ_BQ = 256  # queries per grid cell
+
+
+def _bigq_kernel(q_ref, v_ref, mul_ref, add_ref, out_ref):
+    """One (row-block, query-tile) cell: [BN, BQ] scores in VMEM,
+    per-128-row bucket maxima out. Rows ride sublanes; queries ride
+    lanes (BQ = 2 lane tiles, no layout waste — the round-1 kernel's
+    QT=8 lane dim wasted 15/16 of every vector op)."""
+    s = jax.lax.dot_general(
+        v_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BN, BQ]
+    s = s * mul_ref[:][:, None] + add_ref[:][:, None]
+    for j in range(_BIGQ_BN // BUCKET):
+        out_ref[j, :] = jnp.max(s[j * BUCKET : (j + 1) * BUCKET], axis=0)
+
+
+def _bigq_kernel_int8(q_ref, v_ref, mul_ref, add_ref, inv_sq_ref, out_ref):
+    s32 = jax.lax.dot_general(
+        v_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [BN, BQ]
+    s = s32.astype(jnp.float32) * mul_ref[:][:, None] + add_ref[:][:, None] * inv_sq_ref[:][None, :]
+    for j in range(_BIGQ_BN // BUCKET):
+        out_ref[j, :] = jnp.max(s[j * BUCKET : (j + 1) * BUCKET], axis=0)
+
+
+def bucket_scores_pallas_bigq(
+    queries_p: jax.Array,  # [QT, D] f32/bf16 — or int8 with scales below
+    corpus: jax.Array,  # [N, D] same dtype family
+    aux_mul: jax.Array,  # [N] f32
+    aux_add: jax.Array,  # [N] f32
+    inv_sq: jax.Array | None = None,  # [QT] f32 — int8 path only
+    interpret: bool = False,
+) -> jax.Array:  # [QT, N // BUCKET]
+    """Fused matmul + bucket-max for query batches ≥ _BIGQ_BQ.
+
+    Grid is (N blocks, Q tiles) with Q innermost, so each corpus block
+    is DMA'd once and revisited for every query tile; output traffic is
+    corpus_bytes/128 per query tile. QT and N must be multiples of the
+    tile sizes (the executor's canonical shapes guarantee this)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    qt, d = queries_p.shape
+    n = corpus.shape[0]
+    assert qt % _BIGQ_BQ == 0 and n % _BIGQ_BN == 0, (qt, n)
+    ni, nj = n // _BIGQ_BN, qt // _BIGQ_BQ
+    bpb = _BIGQ_BN // BUCKET
+
+    int8_mode = inv_sq is not None
+    kernel = _bigq_kernel_int8 if int8_mode else _bigq_kernel
+    in_specs = [
+        pl.BlockSpec((_BIGQ_BQ, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BIGQ_BN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BIGQ_BN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BIGQ_BN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+    ]
+    args = [queries_p, corpus, aux_mul, aux_add]
+    if int8_mode:
+        in_specs.append(
+            pl.BlockSpec((_BIGQ_BQ,), lambda i, j: (j,), memory_space=pltpu.VMEM)
+        )
+        args.append(inv_sq)
+
+    itemsize = corpus.dtype.itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid=(ni, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bpb, _BIGQ_BQ), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n // BUCKET, qt), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            # corpus blocks load once (v's index map ignores j); query
+            # tiles reload per row block (tiny).
+            flops=2 * n * qt * d,
+            bytes_accessed=n * d * itemsize + n * 8 + qt * d * itemsize * ni
+            + (n // BUCKET) * qt * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.T  # [QT, N/128]
+
+
 def bucket_scores_scan(
     queries_p: jax.Array,  # [QT, D]
     corpus: jax.Array,  # [N, D]
     aux_mul: jax.Array,
     aux_add: jax.Array,
-    block_rows: int = 262144,
 ) -> jax.Array:  # [QT, N // BUCKET]
-    """Phase 1 as a ``lax.scan`` over corpus blocks.
+    """Phase 1: one unblocked dot when the [N, QT] intermediate is
+    affordable (streams the corpus at ~the HBM read ceiling — measured
+    470 GB/s vs 184 GB/s for the blocked scan, which stalls between
+    steps; benchmarks/exp_phase1b.py), else a ``lax.scan`` over
+    VMEM-fusable blocks (XLA fuses matmul → scale/shift → bucket-max
+    per step — zero intermediate traffic, MXU-bound).
 
-    Each step is matmul → scale/shift → per-bucket max — XLA fuses the
-    reduction into the matmul consumer, so per-step traffic is the
-    corpus block plus the tiny [QT, block/128] summary. No per-block
-    ``top_k``, no cross-block carry: selection happens once at the end
-    (topk_two_phase). Compiles as plain XLA — the safe default until
-    the Pallas kernel wins.
+    No per-block ``top_k``, no cross-block carry: selection happens
+    once at the end (topk_two_phase).
     """
     n, d = corpus.shape
     qt = queries_p.shape[0]
-    # largest power-of-two block ≤ block_rows that divides N_pad
-    cand = min(block_rows, n)
-    while cand > BUCKET and n % cand != 0:
-        cand //= 2
-    block_rows = cand
+
+    # bf16 corpus → bf16 score tiles: halves the materialized s-tile
+    # traffic and doubles MXU rate; selection-only precision (the final
+    # top_k over bucket maxima happens in f32 upstream).
+    acc_dtype = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
+    acc_bytes = 2 if acc_dtype == jnp.bfloat16 else 4
+
+    if n * qt * acc_bytes <= ONESHOT_INTERMEDIATE_CAP:
+        return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add)
+
+    block_rows = _fusable_block(n, qt)
     if n % block_rows != 0 or n == block_rows:
         return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add)
     nb = n // block_rows
@@ -217,11 +436,6 @@ def bucket_scores_scan(
         aux_mul.reshape(nb, block_rows),
         aux_add.reshape(nb, block_rows),
     )
-
-    # bf16 corpus → bf16 score tiles: halves the materialized s-tile
-    # traffic and doubles MXU rate; selection-only precision (the final
-    # top_k over bucket maxima happens in f32 upstream).
-    acc_dtype = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
 
     def body(_, x):
         vb, mb, ab = x
@@ -247,16 +461,16 @@ def bucket_scores_scan_probed(
     aux_add: jax.Array,
     coded: jax.Array,  # [N] int32 cell ids
     cells: jax.Array,  # [QT, P] per-query probe cells
-    block_rows: int = 262144,
+    block_rows: int | None = None,
 ) -> jax.Array:  # [QT, N // BUCKET]
     """Phase 1 with per-query IVF probe masks applied inside the scan
-    (reference index.py:113-126 semantics, per query)."""
+    (reference index.py:113-126 semantics, per query). Blocks are
+    VMEM-fusable like bucket_scores_scan; the per-query probe mask
+    rules out the unblocked-dot fast path (the [QT, block, P] compare
+    must stay a fused VMEM tile)."""
     n, d = corpus.shape
     qt = queries_p.shape[0]
-    cand = min(block_rows, n)
-    while cand > BUCKET and n % cand != 0:
-        cand //= 2
-    block_rows = cand
+    block_rows = _fusable_block(n, qt, block_rows)
     nb = max(n // block_rows, 1)
 
     xs = (
@@ -284,6 +498,55 @@ def bucket_scores_scan_probed(
     return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
 
 
+# Group width for hierarchical bucket selection (one lane tile).
+_SEL_GROUP = 128
+
+
+def topk_buckets(bucket_max: jax.Array, kp: int) -> jax.Array:
+    """Exact top-``kp`` bucket indices per query, hierarchical.
+
+    ``lax.top_k`` over the full [Q, N/128] bucket-max row is the single
+    most expensive op at large Q (measured 25.6 ms of a 39 ms query at
+    Q=1024, N=1M — benchmarks/exp_phase2.py): TPU top-k is sort-based.
+    Instead: group-max over 128-bucket groups → top-kp *groups* (at most
+    kp groups can hold a value ≥ the kp-th best, same coverage argument
+    as the bucket trick itself) → gather those groups' bucket maxima →
+    top-kp over kp·128 candidates. Stable order is preserved: groups
+    are gathered in ascending index order, so ``lax.top_k``'s
+    earliest-on-tie rule keeps resolving ties to the smallest bucket id.
+
+    Returns bucket indices [Q, kp] (scores are not needed upstream).
+    """
+    q, nb = bucket_max.shape
+    if kp > _SEL_GROUP or nb < 8 * _SEL_GROUP or nb <= 2 * kp * _SEL_GROUP:
+        _, bidx = jax.lax.top_k(bucket_max, kp)
+        return bidx
+
+    pad = (-nb) % _SEL_GROUP
+    if pad:
+        bucket_max = jnp.concatenate(
+            [bucket_max, jnp.full((q, pad), NEG_INF, bucket_max.dtype)], axis=1
+        )
+    g = bucket_max.shape[1] // _SEL_GROUP
+    grouped = bucket_max.reshape(q, g, _SEL_GROUP)
+    gmax = grouped.max(axis=-1)  # [Q, g]
+
+    kg = min(kp, g)
+    _, gidx = jax.lax.top_k(gmax, kg)  # [Q, kg], stable
+    gidx = jnp.sort(gidx, axis=-1)  # ascending → candidate order = id order
+
+    cand = jnp.take_along_axis(grouped, gidx[:, :, None], axis=1)  # [Q, kg, 128]
+    cand = cand.reshape(q, kg * _SEL_GROUP)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _SEL_GROUP), 2)
+    cand_ids = (gidx[:, :, None] * _SEL_GROUP + lane).reshape(q, kg * _SEL_GROUP)
+
+    _, pos = jax.lax.top_k(cand, kp)
+    bidx = jnp.take_along_axis(cand_ids, pos, axis=1)
+    # padding groups carry −inf and are only picked when fewer than kp
+    # real buckets exist; clamp their synthetic ids into range
+    return jnp.minimum(bidx, nb - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
 def topk_two_phase_probed(
     corpus: jax.Array,  # [N_pad, D]
@@ -294,7 +557,7 @@ def topk_two_phase_probed(
     cells: jax.Array,  # [Q, P] int32 probe cells per query
     k: int,
     metric: str,
-    block_rows: int = 262144,
+    block_rows: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Probed (IVF) exact-within-probes top-k, two-phase."""
     metric = canonical_metric(metric)
@@ -308,7 +571,7 @@ def topk_two_phase_probed(
     )
 
     kp = min(k + BUCKET_PAD, n_buckets)
-    _, bidx = jax.lax.top_k(bucket_max, kp)
+    bidx = topk_buckets(bucket_max, kp)
     bidx = jnp.sort(bidx, axis=-1)
 
     rows = corpus.reshape(n_buckets, BUCKET, d)
@@ -382,15 +645,17 @@ def topk_two_phase(
     metric: str,
     block_rows: int = 262144,
     corpus_scan: jax.Array | None = None,
+    corpus_scan_int8: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k: (distances [Q, k], row ids [Q, k]; +inf / −1 padding).
 
     ``corpus_scan`` optionally substitutes a lower-precision (bf16)
-    copy for phase 1 — half the HBM scan traffic. Phase 2 always
-    rescores candidates against the fp32 ``corpus``, so returned
-    distances stay exact fp32; only bucket *selection* becomes
-    approximate (recall ≈ 1 with the BUCKET_PAD margin; opt-in via the
-    executor's ``precision`` knob)."""
+    copy for phase 1 — half the HBM scan traffic. ``corpus_scan_int8``
+    is a ``(v8, sv)`` pair from :func:`quantize_corpus_int8` — quarter
+    traffic, int8 MXU dot. Phase 2 always rescores candidates against
+    the fp32 ``corpus``, so returned distances stay exact fp32; only
+    bucket *selection* becomes approximate (recall ≈ 1 with the
+    BUCKET_PAD margin; opt-in via the executor's ``precision`` knob)."""
     metric = canonical_metric(metric)
     n, d = corpus.shape
     q = queries.shape[0]
@@ -398,16 +663,23 @@ def topk_two_phase(
 
     queries_p = prepare_queries(queries, metric)
 
-    scan_c = corpus if corpus_scan is None else corpus_scan
-    scan_q = queries_p if corpus_scan is None else queries_p.astype(corpus_scan.dtype)
-
-    if _use_pallas():
-        bucket_max = bucket_scores_pallas(scan_q, scan_c, aux_mul, aux_add, block_rows)
+    if corpus_scan_int8 is not None:
+        v8, sv = corpus_scan_int8
+        q8, inv_sq = quantize_queries_int8(queries_p)
+        bucket_max = bucket_scores_scan_int8(q8, v8, aux_mul * sv, aux_add, inv_sq)
     else:
-        bucket_max = bucket_scores_scan(scan_q, scan_c, aux_mul, aux_add)
+        scan_c = corpus if corpus_scan is None else corpus_scan
+        scan_q = queries_p if corpus_scan is None else queries_p.astype(corpus_scan.dtype)
 
-    kp = min(k + BUCKET_PAD, n_buckets)
-    _, bidx = jax.lax.top_k(bucket_max, kp)  # [Q, kp], stable ties
+        if _use_pallas():
+            bucket_max = bucket_scores_pallas(scan_q, scan_c, aux_mul, aux_add, block_rows)
+        else:
+            bucket_max = bucket_scores_scan(scan_q, scan_c, aux_mul, aux_add)
+
+    # int8 selection error exceeds bf16's — widen the candidate margin
+    pad = BUCKET_PAD * 2 if corpus_scan_int8 is not None else BUCKET_PAD
+    kp = min(k + pad, n_buckets)
+    bidx = topk_buckets(bucket_max, kp)  # stable ties → smallest bucket id
     # gather in ascending bucket order so final ties resolve to smallest id
     bidx = jnp.sort(bidx, axis=-1)
 

@@ -207,3 +207,33 @@ def test_multi_source_search(root, rng):
         [np.arange(ROWS), np.arange(ROWS, ROWS + 500)]
     )
     np.testing.assert_array_equal(np.asarray(result.column("id")), all_ids[want_pos[0]])
+
+
+@pytest.mark.parametrize("precision", ["bf16", "int8"])
+def test_quantized_scan_precision_end_to_end(root, rng, precision):
+    """precision="bf16"/"int8" through the executor: high recall,
+    exact fp32 distances on the returned rows."""
+    from fenix_tpu.engine import executor as ex
+
+    k = 10
+    target = rng.standard_normal((4, DIM)).astype(np.float32)
+    cache = ex.get_cache(root)
+    out = ex.execute_search(
+        cache,
+        ex.SearchRequest(
+            source="test/table", column="vector", target=target,
+            metric="cosine", maxval=k, precision=precision,
+        ),
+    )
+    assert out.num_rows == 4 * k
+
+    exact = oracles.distance(target, corpus(root), "cosine")
+    _, want_i = oracles.topk(exact, k)
+    got_ids = np.asarray(out.column("id")).reshape(4, k)
+    got_d = np.asarray(out.column(ex.DIST_COL)).reshape(4, k)
+    recall = np.mean([
+        len(set(got_ids[i].tolist()) & set(want_i[i].tolist())) / k for i in range(4)
+    ])
+    assert recall >= 0.95
+    for i in range(4):
+        np.testing.assert_allclose(got_d[i], exact[i][got_ids[i]], rtol=1e-4, atol=1e-5)

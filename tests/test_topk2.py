@@ -149,3 +149,102 @@ def test_two_phase_bf16_scan_high_recall(rng):
         np.testing.assert_allclose(
             np.asarray(dist)[i], exact[i][got_ids[i]], rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "dot"])
+def test_two_phase_int8_scan_high_recall(rng, metric):
+    n, d, q, k = 4096, 32, 8, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, metric)
+
+    v8, sv = topk2.quantize_corpus_int8(jnp.asarray(corpus))
+    assert v8.dtype == jnp.int8 and sv.shape == (n,)
+
+    dist, ids = topk2.topk_two_phase(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add,
+        k=k, metric=metric,
+        corpus_scan_int8=(v8, sv),
+    )
+    _, want_i = oracles.topk(oracles.distance(queries, corpus, metric), k)
+
+    recall = np.mean([
+        len(set(ids[i].tolist()) & set(want_i[i].tolist())) / k for i in range(q)
+    ])
+    assert recall >= 0.95
+    # distances of returned rows are the exact fp32 values
+    got_ids = np.asarray(ids)
+    exact = oracles.distance(queries, corpus, metric)
+    for i in range(q):
+        np.testing.assert_allclose(
+            np.asarray(dist)[i], exact[i][got_ids[i]], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_int8_quantization_respects_filter_mask(rng):
+    """-inf overlays in aux_add must survive the per-query 1/sq scaling."""
+    n, d, q, k = 1024, 16, 4, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    mask = rng.random(n) < 0.3
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), jnp.asarray(mask), "l2")
+    v8, sv = topk2.quantize_corpus_int8(jnp.asarray(corpus))
+
+    dist, ids = topk2.topk_two_phase(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add,
+        k=k, metric="l2", corpus_scan_int8=(v8, sv),
+    )
+    ids = np.asarray(ids)
+    allowed = set(np.flatnonzero(mask).tolist())
+    for i in range(q):
+        returned = set(ids[i][ids[i] >= 0].tolist())
+        assert returned <= allowed
+
+
+def test_bigq_pallas_matches_xla_interpret(rng):
+    n, d, qt = 1024, 128, 256
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((qt, d)).astype(np.float32)
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "l2")
+
+    want = np.asarray(topk2.bucket_scores_xla(
+        jnp.asarray(queries), jnp.asarray(corpus), aux_mul, aux_add))
+    got = np.asarray(topk2.bucket_scores_pallas_bigq(
+        jnp.asarray(queries), jnp.asarray(corpus), aux_mul, aux_add, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bigq_pallas_int8_matches_reference_math(rng):
+    n, d, qt = 1024, 128, 256
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((qt, d)).astype(np.float32)
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "l2")
+
+    v8, sv = topk2.quantize_corpus_int8(jnp.asarray(corpus))
+    qp = topk2.prepare_queries(jnp.asarray(queries), "l2")
+    q8, inv_sq = topk2.quantize_queries_int8(qp)
+
+    want = np.asarray(topk2.bucket_scores_scan_int8(q8, v8, aux_mul * sv, aux_add, inv_sq))
+    got = np.asarray(topk2.bucket_scores_pallas_bigq(
+        q8, v8, aux_mul * sv, aux_add, inv_sq=inv_sq, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_topk_buckets_hierarchical_matches_flat_with_ties(rng):
+    """Hierarchical bucket selection must equal flat lax.top_k exactly,
+    including stable tie order (small integer values force heavy ties)."""
+    q, nb, kp = 16, 4096, 4  # nb > 2*kp*128 → hierarchical path
+    bm = rng.integers(0, 7, (q, nb)).astype(np.float32)
+    bm[0, :] = 3.0  # one row all-ties
+    bm[1, -kp:] = 100.0  # winners at the very end
+    got = np.asarray(topk2.topk_buckets(jnp.asarray(bm), kp))
+    _, want = jax.lax.top_k(jnp.asarray(bm), kp)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_topk_buckets_flat_fallback(rng):
+    q, nb, kp = 4, 256, 8  # too narrow → flat path
+    bm = rng.standard_normal((q, nb)).astype(np.float32)
+    got = np.asarray(topk2.topk_buckets(jnp.asarray(bm), kp))
+    _, want = jax.lax.top_k(jnp.asarray(bm), kp)
+    np.testing.assert_array_equal(got, np.asarray(want))
