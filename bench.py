@@ -76,28 +76,30 @@ def main() -> None:
     t_batch = timed(q=q_big, iters=10)
     qps = q_big / t_batch
 
-    # opt-in bf16 phase-1 scan (exact fp32 rescore) — recall≈1 fast path
+    # opt-in quantized phase-1 scans (exact fp32 rescore) — recall≈1
     corpus_bf16 = corpus.astype(jnp.bfloat16)
+    v8, sv = topk2.quantize_corpus_int8(corpus)
 
-    def timed_bf16(q: int, iters: int) -> float:
+    def timed_kw(q: int, iters: int, **kw) -> float:
         queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
         np.asarray(
             topk2.topk_two_phase(
-                corpus, queries, aux_mul, aux_add, k=k_pad, metric="cosine",
-                corpus_scan=corpus_bf16,
+                corpus, queries, aux_mul, aux_add, k=k_pad, metric="cosine", **kw
             )[0]
         )
         start = time.perf_counter()
         for _ in range(iters):
             out = topk2.topk_two_phase(
-                corpus, queries, aux_mul, aux_add, k=k_pad, metric="cosine",
-                corpus_scan=corpus_bf16,
+                corpus, queries, aux_mul, aux_add, k=k_pad, metric="cosine", **kw
             )
         np.asarray(out[0])
         return (time.perf_counter() - start) / iters
 
-    t_batch_bf16 = timed_bf16(q=q_big, iters=10)
+    t_batch_bf16 = timed_kw(q=q_big, iters=10, corpus_scan=corpus_bf16)
     qps_bf16 = q_big / t_batch_bf16
+    t_batch_int8 = timed_kw(q=q_big, iters=10, corpus_scan_int8=(v8, sv))
+    qps_int8 = q_big / t_batch_int8
+    t_scan_int8 = timed_kw(q=8, iters=20, corpus_scan_int8=(v8, sv))
 
     result = {
         "metric": "scan_rows_per_sec_per_chip_1Mx128_cosine_top10",
@@ -110,6 +112,8 @@ def main() -> None:
             "scan_gbytes_per_s": round(scan_bytes_per_s / 1e9, 2),
             "qps_batch1024": round(qps, 1),
             "qps_batch1024_bf16scan": round(qps_bf16, 1),
+            "qps_batch1024_int8scan": round(qps_int8, 1),
+            "scan_rows_per_s_int8": round(n / t_scan_int8, 1),
             "scan_seconds": round(t_scan, 5),
             "batch1024_seconds": round(t_batch, 5),
         },

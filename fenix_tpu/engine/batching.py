@@ -1,0 +1,160 @@
+"""Work-conserving search micro-batching.
+
+The device tunnel charges a fixed ~2.5 ms per dispatch (docs/DESIGN.md
+playbook), so N concurrent single-query searches issued individually
+serialize into N × (overhead + scan). This module coalesces them: a
+per-root dispatcher thread drains every queued *compatible* request at
+once and runs them as ONE device call
+(fenix_tpu.engine.executor.execute_search_batched). When the server is
+idle a lone request is dispatched immediately — batching adds no
+latency; under load batches form exactly as fast as the device drains
+them.
+
+Compatibility (executor.batchable/batch_key): same (source, column,
+metric, precision), top-k requests without filter or coding. Everything
+else runs solo on the caller's thread, same as before.
+
+The reference has no analog (one request = one full torch pass,
+/root/reference/src/fenix/flight.py:62-77); this is the TPU-native
+answer to its implicit thread-pool concurrency.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+
+import pyarrow as pa
+
+from fenix_tpu.engine import executor
+from fenix_tpu.engine.session import DeviceCache
+
+# Upper bound on coalesced queries per dispatch — keeps the jit shape
+# within the canonical Q steps and bounds rescore gather staging.
+MAX_BATCH_QUERIES = 4096
+
+
+class _Item:
+    __slots__ = ("req", "queries", "result", "error", "done")
+
+    def __init__(self, req: executor.SearchRequest, queries: int) -> None:
+        self.req = req
+        self.queries = queries
+        self.result: pa.Table | None = None
+        self.error: BaseException | None = None
+        self.done = threading.Event()
+
+
+class SearchBatcher:
+    """Queue + dispatcher thread for one root's DeviceCache."""
+
+    def __init__(self, cache: DeviceCache, max_queries: int = MAX_BATCH_QUERIES) -> None:
+        self.cache = cache
+        self.max_queries = max_queries
+        self._queue: deque[_Item] = deque()
+        self._cv = threading.Condition()
+        self._thread: threading.Thread | None = None
+
+    # -- public -----------------------------------------------------------
+
+    def submit(self, req: executor.SearchRequest) -> pa.Table:
+        if not executor.batchable(req):
+            return executor.execute_search(self.cache, req)
+
+        queries = _query_count(req.target)
+        if queries is None or queries > self.max_queries // 2:
+            return executor.execute_search(self.cache, req)
+
+        item = _Item(req, queries)
+        with self._cv:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._run, name="fenix-search-batcher", daemon=True
+                )
+                self._thread.start()
+            self._queue.append(item)
+            self._cv.notify()
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        assert item.result is not None
+        return item.result
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _drain(self) -> list[_Item]:
+        """Take everything queued (bounded), waiting if empty."""
+        with self._cv:
+            while not self._queue:
+                self._cv.wait()
+            items: list[_Item] = []
+            total = 0
+            while self._queue and total + self._queue[0].queries <= self.max_queries:
+                item = self._queue.popleft()
+                items.append(item)
+                total += item.queries
+            return items
+
+    def _run(self) -> None:
+        while True:
+            items = self._drain()
+            groups: dict[tuple, list[_Item]] = {}
+            for item in items:
+                groups.setdefault(executor.batch_key(item.req), []).append(item)
+            for group in groups.values():
+                self._execute(group)
+
+    def _execute(self, group: list[_Item]) -> None:
+        try:
+            results = executor.execute_search_batched(
+                self.cache, [item.req for item in group]
+            )
+            for item, result in zip(group, results):
+                item.result = result
+        except BaseException as exc:  # noqa: BLE001 — delivered to callers
+            if len(group) > 1:
+                # A poisoned batch (e.g. one bad target dim) must not
+                # fail innocent neighbors: retry each solo.
+                for item in group:
+                    try:
+                        item.result = executor.execute_search(self.cache, item.req)
+                    except BaseException as solo_exc:  # noqa: BLE001
+                        item.error = solo_exc
+            else:
+                group[0].error = exc
+        finally:
+            for item in group:
+                item.done.set()
+
+
+def _query_count(target) -> int | None:
+    """Number of queries in a target, or None if unknown (solo path)."""
+    import numpy as np
+
+    if isinstance(target, pa.Table) or isinstance(target, pa.ChunkedArray):
+        return len(target)
+    if isinstance(target, pa.Array):
+        return len(target) if pa.types.is_fixed_size_list(target.type) else 1
+    try:
+        arr = np.asarray(target)
+    except Exception:
+        return None
+    if arr.ndim == 1:
+        return 1
+    if arr.ndim == 2:
+        return int(arr.shape[0])
+    return None
+
+
+_BATCHERS: dict[int, SearchBatcher] = {}
+_BATCHERS_LOCK = threading.Lock()
+
+
+def get_batcher(cache: DeviceCache) -> SearchBatcher:
+    key = id(cache)
+    with _BATCHERS_LOCK:
+        batcher = _BATCHERS.get(key)
+        if batcher is None or batcher.cache is not cache:
+            batcher = SearchBatcher(cache)
+            _BATCHERS[key] = batcher
+        return batcher

@@ -9,7 +9,7 @@ from typing import Any
 import pyarrow as pa
 
 from fenix_tpu import expr as expr_mod
-from fenix_tpu.engine import analytics, executor
+from fenix_tpu.engine import analytics, batching, executor
 from fenix_tpu.engine.session import DeviceCache
 
 
@@ -45,4 +45,7 @@ def run_search_config(cache: DeviceCache, config: dict[str, Any], target: Any) -
                 else None
             ),
         )
-    return executor.execute_search(cache, req)
+    # Concurrent compatible searches coalesce into one device dispatch
+    # (amortizes the fixed per-dispatch tunnel latency; solo requests
+    # pass straight through).
+    return batching.get_batcher(cache).submit(req)

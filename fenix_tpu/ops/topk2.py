@@ -46,7 +46,9 @@ BUCKET_PAD = 8  # extra buckets gathered for fp-rounding safety
 # then fuses the bucket-max into the matmul — zero intermediate
 # traffic, MXU-bound).
 ONESHOT_INTERMEDIATE_CAP = 4 << 30  # bytes of [N, Q] tile tolerated
+ONESHOT_MAX_Q = 32  # above this the [N, Q] tile outweighs the corpus read
 FUSABLE_TILE_BYTES = 8 << 20  # per-step [Q, block] tile target (≤ half VMEM)
+_RESCORE_GATHER_CAP = 2 << 30  # phase-2 [Q, kp, 128, D] gather staging cap
 
 
 def _fusable_block(n: int, qt: int, requested: int | None = None) -> int:
@@ -165,7 +167,12 @@ def bucket_scores_scan_int8(
         s = s32.astype(jnp.float32) * mb[None, :] + ab[None, :] * inv_sq[:, None]
         return s.reshape(qt, -1, BUCKET).max(axis=-1)
 
-    if n * qt * 4 <= ONESHOT_INTERMEDIATE_CAP:
+    # At large Q the oneshot's [N, QT] int32 intermediate materializes
+    # in HBM (the bucket-max no longer fuses into the dot once it has a
+    # real consumer) and costs more than the corpus read; the
+    # VMEM-fusable scan avoids it entirely (21 vs 42 ms end-to-end at
+    # Q=1024/1M, benchmarks/exp_twophase.py run 2 vs 3).
+    if qt <= ONESHOT_MAX_Q and n * qt * 4 <= ONESHOT_INTERMEDIATE_CAP:
         s32 = jax.lax.dot_general(
             q8,
             corpus8,
@@ -423,7 +430,7 @@ def bucket_scores_scan(
     acc_dtype = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
     acc_bytes = 2 if acc_dtype == jnp.bfloat16 else 4
 
-    if n * qt * acc_bytes <= ONESHOT_INTERMEDIATE_CAP:
+    if qt <= ONESHOT_MAX_Q and n * qt * acc_bytes <= ONESHOT_INTERMEDIATE_CAP:
         return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add)
 
     block_rows = _fusable_block(n, qt)
@@ -594,7 +601,8 @@ def topk_two_phase_probed(
         top_s, pos = jax.lax.top_k(s, kk)
         return top_s, jnp.take_along_axis(ids, pos, axis=1)
 
-    chunk = min(q, 64)
+    per_query = kp * BUCKET * d * 4
+    chunk = min(q, max(64, _RESCORE_GATHER_CAP // per_query))
     pad_rows = (-q) % chunk
     if pad_rows:
         queries_p2 = jnp.concatenate([queries_p, jnp.zeros((pad_rows, d), queries_p.dtype)])
@@ -702,7 +710,12 @@ def topk_two_phase(
         top_s, pos = jax.lax.top_k(s, kk)
         return top_s, jnp.take_along_axis(ids, pos, axis=1)
 
-    chunk = min(q, 64)
+    # Chunk only when the [Q, kp, 128, D] gather would exceed the HBM
+    # staging budget — lax.map serializes its steps, and 16 small
+    # chunked top_k calls cost ~25 ms at Q=1024 where the unchunked
+    # rescore runs in ~10 ms (benchmarks/exp_phase2.py p2_full_nomap).
+    per_query = kp * BUCKET * d * 4
+    chunk = min(q, max(64, _RESCORE_GATHER_CAP // per_query))
     if q % chunk != 0:
         pad_rows = (-q) % chunk
         queries_p2 = jnp.concatenate([queries_p, jnp.zeros((pad_rows, d), queries_p.dtype)])
