@@ -105,6 +105,11 @@ class SearchBatcher:
                 self._execute(group)
 
     def _execute(self, group: list[_Item]) -> None:
+        from fenix_tpu.utils.metrics import GLOBAL
+
+        GLOBAL.add("batch.dispatches")
+        GLOBAL.add("batch.requests", len(group))
+        GLOBAL.add("batch.queries", sum(item.queries for item in group))
         try:
             results = executor.execute_search_batched(
                 self.cache, [item.req for item in group]

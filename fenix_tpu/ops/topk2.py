@@ -35,6 +35,12 @@ import jax.numpy as jnp
 from fenix_tpu.ops.distance import NEG_INF, canonical_metric, normalize
 
 BUCKET = 128  # rows per bucket = one sublane-tile group in the kernel
+# Finer rescore granularity for big query batches: phase-2 gather
+# traffic is kp·bucket·D per query, and at Q=1024 the 32-row bucket
+# measured 16.0 vs 19.4 ms (benchmarks/exp_bucket.py); at Q≤64 the
+# coarse bucket's cheaper phase-1 reduction wins (3.3 vs 4.6 ms).
+BUCKET_LARGE_Q = 32
+_BUCKET_SWITCH_Q = 64  # above this query count use BUCKET_LARGE_Q
 BUCKET_PAD = 8  # extra buckets gathered for fp-rounding safety
 
 # Phase-1 strategy (measured on v5e, benchmarks/exp_phase1{,b}.py):
@@ -153,7 +159,8 @@ def bucket_scores_scan_int8(
     aux_mul_s: jax.Array,  # [N] f32 — aux_mul · sv (corpus scale folded in)
     aux_add: jax.Array,  # [N] f32
     inv_sq: jax.Array,  # [QT] f32 — per-query 1/scale
-) -> jax.Array:  # [QT, N // BUCKET]
+    bucket: int = BUCKET,
+) -> jax.Array:  # [QT, N // bucket]
     """int8 phase 1: s8[q,i] = (q8·v8)·sv_i·aux_mul_i + aux_add_i/sq_q.
 
     The dot runs int8×int8→int32 on the MXU; scales fold into the f32
@@ -165,7 +172,7 @@ def bucket_scores_scan_int8(
 
     def fuse(s32, mb, ab):
         s = s32.astype(jnp.float32) * mb[None, :] + ab[None, :] * inv_sq[:, None]
-        return s.reshape(qt, -1, BUCKET).max(axis=-1)
+        return s.reshape(qt, -1, bucket).max(axis=-1)
 
     # At large Q the oneshot's [N, QT] int32 intermediate materializes
     # in HBM (the bucket-max no longer fuses into the dot once it has a
@@ -200,7 +207,7 @@ def bucket_scores_scan_int8(
         return None, fuse(s32, mb, ab)
 
     _, stacked = jax.lax.scan(body, None, xs)
-    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
+    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // bucket)
 
 
 def scores_to_distances(scores: jax.Array, queries: jax.Array, metric: str) -> jax.Array:
@@ -222,7 +229,8 @@ def bucket_scores_xla(
     corpus: jax.Array,  # [N, D]
     aux_mul: jax.Array,  # [N]
     aux_add: jax.Array,  # [N]
-) -> jax.Array:  # [QT, N // BUCKET]
+    bucket: int = BUCKET,
+) -> jax.Array:  # [QT, N // bucket]
     """Unblocked phase 1: one dot over the whole corpus.
 
     The production fast path for small query batches: XLA's dot
@@ -243,7 +251,7 @@ def bucket_scores_xla(
     )
     s = s * aux_mul[None, :].astype(acc) + aux_add[None, :].astype(acc)
     qt, n = s.shape
-    return s.reshape(qt, n // BUCKET, BUCKET).max(axis=-1).astype(jnp.float32)
+    return s.reshape(qt, n // bucket, bucket).max(axis=-1).astype(jnp.float32)
 
 
 def _pallas_kernel(q_ref, v_ref, mul_ref, add_ref, out_ref):
@@ -410,7 +418,8 @@ def bucket_scores_scan(
     corpus: jax.Array,  # [N, D]
     aux_mul: jax.Array,
     aux_add: jax.Array,
-) -> jax.Array:  # [QT, N // BUCKET]
+    bucket: int = BUCKET,
+) -> jax.Array:  # [QT, N // bucket]
     """Phase 1: one unblocked dot when the [N, QT] intermediate is
     affordable (streams the corpus at ~the HBM read ceiling — measured
     470 GB/s vs 184 GB/s for the blocked scan, which stalls between
@@ -431,11 +440,11 @@ def bucket_scores_scan(
     acc_bytes = 2 if acc_dtype == jnp.bfloat16 else 4
 
     if qt <= ONESHOT_MAX_Q and n * qt * acc_bytes <= ONESHOT_INTERMEDIATE_CAP:
-        return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add)
+        return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add, bucket)
 
     block_rows = _fusable_block(n, qt)
     if n % block_rows != 0 or n == block_rows:
-        return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add)
+        return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add, bucket)
     nb = n // block_rows
 
     xs = (
@@ -453,11 +462,11 @@ def bucket_scores_scan(
             preferred_element_type=acc_dtype,
         )
         s = s * mb[None, :].astype(acc_dtype) + ab[None, :].astype(acc_dtype)
-        out = s.reshape(qt, block_rows // BUCKET, BUCKET).max(axis=-1)
+        out = s.reshape(qt, block_rows // bucket, bucket).max(axis=-1)
         return None, out
 
-    _, stacked = jax.lax.scan(body, None, xs)  # [nb, QT, block//BUCKET]
-    out = jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
+    _, stacked = jax.lax.scan(body, None, xs)  # [nb, QT, block//bucket]
+    out = jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // bucket)
     return out.astype(jnp.float32)
 
 
@@ -469,7 +478,8 @@ def bucket_scores_scan_probed(
     coded: jax.Array,  # [N] int32 cell ids
     cells: jax.Array,  # [QT, P] per-query probe cells
     block_rows: int | None = None,
-) -> jax.Array:  # [QT, N // BUCKET]
+    bucket: int = BUCKET,
+) -> jax.Array:  # [QT, N // bucket]
     """Phase 1 with per-query IVF probe masks applied inside the scan
     (reference index.py:113-126 semantics, per query). Blocks are
     VMEM-fusable like bucket_scores_scan; the per-query probe mask
@@ -498,11 +508,11 @@ def bucket_scores_scan_probed(
         s = s * mb[None, :] + ab[None, :]
         probe_ok = (cb[None, :, None] == cells[:, None, :]).any(axis=-1)  # [QT, B]
         s = jnp.where(probe_ok, s, NEG_INF)
-        out = s.reshape(qt, block_rows // BUCKET, BUCKET).max(axis=-1)
+        out = s.reshape(qt, block_rows // bucket, bucket).max(axis=-1)
         return None, out
 
     _, stacked = jax.lax.scan(body, None, xs)
-    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // BUCKET)
+    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // bucket)
 
 
 # Group width for hierarchical bucket selection (one lane tile).
@@ -570,23 +580,24 @@ def topk_two_phase_probed(
     metric = canonical_metric(metric)
     n, d = corpus.shape
     q = queries.shape[0]
-    n_buckets = n // BUCKET
+    bucket = BUCKET if q <= _BUCKET_SWITCH_Q else BUCKET_LARGE_Q
+    n_buckets = n // bucket
 
     queries_p = prepare_queries(queries, metric)
     bucket_max = bucket_scores_scan_probed(
-        queries_p, corpus, aux_mul, aux_add, coded, cells, block_rows
+        queries_p, corpus, aux_mul, aux_add, coded, cells, block_rows, bucket
     )
 
     kp = min(k + BUCKET_PAD, n_buckets)
     bidx = topk_buckets(bucket_max, kp)
     bidx = jnp.sort(bidx, axis=-1)
 
-    rows = corpus.reshape(n_buckets, BUCKET, d)
-    mul_b = aux_mul.reshape(n_buckets, BUCKET)
-    add_b = aux_add.reshape(n_buckets, BUCKET)
-    coded_b = coded.reshape(n_buckets, BUCKET)
-    kk = min(k, kp * BUCKET)
-    lane_iota = jnp.arange(BUCKET, dtype=jnp.int32)[None, None, :]
+    rows = corpus.reshape(n_buckets, bucket, d)
+    mul_b = aux_mul.reshape(n_buckets, bucket)
+    add_b = aux_add.reshape(n_buckets, bucket)
+    coded_b = coded.reshape(n_buckets, bucket)
+    kk = min(k, kp * bucket)
+    lane_iota = jnp.arange(bucket, dtype=jnp.int32)[None, None, :]
 
     def rescore_chunk(args):
         qp_c, bidx_c, cells_c = args
@@ -596,12 +607,12 @@ def topk_two_phase_probed(
         probe_ok = (coded_b[bidx_c][:, :, :, None] == cells_c[:, None, None, :]).any(-1)
         s = jnp.where(probe_ok, s, NEG_INF)
         c = qp_c.shape[0]
-        s = s.reshape(c, kp * BUCKET)
-        ids = (bidx_c[:, :, None] * BUCKET + lane_iota).reshape(c, kp * BUCKET)
+        s = s.reshape(c, kp * bucket)
+        ids = (bidx_c[:, :, None] * bucket + lane_iota).reshape(c, kp * bucket)
         top_s, pos = jax.lax.top_k(s, kk)
         return top_s, jnp.take_along_axis(ids, pos, axis=1)
 
-    per_query = kp * BUCKET * d * 4
+    per_query = kp * bucket * d * 4
     chunk = min(q, max(64, _RESCORE_GATHER_CAP // per_query))
     pad_rows = (-q) % chunk
     if pad_rows:
@@ -667,14 +678,17 @@ def topk_two_phase(
     metric = canonical_metric(metric)
     n, d = corpus.shape
     q = queries.shape[0]
-    n_buckets = n // BUCKET
+    bucket = BUCKET if q <= _BUCKET_SWITCH_Q else BUCKET_LARGE_Q
+    n_buckets = n // bucket
 
     queries_p = prepare_queries(queries, metric)
 
     if corpus_scan_int8 is not None:
         v8, sv = corpus_scan_int8
         q8, inv_sq = quantize_queries_int8(queries_p)
-        bucket_max = bucket_scores_scan_int8(q8, v8, aux_mul * sv, aux_add, inv_sq)
+        bucket_max = bucket_scores_scan_int8(
+            q8, v8, aux_mul * sv, aux_add, inv_sq, bucket
+        )
     else:
         scan_c = corpus if corpus_scan is None else corpus_scan
         scan_q = queries_p if corpus_scan is None else queries_p.astype(corpus_scan.dtype)
@@ -682,7 +696,7 @@ def topk_two_phase(
         if _use_pallas():
             bucket_max = bucket_scores_pallas(scan_q, scan_c, aux_mul, aux_add, block_rows)
         else:
-            bucket_max = bucket_scores_scan(scan_q, scan_c, aux_mul, aux_add)
+            bucket_max = bucket_scores_scan(scan_q, scan_c, aux_mul, aux_add, bucket)
 
     # int8 selection error exceeds bf16's — widen the candidate margin
     pad = BUCKET_PAD * 2 if corpus_scan_int8 is not None else BUCKET_PAD
@@ -691,30 +705,30 @@ def topk_two_phase(
     # gather in ascending bucket order so final ties resolve to smallest id
     bidx = jnp.sort(bidx, axis=-1)
 
-    rows = corpus.reshape(n_buckets, BUCKET, d)
-    mul_b = aux_mul.reshape(n_buckets, BUCKET)
-    add_b = aux_add.reshape(n_buckets, BUCKET)
-    kk = min(k, kp * BUCKET)
-    lane_iota = jnp.arange(BUCKET, dtype=jnp.int32)[None, None, :]
+    rows = corpus.reshape(n_buckets, bucket, d)
+    mul_b = aux_mul.reshape(n_buckets, bucket)
+    add_b = aux_add.reshape(n_buckets, bucket)
+    kk = min(k, kp * bucket)
+    lane_iota = jnp.arange(bucket, dtype=jnp.int32)[None, None, :]
 
     def rescore_chunk(args):
         """Gather + exact rescore for one query chunk (bounds VMEM/HBM
-        footprint of the [chunk, kp, 128, D] candidate gather)."""
+        footprint of the [chunk, kp, bucket, D] candidate gather)."""
         qp_c, bidx_c = args  # [C, D], [C, kp]
-        cand_v = rows[bidx_c]  # [C, kp, BUCKET, D]
+        cand_v = rows[bidx_c]  # [C, kp, bucket, D]
         s = jnp.einsum("qd,qkbd->qkb", qp_c, cand_v, preferred_element_type=jnp.float32)
         s = s * mul_b[bidx_c] + add_b[bidx_c]
         c = qp_c.shape[0]
-        s = s.reshape(c, kp * BUCKET)
-        ids = (bidx_c[:, :, None] * BUCKET + lane_iota).reshape(c, kp * BUCKET)
+        s = s.reshape(c, kp * bucket)
+        ids = (bidx_c[:, :, None] * bucket + lane_iota).reshape(c, kp * bucket)
         top_s, pos = jax.lax.top_k(s, kk)
         return top_s, jnp.take_along_axis(ids, pos, axis=1)
 
-    # Chunk only when the [Q, kp, 128, D] gather would exceed the HBM
+    # Chunk only when the [Q, kp, bucket, D] gather would exceed the HBM
     # staging budget — lax.map serializes its steps, and 16 small
     # chunked top_k calls cost ~25 ms at Q=1024 where the unchunked
     # rescore runs in ~10 ms (benchmarks/exp_phase2.py p2_full_nomap).
-    per_query = kp * BUCKET * d * 4
+    per_query = kp * bucket * d * 4
     chunk = min(q, max(64, _RESCORE_GATHER_CAP // per_query))
     if q % chunk != 0:
         pad_rows = (-q) % chunk

@@ -248,3 +248,17 @@ def test_topk_buckets_flat_fallback(rng):
     got = np.asarray(topk2.topk_buckets(jnp.asarray(bm), kp))
     _, want = jax.lax.top_k(jnp.asarray(bm), kp)
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_two_phase_large_q_fine_bucket_exact(rng):
+    """Q > 64 switches to the 32-row rescore bucket — still exact."""
+    n, d, q, k = 2048, 16, 128, 7
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "l2")
+    dist, ids = topk2.topk_two_phase(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add, k=k, metric="l2"
+    )
+    want_d, want_i = oracles.topk(oracles.distance(queries, corpus, "l2"), k)
+    np.testing.assert_array_equal(np.asarray(ids), want_i)
+    np.testing.assert_allclose(np.asarray(dist), want_d, rtol=1e-4, atol=1e-5)
