@@ -47,12 +47,18 @@ def normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(norm, eps)
 
 
-def pairwise_distance(u: jax.Array, v: jax.Array, metric: str) -> jax.Array:
+def pairwise_distance(
+    u: jax.Array, v: jax.Array, metric: str, precision=None
+) -> jax.Array:
     """``[Q, D] × [N, D] → [Q, N]`` distance matrix (fp32 accumulation).
 
     l2 uses the matmul expansion ``|u|² − 2u·v + |v|²`` (clamped at 0)
     — the same formulation torch.cdist selects for D > 25, so values
     match the reference bit-for-bit up to fp32 reduction order.
+
+    ``precision``: pass ``jax.lax.Precision.HIGHEST`` on user-facing
+    value paths (TPU DEFAULT rounds fp32 matmul inputs to bf16); leave
+    None for selection-tolerant callers (k-means steps, cell ranking).
     """
     metric = canonical_metric(metric)
 
@@ -64,6 +70,7 @@ def pairwise_distance(u: jax.Array, v: jax.Array, metric: str) -> jax.Array:
             v,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         return jnp.sqrt(jnp.maximum(uu - 2.0 * uv + vv, 0.0))
 
@@ -75,6 +82,7 @@ def pairwise_distance(u: jax.Array, v: jax.Array, metric: str) -> jax.Array:
             v,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         return 0.5 - 0.5 * uv
 
@@ -84,6 +92,7 @@ def pairwise_distance(u: jax.Array, v: jax.Array, metric: str) -> jax.Array:
         v,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return -uv
 
@@ -253,5 +262,6 @@ def _topk_search_impl(corpus, queries, mask, coded, cells, k, metric, block):
 @functools.partial(jax.jit, static_argnames=("metric",))
 def all_distances(corpus: jax.Array, queries: jax.Array, metric: str) -> jax.Array:
     """Full ``[Q, N_pad]`` distance matrix — for the no-top-k read path
-    (reference index.py:162 appends a distance column to every row)."""
-    return pairwise_distance(queries, corpus, metric)
+    (reference index.py:162 appends a distance column to every row).
+    Values are user-facing → fp32-true matmul."""
+    return pairwise_distance(queries, corpus, metric, precision=jax.lax.Precision.HIGHEST)

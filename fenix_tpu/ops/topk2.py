@@ -241,13 +241,19 @@ def bucket_scores_xla(
     past ONESHOT_INTERMEDIATE_CAP."""
     # bf16 corpus → bf16 accumulate + bf16 score tile: halves the
     # materialized [QT, N] intermediate and doubles MXU rate
-    # (selection-only precision; rescore is fp32 upstream).
+    # (selection-only precision; rescore is fp32 upstream). fp32 corpus
+    # → HIGHEST: this path only runs at small Q where the scan is
+    # bandwidth-bound, so true-f32 MXU passes hide under the HBM read
+    # and phase-1 selection is fp32-exact, not bf16-rounded.
     acc = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
     s = jax.lax.dot_general(
         queries_p,
         corpus,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc,
+        precision=(
+            jax.lax.Precision.HIGHEST if acc == jnp.float32 else jax.lax.Precision.DEFAULT
+        ),
     )
     s = s * aux_mul[None, :].astype(acc) + aux_add[None, :].astype(acc)
     qt, n = s.shape
@@ -602,7 +608,15 @@ def topk_two_phase_probed(
     def rescore_chunk(args):
         qp_c, bidx_c, cells_c = args
         cand_v = rows[bidx_c]
-        s = jnp.einsum("qd,qkbd->qkb", qp_c, cand_v, preferred_element_type=jnp.float32)
+        s = jnp.einsum(
+            "qd,qkbd->qkb",
+            qp_c,
+            cand_v,
+            preferred_element_type=jnp.float32,
+            # fp32-true rescore: TPU DEFAULT matmul precision rounds f32
+            # inputs to bf16; flops here are negligible vs the gather
+            precision=jax.lax.Precision.HIGHEST,
+        )
         s = s * mul_b[bidx_c] + add_b[bidx_c]
         probe_ok = (coded_b[bidx_c][:, :, :, None] == cells_c[:, None, None, :]).any(-1)
         s = jnp.where(probe_ok, s, NEG_INF)
@@ -716,7 +730,15 @@ def topk_two_phase(
         footprint of the [chunk, kp, bucket, D] candidate gather)."""
         qp_c, bidx_c = args  # [C, D], [C, kp]
         cand_v = rows[bidx_c]  # [C, kp, bucket, D]
-        s = jnp.einsum("qd,qkbd->qkb", qp_c, cand_v, preferred_element_type=jnp.float32)
+        s = jnp.einsum(
+            "qd,qkbd->qkb",
+            qp_c,
+            cand_v,
+            preferred_element_type=jnp.float32,
+            # fp32-true rescore: TPU DEFAULT matmul precision rounds f32
+            # inputs to bf16; flops here are negligible vs the gather
+            precision=jax.lax.Precision.HIGHEST,
+        )
         s = s * mul_b[bidx_c] + add_b[bidx_c]
         c = qp_c.shape[0]
         s = s.reshape(c, kp * bucket)

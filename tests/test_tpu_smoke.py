@@ -60,3 +60,41 @@ def test_executor_exact_search_on_tpu(tmp_path, rng):
     )
     want = np.argsort(np.sqrt(((vecs - q) ** 2).sum(1)), kind="stable")[:5]
     np.testing.assert_array_equal(np.asarray(res.column("id")), want)
+
+
+@requires_tpu
+def test_executor_distances_fp32_true_on_tpu(tmp_path, rng):
+    """Returned distances must match the numpy oracle to fp32 reduction
+    order — the rescore runs with Precision.HIGHEST (TPU DEFAULT would
+    round matmul inputs to bf16 and show ~1e-3 relative error)."""
+    import pyarrow as pa
+
+    from fenix_tpu.engine import executor
+    from fenix_tpu.io import ingest, table
+
+    root = str(tmp_path)
+    vecs = rng.standard_normal((20_000, 128)).astype(np.float32)
+    table.make(
+        root, "t",
+        pa.table({
+            "id": pa.array(np.arange(20_000)),
+            "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+        }).to_reader(),
+    )
+    cache = executor.get_cache(root)
+
+    # Q=128 exercises the large-Q (fine-bucket, fusable-scan) path
+    q = rng.standard_normal((128, 128)).astype(np.float32)
+    res = executor.execute_search(
+        cache,
+        executor.SearchRequest(source="t", column="vector", target=q, metric="l2", maxval=5),
+    )
+    ids = np.asarray(res.column("id")).reshape(128, 5)
+    dists = np.asarray(res.column("__DISTANCE__")).reshape(128, 5)
+
+    full = np.sqrt(((q[:, None, :] - vecs[None, :, :]) ** 2).sum(-1))
+    want = np.argsort(full, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(ids, want)
+    np.testing.assert_allclose(
+        dists, np.take_along_axis(full, ids, axis=1), rtol=2e-5, atol=2e-5
+    )
