@@ -35,11 +35,12 @@ MAX_BATCH_QUERIES = 4096
 
 
 class _Item:
-    __slots__ = ("req", "queries", "result", "error", "done")
+    __slots__ = ("req", "queries", "key", "result", "error", "done")
 
-    def __init__(self, req: executor.SearchRequest, queries: int) -> None:
+    def __init__(self, req: executor.SearchRequest, queries: int, key: tuple) -> None:
         self.req = req
         self.queries = queries
+        self.key = key
         self.result: pa.Table | None = None
         self.error: BaseException | None = None
         self.done = threading.Event()
@@ -64,8 +65,14 @@ class SearchBatcher:
         queries = _query_count(req.target)
         if queries is None or queries > self.max_queries // 2:
             return executor.execute_search(self.cache, req)
+        try:
+            # key derivation validates the metric; a bad request must
+            # fail on the caller's thread, not poison the dispatcher
+            key = executor.batch_key(req)
+        except Exception:
+            return executor.execute_search(self.cache, req)
 
-        item = _Item(req, queries)
+        item = _Item(req, queries, key)
         with self._cv:
             if self._thread is None or not self._thread.is_alive():
                 self._thread = threading.Thread(
@@ -98,11 +105,22 @@ class SearchBatcher:
     def _run(self) -> None:
         while True:
             items = self._drain()
-            groups: dict[tuple, list[_Item]] = {}
-            for item in items:
-                groups.setdefault(executor.batch_key(item.req), []).append(item)
-            for group in groups.values():
-                self._execute(group)
+            try:
+                groups: dict[tuple, list[_Item]] = {}
+                for item in items:
+                    groups.setdefault(item.key, []).append(item)
+                for group in groups.values():
+                    self._execute(group)
+            except BaseException:  # noqa: BLE001 — dispatcher must not die
+                pass
+            finally:
+                # the dispatcher must survive anything; a hung waiter
+                # is worse than an errored one
+                for item in items:
+                    if not item.done.is_set():
+                        if item.error is None and item.result is None:
+                            item.error = RuntimeError("batch dispatcher error")
+                        item.done.set()
 
     def _execute(self, group: list[_Item]) -> None:
         from fenix_tpu.utils.metrics import GLOBAL

@@ -188,6 +188,11 @@ def bucket_scores_scan_int8(
         )  # [QT, N]
         return fuse(s32, aux_mul_s, aux_add)
 
+    if _bigq_eligible(n, qt):
+        return bucket_scores_pallas_bigq(
+            q8, corpus8, aux_mul_s, aux_add, inv_sq=inv_sq, bucket=bucket
+        )
+
     block_rows = _fusable_block(n, qt)
     nb = max(n // block_rows, 1)
     xs = (
@@ -327,36 +332,47 @@ def bucket_scores_pallas(
 # BQ] bucket maxima — 1/128th of the oneshot's intermediate traffic —
 # leaving the MXU as the only floor.
 
-_BIGQ_BN = 512  # corpus rows per grid cell
+_BIGQ_BN = 1024  # corpus rows per grid cell (BN/bucket ≥ 8: output tile sublanes)
 _BIGQ_BQ = 256  # queries per grid cell
 
 
-def _bigq_kernel(q_ref, v_ref, mul_ref, add_ref, out_ref):
-    """One (row-block, query-tile) cell: [BN, BQ] scores in VMEM,
-    per-128-row bucket maxima out. Rows ride sublanes; queries ride
-    lanes (BQ = 2 lane tiles, no layout waste — the round-1 kernel's
-    QT=8 lane dim wasted 15/16 of every vector op)."""
-    s = jax.lax.dot_general(
-        v_ref[:],
-        q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [BN, BQ]
-    s = s * mul_ref[:][:, None] + add_ref[:][:, None]
-    for j in range(_BIGQ_BN // BUCKET):
-        out_ref[j, :] = jnp.max(s[j * BUCKET : (j + 1) * BUCKET], axis=0)
+def _make_bigq_kernel(bucket: int, int8_mode: bool):
+    """Kernel factory: [BN, BQ] scores in VMEM, per-``bucket``-row
+    maxima out. Rows ride sublanes; queries ride lanes (BQ = 2 lane
+    tiles, no layout waste — the round-1 kernel's QT=8 lane dim wasted
+    15/16 of every vector op)."""
 
+    def kernel_f32(q_ref, v_ref, mul_ref, add_ref, out_ref):
+        s = jax.lax.dot_general(
+            v_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BN, BQ]
+        s = s * mul_ref[:][:, None] + add_ref[:][:, None]
+        for j in range(_BIGQ_BN // bucket):
+            out_ref[j, :] = jnp.max(s[j * bucket : (j + 1) * bucket], axis=0)
 
-def _bigq_kernel_int8(q_ref, v_ref, mul_ref, add_ref, inv_sq_ref, out_ref):
-    s32 = jax.lax.dot_general(
-        v_ref[:],
-        q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [BN, BQ]
-    s = s32.astype(jnp.float32) * mul_ref[:][:, None] + add_ref[:][:, None] * inv_sq_ref[:][None, :]
-    for j in range(_BIGQ_BN // BUCKET):
-        out_ref[j, :] = jnp.max(s[j * BUCKET : (j + 1) * BUCKET], axis=0)
+    def kernel_int8(q_ref, v_ref, mul_ref, add_ref, inv_sq_ref, out_ref):
+        s32 = jax.lax.dot_general(
+            v_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [BN, BQ]
+        # inv_sq rides whole as a [nj, BQ] block (tiny; 1-D or 1-row
+        # blocks trip Mosaic/XLA tiling checks) — pick this tile's row.
+        from jax.experimental import pallas as pl
+
+        inv_sq_row = inv_sq_ref[pl.program_id(1), :]
+        s = (
+            s32.astype(jnp.float32) * mul_ref[:][:, None]
+            + add_ref[:][:, None] * inv_sq_row[None, :]
+        )
+        for j in range(_BIGQ_BN // bucket):
+            out_ref[j, :] = jnp.max(s[j * bucket : (j + 1) * bucket], axis=0)
+
+    return kernel_int8 if int8_mode else kernel_f32
 
 
 def bucket_scores_pallas_bigq(
@@ -366,13 +382,16 @@ def bucket_scores_pallas_bigq(
     aux_add: jax.Array,  # [N] f32
     inv_sq: jax.Array | None = None,  # [QT] f32 — int8 path only
     interpret: bool = False,
-) -> jax.Array:  # [QT, N // BUCKET]
+    bucket: int = BUCKET,
+) -> jax.Array:  # [QT, N // bucket]
     """Fused matmul + bucket-max for query batches ≥ _BIGQ_BQ.
 
     Grid is (N blocks, Q tiles) with Q innermost, so each corpus block
     is DMA'd once and revisited for every query tile; output traffic is
-    corpus_bytes/128 per query tile. QT and N must be multiples of the
-    tile sizes (the executor's canonical shapes guarantee this)."""
+    corpus_bytes·(128/bucket)/128 per query tile. QT and N must be
+    multiples of the tile sizes (the executor's canonical shapes
+    guarantee this). Beats the fusable scan by ~2.3 ms at Q=1024/1M
+    fp32 (benchmarks/exp_pallas_bigq.py; Mosaic compile ~3 s here)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -380,10 +399,10 @@ def bucket_scores_pallas_bigq(
     n = corpus.shape[0]
     assert qt % _BIGQ_BQ == 0 and n % _BIGQ_BN == 0, (qt, n)
     ni, nj = n // _BIGQ_BN, qt // _BIGQ_BQ
-    bpb = _BIGQ_BN // BUCKET
+    bpb = _BIGQ_BN // bucket
 
     int8_mode = inv_sq is not None
-    kernel = _bigq_kernel_int8 if int8_mode else _bigq_kernel
+    kernel = _make_bigq_kernel(bucket, int8_mode)
     in_specs = [
         pl.BlockSpec((_BIGQ_BQ, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((_BIGQ_BN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -393,9 +412,9 @@ def bucket_scores_pallas_bigq(
     args = [queries_p, corpus, aux_mul, aux_add]
     if int8_mode:
         in_specs.append(
-            pl.BlockSpec((_BIGQ_BQ,), lambda i, j: (j,), memory_space=pltpu.VMEM)
+            pl.BlockSpec((nj, _BIGQ_BQ), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
         )
-        args.append(inv_sq)
+        args.append(inv_sq.reshape(nj, _BIGQ_BQ))
 
     itemsize = corpus.dtype.itemsize
     out = pl.pallas_call(
@@ -405,18 +424,30 @@ def bucket_scores_pallas_bigq(
         out_specs=pl.BlockSpec(
             (bpb, _BIGQ_BQ), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n // BUCKET, qt), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n // bucket, qt), jnp.float32),
         cost_estimate=pl.CostEstimate(
             # corpus blocks load once (v's index map ignores j); query
             # tiles reload per row block (tiny).
             flops=2 * n * qt * d,
             bytes_accessed=n * d * itemsize + n * 8 + qt * d * itemsize * ni
-            + (n // BUCKET) * qt * 4,
+            + (n // bucket) * qt * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(*args)
-    return out.T  # [QT, N/128]
+    return out.T  # [QT, N/bucket]
+
+
+def _bigq_eligible(n: int, qt: int) -> bool:
+    """Use the fused Pallas phase 1 when shapes tile and we are on a
+    real TPU backend (Mosaic has no CPU lowering; tests run the kernel
+    in interpret mode explicitly)."""
+    if qt % _BIGQ_BQ != 0 or n % _BIGQ_BN != 0:
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def bucket_scores_scan(
@@ -447,6 +478,11 @@ def bucket_scores_scan(
 
     if qt <= ONESHOT_MAX_Q and n * qt * acc_bytes <= ONESHOT_INTERMEDIATE_CAP:
         return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add, bucket)
+
+    if _bigq_eligible(n, qt):
+        return bucket_scores_pallas_bigq(
+            queries_p, corpus, aux_mul, aux_add, bucket=bucket
+        )
 
     block_rows = _fusable_block(n, qt)
     if n % block_rows != 0 or n == block_rows:

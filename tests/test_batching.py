@@ -113,10 +113,23 @@ def test_batcher_poisoned_batch_isolates_error(root, rng):
     bad = rng.standard_normal(DIM + 1).astype(np.float32)  # wrong dim
 
     reqs = [_req(good), _req(bad), _req(good)]
-    items = [batching._Item(r, 1) for r in reqs]
+    items = [batching._Item(r, 1, executor.batch_key(r)) for r in reqs]
     batcher._execute(items)
 
     assert items[0].result is not None and items[2].result is not None
     assert items[1].error is not None
     want = executor.execute_search(cache, reqs[0])
     assert items[0].result == want
+
+
+def test_batcher_invalid_metric_fails_on_caller_thread(root, rng):
+    """A bogus metric must raise to the caller, not poison the
+    dispatcher thread (batch_key would throw during grouping)."""
+    cache = executor.get_cache(root)
+    batcher = batching.SearchBatcher(cache)
+    t = rng.standard_normal(DIM).astype(np.float32)
+    with pytest.raises(Exception):
+        batcher.submit(_req(t, metric="bogus"))
+    # dispatcher still serves later requests
+    res = batcher.submit(_req(t))
+    assert res.num_rows == 5

@@ -262,3 +262,16 @@ def test_two_phase_large_q_fine_bucket_exact(rng):
     want_d, want_i = oracles.topk(oracles.distance(queries, corpus, "l2"), k)
     np.testing.assert_array_equal(np.asarray(ids), want_i)
     np.testing.assert_allclose(np.asarray(dist), want_d, rtol=1e-4, atol=1e-5)
+
+
+def test_bigq_pallas_fine_bucket_interpret(rng):
+    n, d, qt = 2048, 128, 256
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((qt, d)).astype(np.float32)
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "cosine")
+    want = np.asarray(topk2.bucket_scores_xla(
+        jnp.asarray(queries), jnp.asarray(corpus), aux_mul, aux_add, 32))
+    got = np.asarray(topk2.bucket_scores_pallas_bigq(
+        jnp.asarray(queries), jnp.asarray(corpus), aux_mul, aux_add,
+        interpret=True, bucket=32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
