@@ -101,6 +101,30 @@ def main() -> None:
     qps_int8 = q_big / t_batch_int8
     t_scan_int8 = timed_kw(q=8, iters=20, corpus_scan_int8=(v8, sv))
 
+    # Dispatch-amortized scan rate at 8M rows (the 1M headline pays a
+    # fixed ~2.5 ms tunnel dispatch per call — config-1 workload shape,
+    # larger corpus, generated on device to skip the 4 GB upload).
+    n8 = 8 * 1_048_576
+    corpus_8m = jax.random.normal(jax.random.PRNGKey(7), (n8, d), dtype=jnp.float32)
+    am8, aa8 = topk2.prepare_aux(corpus_8m, None, "cosine")
+    v8b, svb = topk2.quantize_corpus_int8(corpus_8m)
+    q8m = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32))
+
+    def timed_8m(iters=10, **kw):
+        np.asarray(
+            topk2.topk_two_phase(corpus_8m, q8m, am8, aa8, k=k_pad, metric="cosine", **kw)[0]
+        )
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = topk2.topk_two_phase(
+                corpus_8m, q8m, am8, aa8, k=k_pad, metric="cosine", **kw
+            )
+        np.asarray(out[0])
+        return (time.perf_counter() - start) / iters
+
+    t8m = timed_8m()
+    t8m_int8 = timed_8m(corpus_scan_int8=(v8b, svb))
+
     result = {
         "metric": "scan_rows_per_sec_per_chip_1Mx128_cosine_top10",
         "value": round(scan_rows_per_s, 1),
@@ -114,6 +138,9 @@ def main() -> None:
             "qps_batch1024_bf16scan": round(qps_bf16, 1),
             "qps_batch1024_int8scan": round(qps_int8, 1),
             "scan_rows_per_s_int8": round(n / t_scan_int8, 1),
+            "scan_rows_per_s_8M_fp32": round(n8 / t8m, 1),
+            "scan_rows_per_s_8M_int8": round(n8 / t8m_int8, 1),
+            "roofline_fraction_8M_fp32": round(n8 * d * 4 / t8m / roofline, 4),
             "scan_seconds": round(t_scan, 5),
             "batch1024_seconds": round(t_batch, 5),
         },
