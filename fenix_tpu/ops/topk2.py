@@ -623,6 +623,8 @@ def topk_two_phase_probed(
     n, d = corpus.shape
     q = queries.shape[0]
     bucket = BUCKET if q <= _BUCKET_SWITCH_Q else BUCKET_LARGE_Q
+    while n % bucket != 0:  # tiny shards (sharded search) may not tile
+        bucket //= 2
     n_buckets = n // bucket
 
     queries_p = prepare_queries(queries, metric)
@@ -729,6 +731,8 @@ def topk_two_phase(
     n, d = corpus.shape
     q = queries.shape[0]
     bucket = BUCKET if q <= _BUCKET_SWITCH_Q else BUCKET_LARGE_Q
+    while n % bucket != 0:  # tiny shards (sharded search) may not tile
+        bucket //= 2
     n_buckets = n // bucket
 
     queries_p = prepare_queries(queries, metric)

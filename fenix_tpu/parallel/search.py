@@ -1,12 +1,14 @@
 """Mesh-sharded kNN search with distributed top-k merge.
 
 North-star path (BASELINE.json config 4): corpus rows sharded over the
-mesh; each device runs the local streaming top-k scan
-(fenix_tpu.ops.distance) over its shard, then only ``k`` candidate
-(score, global-id) pairs per query cross the interconnect — an
-``all_gather`` of ``S·k`` candidates followed by an on-device merge.
-Raw vectors never move (SURVEY.md §5 long-context entry: "all-to-all
-only candidate ids + distances, never raw vectors").
+mesh; each device runs the local two-phase top-k scan
+(fenix_tpu.ops.topk2 — same kernel strategy as the single-chip
+executor: oneshot/Pallas phase 1, hierarchical selection, exact
+rescore) over its shard, then only ``k`` candidate (score, global-id)
+pairs per query cross the interconnect — an ``all_gather`` of ``S·k``
+candidates followed by an on-device merge. Raw vectors never move
+(SURVEY.md §5 long-context entry: "all-to-all only candidate ids +
+distances, never raw vectors").
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from fenix_tpu.ops import distance as distance_ops
+from fenix_tpu.ops import topk2
 from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, row_sharding
 
 
@@ -47,9 +50,18 @@ def _build(mesh: Mesh, k: int, metric: str, block: int, probed: bool):
         coded_local, cells = probe_args if probed else (None, None)
 
         local_k = min(k, rows_local)
-        dist, ids = distance_ops._topk_search_impl(
-            corpus_local, queries, mask_local, coded_local, cells, local_k, metric, block
-        )
+        # Per-shard metric aux; the extra ‖v‖² pass is one read of the
+        # local shard (cached by XLA across scan/rescore within the jit).
+        aux_mul, aux_add = topk2.prepare_aux(corpus_local, mask_local, metric)
+        if probed:
+            dist, ids = topk2.topk_two_phase_probed(
+                corpus_local, queries, aux_mul, aux_add, coded_local, cells,
+                k=local_k, metric=metric,
+            )
+        else:
+            dist, ids = topk2.topk_two_phase(
+                corpus_local, queries, aux_mul, aux_add, k=local_k, metric=metric
+            )
         scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
         gids = jnp.where(ids >= 0, ids + shard * rows_local, -1)
 
