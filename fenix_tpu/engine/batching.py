@@ -35,7 +35,7 @@ MAX_BATCH_QUERIES = 4096
 
 
 class _Item:
-    __slots__ = ("req", "queries", "key", "result", "error", "done")
+    __slots__ = ("req", "queries", "key", "result", "error", "done", "inflight")
 
     def __init__(self, req: executor.SearchRequest, queries: int, key: tuple) -> None:
         self.req = req
@@ -44,17 +44,37 @@ class _Item:
         self.result: pa.Table | None = None
         self.error: BaseException | None = None
         self.done = threading.Event()
+        self.inflight = False
 
 
 class SearchBatcher:
-    """Queue + dispatcher thread for one root's DeviceCache."""
+    """Queue + two-stage pipeline (dispatch / completion) for one
+    root's DeviceCache.
+
+    The dispatcher coalesces queued requests and launches the device
+    work. With ``FENIX_PIPELINE_DEPTH > 0`` a separate completion
+    thread blocks on each batch's device→host fetch so batch i+1's
+    upload/compute can overlap batch i's readback — measured SLOWER
+    through this environment's device tunnel (interleaved tunnel
+    streams contend: 23 vs 74 QPS at 32-way concurrency), so the
+    default is synchronous completion; the knob exists for real-NIC
+    deployments."""
 
     def __init__(self, cache: DeviceCache, max_queries: int = MAX_BATCH_QUERIES) -> None:
+        import os
+        import queue as queue_mod
+
         self.cache = cache
         self.max_queries = max_queries
         self._queue: deque[_Item] = deque()
         self._cv = threading.Condition()
         self._thread: threading.Thread | None = None
+        self.pipeline_depth = int(os.environ.get("FENIX_PIPELINE_DEPTH", "0"))
+        # (group, finish) pairs in flight; bounded for backpressure
+        self._inflight: queue_mod.Queue = queue_mod.Queue(
+            maxsize=max(self.pipeline_depth, 1)
+        )
+        self._completer: threading.Thread | None = None
 
     # -- public -----------------------------------------------------------
 
@@ -79,6 +99,13 @@ class SearchBatcher:
                     target=self._run, name="fenix-search-batcher", daemon=True
                 )
                 self._thread.start()
+            if self.pipeline_depth > 0 and (
+                self._completer is None or not self._completer.is_alive()
+            ):
+                self._completer = threading.Thread(
+                    target=self._complete, name="fenix-search-completer", daemon=True
+                )
+                self._completer.start()
             self._queue.append(item)
             self._cv.notify()
         item.done.wait()
@@ -110,44 +137,66 @@ class SearchBatcher:
                 for item in items:
                     groups.setdefault(item.key, []).append(item)
                 for group in groups.values():
-                    self._execute(group)
+                    self._dispatch(group)
             except BaseException:  # noqa: BLE001 — dispatcher must not die
                 pass
             finally:
-                # the dispatcher must survive anything; a hung waiter
-                # is worse than an errored one
+                # never hang a waiter: anything neither dispatched (in
+                # flight) nor resolved gets an error now
                 for item in items:
-                    if not item.done.is_set():
+                    if not item.done.is_set() and not item.inflight:
                         if item.error is None and item.result is None:
                             item.error = RuntimeError("batch dispatcher error")
                         item.done.set()
 
-    def _execute(self, group: list[_Item]) -> None:
+    def _dispatch(self, group: list[_Item]) -> None:
         from fenix_tpu.utils.metrics import GLOBAL
 
         GLOBAL.add("batch.dispatches")
         GLOBAL.add("batch.requests", len(group))
         GLOBAL.add("batch.queries", sum(item.queries for item in group))
         try:
-            results = executor.execute_search_batched(
-                self.cache, [item.req for item in group]
+            finish = executor.execute_search_batched(
+                self.cache, [item.req for item in group], defer=True
             )
+        except BaseException as exc:  # noqa: BLE001 — delivered to callers
+            self._fallback_solo(group, exc)
+            return
+        if self.pipeline_depth <= 0:
+            self._finish_group(group, finish)
+            return
+        for item in group:
+            item.inflight = True
+        self._inflight.put((group, finish))  # bounded: backpressure
+
+    def _complete(self) -> None:
+        while True:
+            group, finish = self._inflight.get()
+            self._finish_group(group, finish)
+
+    def _finish_group(self, group: list[_Item], finish) -> None:
+        try:
+            results = finish()
             for item, result in zip(group, results):
                 item.result = result
-        except BaseException as exc:  # noqa: BLE001 — delivered to callers
-            if len(group) > 1:
-                # A poisoned batch (e.g. one bad target dim) must not
-                # fail innocent neighbors: retry each solo.
-                for item in group:
-                    try:
-                        item.result = executor.execute_search(self.cache, item.req)
-                    except BaseException as solo_exc:  # noqa: BLE001
-                        item.error = solo_exc
-            else:
-                group[0].error = exc
-        finally:
             for item in group:
                 item.done.set()
+        except BaseException as exc:  # noqa: BLE001
+            self._fallback_solo(group, exc)
+
+    def _fallback_solo(self, group: list[_Item], exc: BaseException) -> None:
+        """Deliver a failed batch: a poisoned group (e.g. one bad target
+        dim) must not fail innocent neighbors — retry each solo."""
+        if len(group) > 1:
+            for item in group:
+                try:
+                    item.result = executor.execute_search(self.cache, item.req)
+                except BaseException as solo_exc:  # noqa: BLE001
+                    item.error = solo_exc
+        else:
+            group[0].error = exc
+        for item in group:
+            item.done.set()
 
 
 def _query_count(target) -> int | None:

@@ -18,7 +18,7 @@ testing (BASELINE.md).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Sequence
+from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -311,12 +311,18 @@ def batch_key(req: SearchRequest) -> tuple:
 
 
 def execute_search_batched(
-    cache: DeviceCache, reqs: Sequence[SearchRequest]
-) -> list[pa.Table]:
+    cache: DeviceCache, reqs: Sequence[SearchRequest], defer: bool = False
+) -> "list[pa.Table] | Callable[[], list[pa.Table]]":
     """Run compatible requests (same batch_key, all batchable) as ONE
     device dispatch. The environment charges a fixed ~2.5 ms per
     dispatch through the device tunnel; N concurrent searches coalesced
-    into one [sum(Q_i), D] call amortize it N-fold."""
+    into one [sum(Q_i), D] call amortize it N-fold.
+
+    With ``defer=True`` the device work is dispatched asynchronously and
+    a ``finish()`` closure is returned; calling it blocks on the
+    device→host fetch and materializes the result tables. This lets the
+    batcher dispatch the NEXT batch while the previous one's results
+    ride back through the tunnel (~24 ms readback latency each)."""
     r0 = reqs[0]
     data, corpus = cache.snapshot(r0.source, r0.column)
     column_type = data.schema.field(r0.column).type
@@ -359,25 +365,28 @@ def execute_search_batched(
         corpus_scan=corpus_scan,
         corpus_scan_int8=corpus_scan_int8,
     )
-    dists, ids = topk2.unpack_result(packed)
 
-    out = []
-    offset = 0
-    for req, c in zip(reqs, counts):
-        m = int(min(req.maxval, rows))
-        select = [*req.select] if req.select is not None else data.column_names
-        select = select + [DIST_COL]
-        out.append(
-            gather_results(
-                data,
-                select,
-                dists[offset : offset + c, :m],
-                ids[offset : offset + c, :m],
-                value_dtype,
+    def finish() -> list[pa.Table]:
+        dists, ids = topk2.unpack_result(packed)  # blocks: device→host fetch
+        out = []
+        offset = 0
+        for req, c in zip(reqs, counts):
+            m = int(min(req.maxval, rows))
+            select = [*req.select] if req.select is not None else data.column_names
+            select = select + [DIST_COL]
+            out.append(
+                gather_results(
+                    data,
+                    select,
+                    dists[offset : offset + c, :m],
+                    ids[offset : offset + c, :m],
+                    value_dtype,
+                )
             )
-        )
-        offset += c
-    return out
+            offset += c
+        return out
+
+    return finish if defer else finish()
 
 
 def gather_results(
@@ -388,21 +397,20 @@ def gather_results(
     value_dtype,
 ) -> pa.Table:
     """Host-side result materialization: take winning rows, append the
-    distance column, add ``__QUERY_ID__`` for multi-query batches."""
-    num_queries = ids.shape[0]
-    tables = []
-    for qi in range(num_queries):
-        valid = ids[qi] >= 0
-        row_ids = ids[qi][valid].astype(np.int64)
-        part = data.take(pa.array(row_ids))
-        part = part.append_column(
-            DIST_COL, pa.array(dists[qi][valid].astype(value_dtype))
-        )
-        part = part.select(select)
-        if num_queries > 1:
-            part = part.append_column(
-                QUERY_COL, pa.array(np.full(len(part), qi, dtype=np.int64))
-            )
-        tables.append(part)
+    distance column, add ``__QUERY_ID__`` for multi-query batches.
 
-    return pa.concat_tables(tables).combine_chunks()
+    One ``take`` over the concatenated id list — per-query takes cost
+    ~Q Arrow kernel dispatches per batch and dominated large-batch
+    serving."""
+    num_queries, k = ids.shape
+    valid = ids >= 0  # [Q, k]
+    row_ids = ids[valid].astype(np.int64)
+    out = data.take(pa.array(row_ids))
+    out = out.append_column(DIST_COL, pa.array(dists[valid].astype(value_dtype)))
+    out = out.select(select)
+    if num_queries > 1:
+        qids = np.broadcast_to(
+            np.arange(num_queries, dtype=np.int64)[:, None], (num_queries, k)
+        )[valid]
+        out = out.append_column(QUERY_COL, pa.array(qids))
+    return out.combine_chunks()

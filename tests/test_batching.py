@@ -114,7 +114,16 @@ def test_batcher_poisoned_batch_isolates_error(root, rng):
 
     reqs = [_req(good), _req(bad), _req(good)]
     items = [batching._Item(r, 1, executor.batch_key(r)) for r in reqs]
-    batcher._execute(items)
+    batcher._dispatch(items)
+    # drain whatever the dispatch put in flight (solo-fallback resolves
+    # inline; a successful defer would need the completer)
+    while not batcher._inflight.empty():
+        group, finish = batcher._inflight.get()
+        try:
+            for item, result in zip(group, finish()):
+                item.result = result
+        except BaseException as exc:  # noqa: BLE001
+            batcher._fallback_solo(group, exc)
 
     assert items[0].result is not None and items[2].result is not None
     assert items[1].error is not None
