@@ -103,6 +103,60 @@ def _search_probed_packed(corpus, queries, aux_mul, aux_add, coded, cells, k, me
     return topk2.pack_result(d, i)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _search_ivf_packed(
+    corpus_s, queries, aux_mul_s, aux_add_s, coded_s, cells, bucket_lists, k, metric
+):
+    d, i = topk2.topk_ivf_clustered(
+        corpus_s, queries, aux_mul_s, aux_add_s, coded_s, cells, bucket_lists,
+        k=k, metric=metric,
+    )
+    return topk2.pack_result(d, i)
+
+
+def _ivf_bucket_lists(
+    cells_np: np.ndarray, offsets: np.ndarray, bucket: int, n_buckets: int
+) -> np.ndarray:
+    """Bucket indices covering each query's probed cells in the
+    clustered layout ([Q, B] int32, −1 padded; B a power of two so the
+    jit cache stays small). Fully vectorized — a per-query Python loop
+    cost ~100 ms at Q=256."""
+    q, p = cells_np.shape
+    sentinel = np.iinfo(np.int64).max
+    ok = (cells_np >= 0) & (cells_np < len(offsets) - 1)
+    cs = np.where(ok, cells_np, 0)
+    starts = np.where(ok, offsets[cs] // bucket, 0)
+    ends = np.where(ok, -(-offsets[cs + 1] // bucket), 0)  # ceil
+    widths = np.maximum(ends - starts, 0)  # [Q, P]
+    m = int(widths.max(initial=0))
+    if m == 0:
+        return np.full((q, 8), -1, np.int32)
+
+    # [Q, P, M] candidate grid, invalid slots → sentinel
+    grid = starts[:, :, None] + np.arange(m)[None, None, :]
+    grid = np.where(
+        (np.arange(m)[None, None, :] < widths[:, :, None]) & (grid < n_buckets),
+        grid,
+        sentinel,
+    ).reshape(q, p * m)
+    grid.sort(axis=1)
+    # dedupe within each row: repeats → sentinel, then re-sort compacts
+    dup = np.zeros_like(grid, dtype=bool)
+    dup[:, 1:] = grid[:, 1:] == grid[:, :-1]
+    grid = np.where(dup | (grid == sentinel), sentinel, grid)
+    grid.sort(axis=1)
+
+    counts = (grid != sentinel).sum(axis=1)
+    width = int(counts.max(initial=1)) or 1
+    b = 1 << (width - 1).bit_length()
+    b = min(max(b, 8), max(n_buckets, 1))
+    out = grid[:, :b].astype(np.int64)
+    out[out == sentinel] = -1
+    # rows whose count exceeded b cannot happen (b >= width by
+    # construction unless clamped by n_buckets, which bounds counts too)
+    return out.astype(np.int32)
+
+
 _CACHES: dict[str, DeviceCache] = {}
 
 
@@ -184,13 +238,13 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
 
     n_pad, rows = corpus.rows_padded, corpus.rows
 
-    # validity ∧ user predicate mask
-    mask_np = np.zeros(n_pad, dtype=bool)
+    # validity ∧ user predicate mask — built (and uploaded) only when a
+    # filter exists: the cached aux already masks padding rows, and an
+    # unconditional device_put costs a full tunnel roundtrip per query
+    mask_np: np.ndarray | None = None
     if req.filter is not None:
+        mask_np = np.zeros(n_pad, dtype=bool)
         mask_np[:rows] = req.filter.mask(data)
-    else:
-        mask_np[:rows] = True
-    mask = jnp.asarray(mask_np)
 
     queries = jnp.asarray(target)
 
@@ -212,16 +266,15 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             probe_masks = np.stack(
                 [np.isin(codes_np, np.asarray(cells[qi])) for qi in range(num_queries)]
             )
-        shared = (
-            data.filter(pa.array(mask_np[:rows])) if probe_masks is None else None
-        )
+        host_mask = mask_np[:rows] if mask_np is not None else np.ones(rows, dtype=bool)
+        shared = data.filter(pa.array(host_mask)) if probe_masks is None else None
         tables = []
         for qi in range(num_queries):
             if probe_masks is None:
-                row_mask = mask_np[:rows]
+                row_mask = host_mask
                 part = shared
             else:
-                row_mask = mask_np[:rows] & probe_masks[qi]
+                row_mask = host_mask & probe_masks[qi]
                 part = data.filter(pa.array(row_mask))
             part = part.append_column(
                 DIST_COL, pa.array(dists[qi][row_mask].astype(value_dtype))
@@ -247,25 +300,65 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         )
 
     if coding_data is not None:
+        # IVF-clustered route: gather only the probed cells' buckets
+        # (the masked-scan kernel costs a full corpus pass regardless
+        # of selectivity; fenix_tpu.ops.topk2.topk_ivf_clustered).
         cells = _rank_cells(queries, coding_data, metric, int(req.probes))
-        coded = cache.coded_ids(req.coding, req.source, req.column)
-        aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
+        perm, offsets, corpus_s, coded_s = cache.clustered(
+            req.coding, req.source, req.column
+        )
+        aux_mul_s, aux_add_s = cache.clustered_aux(
+            req.coding, req.source, req.column, metric
+        )
         if req.filter is not None:
-            aux_add = _overlay_mask(aux_add, mask)
-        packed = _search_probed_packed(
-            corpus.data,
+            aux_add_s = _overlay_mask(aux_add_s, jnp.asarray(mask_np[perm]))
+        bucket = topk2.bucket_for(q_pad, n_pad)
+        bucket_lists = _ivf_bucket_lists(
+            np.asarray(cells), offsets, bucket, n_pad // bucket
+        )
+        # Route on total work: the clustered gather moves
+        # Q·B·bucket rows in scattered chunks, the masked scan reads the
+        # corpus once regardless of Q. Gathering more than ~one corpus
+        # pass loses (measured 302 vs 34 ms at Q=256, probes=64/4096).
+        if q_pad * bucket_lists.shape[1] * bucket > n_pad:
+            coded = cache.coded_ids(req.coding, req.source, req.column)
+            aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
+            if req.filter is not None:
+                aux_add = _overlay_mask(aux_add, jnp.asarray(mask_np))
+            packed = _search_probed_packed(
+                corpus.data, queries, aux_mul, aux_add, coded.data, cells,
+                k=k_pad, metric=metric,
+            )
+            dists, ids = topk2.unpack_result(packed)
+            return gather_results(
+                data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
+            )
+        packed = _search_ivf_packed(
+            corpus_s.data,
             queries,
-            aux_mul,
-            aux_add,
-            coded.data,
+            aux_mul_s,
+            aux_add_s,
+            coded_s.data,
             cells,
+            jnp.asarray(bucket_lists),
             k=k_pad,
             metric=metric,
         )
+        dists_all, sids_all = topk2.unpack_result(packed)
+        dists = dists_all[:num_queries, :k].copy()
+        sids = sids_all[:num_queries, :k]
+        # sorted-layout positions → original row ids, then re-sort per
+        # query by (distance, id) to keep the deterministic tie contract
+        ids = np.where(sids >= 0, perm[np.clip(sids, 0, None)], -1).astype(np.int64)
+        for qi in range(num_queries):
+            order = np.lexsort((ids[qi], dists[qi]))
+            dists[qi] = dists[qi][order]
+            ids[qi] = ids[qi][order]
+        return gather_results(data, select, dists, ids, value_dtype)
     else:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
         if req.filter is not None:
-            aux_add = _overlay_mask(aux_add, mask)
+            aux_add = _overlay_mask(aux_add, jnp.asarray(mask_np))
         corpus_scan = (
             cache.matrix_bf16(req.source, req.column).data
             if req.precision == "bf16"

@@ -236,6 +236,73 @@ class DeviceCache:
 
         return self._memo(self._device, (key, column, "sorted_key"), stamp, build)
 
+    def clustered(self, coding: str, source: str | Sequence[str], column: str):
+        """IVF-clustered device layout: rows sorted by cell id.
+
+        Returns ``(perm, offsets, corpus_sorted, coded_sorted)`` where
+        ``perm`` maps sorted position → original row (padding rows sort
+        last), ``offsets[c]`` is the first sorted position of cell
+        ``c`` (length n_cells+1), and the device arrays are in sorted
+        order. Probed searches gather only the buckets covering probed
+        cells' ranges instead of scanning the corpus
+        (fenix_tpu.ops.topk2.topk_ivf_clustered)."""
+        from fenix_tpu import index as index_mod
+
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            import jax.numpy as jnp
+
+            full = self.matrix(source, column)
+            coded_dev = self.coded_ids(coding, source, column)
+            coded_host = np.asarray(coded_dev.data)
+            n_pad, rows = full.rows_padded, full.rows
+            coding_meta = self.coding(coding)
+            n_books, k_book, _ = coding_meta["tensor"].shape
+            n_cells = int(k_book) ** int(n_books)
+
+            # padding rows (−1) sort to the END via an int-max key
+            keys = np.where(coded_host >= 0, coded_host, np.iinfo(np.int32).max)
+            perm = np.argsort(keys, kind="stable")
+            sorted_keys = keys[perm]
+            offsets = np.searchsorted(sorted_keys, np.arange(n_cells + 1))
+
+            perm_dev = jnp.asarray(perm.astype(np.int32))
+            corpus_sorted = ingest.DeviceColumn(
+                data=full.data[perm_dev], rows=rows
+            )
+            coded_sorted = ingest.DeviceColumn(
+                data=coded_dev.data[perm_dev], rows=rows
+            )
+            return (perm, offsets, corpus_sorted, coded_sorted)
+
+        return self._memo(self._device, (key, column, "clustered", coding), stamp, build)
+
+    def clustered_aux(
+        self, coding: str, source: str | Sequence[str], column: str, metric: str
+    ):
+        """(aux_mul, aux_add) in the clustered layout's sorted order."""
+        import jax.numpy as jnp
+
+        from fenix_tpu.ops import distance as distance_ops
+        from fenix_tpu.ops import topk2
+
+        canonical = distance_ops.canonical_metric(metric)
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            _, _, corpus_sorted, _ = self.clustered(coding, source, column)
+            valid = jnp.arange(corpus_sorted.rows_padded) < corpus_sorted.rows
+            return topk2.prepare_aux(corpus_sorted.data, valid, canonical)
+
+        return self._memo(
+            self._device, (key, column, "clustered_aux", coding, canonical), stamp, build
+        )
+
     def coding(self, name: str) -> coder_mod.Coding:
         path = coder_mod.path_of(self.root, name)
         stamp = os.path.getmtime(path)

@@ -237,3 +237,49 @@ def test_quantized_scan_precision_end_to_end(root, rng, precision):
     assert recall >= 0.95
     for i in range(4):
         np.testing.assert_allclose(got_d[i], exact[i][got_ids[i]], rtol=1e-4, atol=1e-5)
+
+
+def test_clustered_ivf_matches_masked_scan(root, rng):
+    """The clustered gather route must return EXACTLY what the
+    masked-scan probed kernel returns (same exact-within-probes set,
+    same deterministic tie order), including with a filter."""
+    import jax.numpy as jnp
+
+    from fenix_tpu.engine import executor as ex
+    from fenix_tpu.ops import topk2
+
+    coder.make(root, "c/l2", "test/table", "vector", CONFIG, seed=0)
+    index.make(root, "c/l2", "test/table", "vector")
+    cache = ex.get_cache(root)
+
+    target = rng.standard_normal((4, DIM)).astype(np.float32)
+    for filt in (None, expr.field("tag") == 2):
+        req = ex.SearchRequest(
+            source="test/table", column="vector", target=target,
+            metric="l2", maxval=7, coding="c/l2", probes=6, filter=filt,
+        )
+        got = ex.execute_search(cache, req)  # clustered route
+
+        # reference: masked-scan kernel on the unsorted layout
+        data, corpus = cache.snapshot("test/table", "vector", coding="c/l2")
+        coding_data = cache.coding("c/l2")
+        queries = jnp.asarray(target)
+        cells = ex._rank_cells(queries, coding_data, "l2", 6)
+        coded = cache.coded_ids("c/l2", "test/table", "vector")
+        aux_mul, aux_add = cache.metric_aux("test/table", "vector", "l2")
+        if filt is not None:
+            m = np.zeros(corpus.rows_padded, bool)
+            m[: corpus.rows] = filt.mask(data)
+            aux_add = jnp.where(jnp.asarray(m), aux_add, float("-inf"))
+        d_ref, i_ref = topk2.topk_two_phase_probed(
+            corpus.data, queries, aux_mul, aux_add, coded.data, cells,
+            k=8, metric="l2",
+        )
+        d_ref, i_ref = np.asarray(d_ref)[:, :7], np.asarray(i_ref)[:, :7]
+
+        got_ids = np.asarray(got.column("id")).reshape(4, -1)
+        got_d = np.asarray(got.column(ex.DIST_COL)).reshape(4, -1)
+        for qi in range(4):
+            valid = i_ref[qi] >= 0
+            np.testing.assert_array_equal(got_ids[qi], i_ref[qi][valid])
+            np.testing.assert_allclose(got_d[qi], d_ref[qi][valid], rtol=1e-4, atol=1e-5)
