@@ -82,7 +82,13 @@ class SearchBatcher:
         if not executor.batchable(req):
             return executor.execute_search(self.cache, req)
 
-        queries = _query_count(req.target)
+        try:
+            column = self.cache.host_table(req.source).schema.field(req.column)
+            dim = column.type.list_size
+        except Exception:
+            # missing table/column: fail on the caller's thread
+            return executor.execute_search(self.cache, req)
+        queries = _query_count(req.target, dim)
         if queries is None or queries > self.max_queries // 2:
             return executor.execute_search(self.cache, req)
         try:
@@ -199,20 +205,23 @@ class SearchBatcher:
             item.done.set()
 
 
-def _query_count(target) -> int | None:
-    """Number of queries in a target, or None if unknown (solo path)."""
+def _query_count(target, dim: int) -> int | None:
+    """Number of queries in a target (flat arrays hold Q·dim scalars,
+    matching executor.normalize_target), or None if unknown (solo)."""
     import numpy as np
 
     if isinstance(target, pa.Table) or isinstance(target, pa.ChunkedArray):
         return len(target)
     if isinstance(target, pa.Array):
-        return len(target) if pa.types.is_fixed_size_list(target.type) else 1
+        if pa.types.is_fixed_size_list(target.type):
+            return len(target)
+        return len(target) // dim if len(target) % dim == 0 else None
     try:
         arr = np.asarray(target)
     except Exception:
         return None
     if arr.ndim == 1:
-        return 1
+        return int(arr.size) // dim if arr.size % dim == 0 else None
     if arr.ndim == 2:
         return int(arr.shape[0])
     return None

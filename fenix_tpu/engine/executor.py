@@ -41,6 +41,11 @@ QUERY_COL: str = "__QUERY_ID__"
 # Canonical query-batch sizes (jit cache keys are shapes).
 _Q_STEPS = (1, 8, 64, 256, 1024)
 
+# Above this composite-cell count the clustered layout's O(n_cells)
+# offset table is not worth building (high-cardinality codings use the
+# bounded-beam ranking and the masked-scan kernel instead).
+_CLUSTERED_MAX_CELLS = 1 << 22
+
 
 def _canonical_q(q: int) -> int:
     for step in _Q_STEPS:
@@ -105,11 +110,12 @@ def _search_probed_packed(corpus, queries, aux_mul, aux_add, coded, cells, k, me
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _search_ivf_packed(
-    corpus_s, queries, aux_mul_s, aux_add_s, coded_s, cells, bucket_lists, k, metric
+    corpus_s, queries, aux_mul_s, aux_add_s, coded_s, orig_ids_s, cells,
+    bucket_lists, k, metric,
 ):
     d, i = topk2.topk_ivf_clustered(
-        corpus_s, queries, aux_mul_s, aux_add_s, coded_s, cells, bucket_lists,
-        k=k, metric=metric,
+        corpus_s, queries, aux_mul_s, aux_add_s, coded_s, orig_ids_s, cells,
+        bucket_lists, k=k, metric=metric,
     )
     return topk2.pack_result(d, i)
 
@@ -303,24 +309,26 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         # IVF-clustered route: gather only the probed cells' buckets
         # (the masked-scan kernel costs a full corpus pass regardless
         # of selectivity; fenix_tpu.ops.topk2.topk_ivf_clustered).
+        # Routing happens BEFORE any device-side layout is built.
         cells = _rank_cells(queries, coding_data, metric, int(req.probes))
-        perm, offsets, corpus_s, coded_s = cache.clustered(
-            req.coding, req.source, req.column
-        )
-        aux_mul_s, aux_add_s = cache.clustered_aux(
-            req.coding, req.source, req.column, metric
-        )
-        if req.filter is not None:
-            aux_add_s = _overlay_mask(aux_add_s, jnp.asarray(mask_np[perm]))
-        bucket = topk2.bucket_for(q_pad, n_pad)
-        bucket_lists = _ivf_bucket_lists(
-            np.asarray(cells), offsets, bucket, n_pad // bucket
-        )
-        # Route on total work: the clustered gather moves
-        # Q·B·bucket rows in scattered chunks, the masked scan reads the
-        # corpus once regardless of Q. Gathering more than ~one corpus
-        # pass loses (measured 302 vs 34 ms at Q=256, probes=64/4096).
-        if q_pad * bucket_lists.shape[1] * bucket > n_pad:
+
+        n_books, k_book, _ = coding_data["tensor"].shape
+        n_cells = int(k_book) ** int(n_books)
+        use_clustered = n_cells <= _CLUSTERED_MAX_CELLS
+        bucket_lists = None
+        if use_clustered:
+            perm, offsets = cache.clustered_meta(req.coding, req.source, req.column)
+            bucket = topk2.bucket_for(q_pad, n_pad)
+            bucket_lists = _ivf_bucket_lists(
+                np.asarray(cells), offsets, bucket, n_pad // bucket
+            )
+            # Route on total work: the clustered gather moves
+            # Q·B·bucket rows in scattered chunks, the masked scan reads
+            # the corpus once regardless of Q. Gathering more than ~one
+            # corpus pass loses (302 vs 34 ms at Q=256, probes=64/4096).
+            use_clustered = q_pad * bucket_lists.shape[1] * bucket <= n_pad
+
+        if not use_clustered:
             coded = cache.coded_ids(req.coding, req.source, req.column)
             aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
             if req.filter is not None:
@@ -333,28 +341,30 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             return gather_results(
                 data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
             )
+
+        corpus_s, coded_s, orig_ids = cache.clustered(req.coding, req.source, req.column)
+        aux_mul_s, aux_add_s = cache.clustered_aux(
+            req.coding, req.source, req.column, metric
+        )
+        if req.filter is not None:
+            aux_add_s = _overlay_mask(aux_add_s, jnp.asarray(mask_np[perm]))
         packed = _search_ivf_packed(
             corpus_s.data,
             queries,
             aux_mul_s,
             aux_add_s,
             coded_s.data,
+            orig_ids.data,
             cells,
             jnp.asarray(bucket_lists),
             k=k_pad,
             metric=metric,
         )
-        dists_all, sids_all = topk2.unpack_result(packed)
-        dists = dists_all[:num_queries, :k].copy()
-        sids = sids_all[:num_queries, :k]
-        # sorted-layout positions → original row ids, then re-sort per
-        # query by (distance, id) to keep the deterministic tie contract
-        ids = np.where(sids >= 0, perm[np.clip(sids, 0, None)], -1).astype(np.int64)
-        for qi in range(num_queries):
-            order = np.lexsort((ids[qi], dists[qi]))
-            dists[qi] = dists[qi][order]
-            ids[qi] = ids[qi][order]
-        return gather_results(data, select, dists, ids, value_dtype)
+        # kernel returns ORIGINAL ids already ordered by (dist, id)
+        dists, ids = topk2.unpack_result(packed)
+        return gather_results(
+            data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
+        )
     else:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
         if req.filter is not None:

@@ -236,29 +236,22 @@ class DeviceCache:
 
         return self._memo(self._device, (key, column, "sorted_key"), stamp, build)
 
-    def clustered(self, coding: str, source: str | Sequence[str], column: str):
-        """IVF-clustered device layout: rows sorted by cell id.
+    def clustered_meta(self, coding: str, source: str | Sequence[str], column: str):
+        """Host side of the IVF-clustered layout: ``(perm, offsets)``.
 
-        Returns ``(perm, offsets, corpus_sorted, coded_sorted)`` where
-        ``perm`` maps sorted position → original row (padding rows sort
+        ``perm`` maps sorted position → original row (stable sort by
+        cell id; within a cell, ascending original id; padding rows
         last), ``offsets[c]`` is the first sorted position of cell
-        ``c`` (length n_cells+1), and the device arrays are in sorted
-        order. Probed searches gather only the buckets covering probed
-        cells' ranges instead of scanning the corpus
-        (fenix_tpu.ops.topk2.topk_ivf_clustered)."""
-        from fenix_tpu import index as index_mod
-
+        ``c`` (length n_cells+1). Cheap (no device work) so the
+        executor can decide gather-vs-scan routing before paying for
+        the device arrays."""
         key = _source_key(source)
         paths = self._coded_paths(coding, key, column)
         stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
 
         def build():
-            import jax.numpy as jnp
-
-            full = self.matrix(source, column)
             coded_dev = self.coded_ids(coding, source, column)
             coded_host = np.asarray(coded_dev.data)
-            n_pad, rows = full.rows_padded, full.rows
             coding_meta = self.coding(coding)
             n_books, k_book, _ = coding_meta["tensor"].shape
             n_cells = int(k_book) ** int(n_books)
@@ -268,15 +261,38 @@ class DeviceCache:
             perm = np.argsort(keys, kind="stable")
             sorted_keys = keys[perm]
             offsets = np.searchsorted(sorted_keys, np.arange(n_cells + 1))
+            return (perm, offsets)
+
+        return self._memo(
+            self._device, (key, column, "clustered_meta", coding), stamp, build
+        )
+
+    def clustered(self, coding: str, source: str | Sequence[str], column: str):
+        """Device side of the IVF-clustered layout: rows sorted by cell
+        id. Returns ``(corpus_sorted, coded_sorted, orig_ids_sorted)``
+        DeviceColumns. Built lazily — only workloads the router sends
+        down the gather path pay the HBM copy
+        (fenix_tpu.ops.topk2.topk_ivf_clustered)."""
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            import jax.numpy as jnp
+
+            full = self.matrix(source, column)
+            coded_dev = self.coded_ids(coding, source, column)
+            perm, _ = self.clustered_meta(coding, source, column)
+            rows = full.rows
 
             perm_dev = jnp.asarray(perm.astype(np.int32))
-            corpus_sorted = ingest.DeviceColumn(
-                data=full.data[perm_dev], rows=rows
-            )
-            coded_sorted = ingest.DeviceColumn(
-                data=coded_dev.data[perm_dev], rows=rows
-            )
-            return (perm, offsets, corpus_sorted, coded_sorted)
+            corpus_sorted = ingest.DeviceColumn(data=full.data[perm_dev], rows=rows)
+            coded_sorted = ingest.DeviceColumn(data=coded_dev.data[perm_dev], rows=rows)
+            # original row id per sorted position (padding → −1) so the
+            # kernel can tie-break on ORIGINAL ids directly
+            orig = np.where(perm < rows, perm, -1).astype(np.int32)
+            orig_ids = ingest.DeviceColumn(data=jnp.asarray(orig), rows=rows)
+            return (corpus_sorted, coded_sorted, orig_ids)
 
         return self._memo(self._device, (key, column, "clustered", coding), stamp, build)
 
@@ -295,7 +311,7 @@ class DeviceCache:
         stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
 
         def build():
-            _, _, corpus_sorted, _ = self.clustered(coding, source, column)
+            corpus_sorted, _, _ = self.clustered(coding, source, column)
             valid = jnp.arange(corpus_sorted.rows_padded) < corpus_sorted.rows
             return topk2.prepare_aux(corpus_sorted.data, valid, canonical)
 

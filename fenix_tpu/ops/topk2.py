@@ -188,12 +188,22 @@ def bucket_scores_scan_int8(
         )  # [QT, N]
         return fuse(s32, aux_mul_s, aux_add)
 
-    if _bigq_eligible(n, qt):
+    if _bigq_eligible(n, qt, d, 1):
         return bucket_scores_pallas_bigq(
             q8, corpus8, aux_mul_s, aux_add, inv_sq=inv_sq, bucket=bucket
         )
 
     block_rows = _fusable_block(n, qt)
+    if n % block_rows != 0 or n == block_rows:
+        # awkward n (tiny shards): fall back to one unblocked dot —
+        # same fallback as the fp32 twin
+        s32 = jax.lax.dot_general(
+            q8,
+            corpus8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return fuse(s32, aux_mul_s, aux_add)
     nb = max(n // block_rows, 1)
     xs = (
         corpus8.reshape(nb, block_rows, d),
@@ -438,11 +448,21 @@ def bucket_scores_pallas_bigq(
     return out.T  # [QT, N/bucket]
 
 
-def _bigq_eligible(n: int, qt: int) -> bool:
-    """Use the fused Pallas phase 1 when shapes tile and we are on a
-    real TPU backend (Mosaic has no CPU lowering; tests run the kernel
-    in interpret mode explicitly)."""
+def _bigq_eligible(n: int, qt: int, d: int, itemsize: int) -> bool:
+    """Use the fused Pallas phase 1 when shapes tile, the per-cell VMEM
+    footprint fits (double-buffered corpus/query blocks + the f32 score
+    tile within ~12 MB of the 16 MB VMEM), and we are on a real TPU
+    backend (Mosaic has no CPU lowering; tests run the kernel in
+    interpret mode explicitly)."""
     if qt % _BIGQ_BQ != 0 or n % _BIGQ_BN != 0:
+        return False
+    vmem = (
+        2 * _BIGQ_BN * d * itemsize  # corpus block, double-buffered
+        + 2 * _BIGQ_BQ * d * itemsize  # query block
+        + _BIGQ_BN * _BIGQ_BQ * 4  # score tile
+        + 3 * _BIGQ_BN * 4  # aux blocks
+    )
+    if vmem > 12 << 20:
         return False
     try:
         return jax.default_backend() != "cpu"
@@ -479,7 +499,7 @@ def bucket_scores_scan(
     if qt <= ONESHOT_MAX_Q and n * qt * acc_bytes <= ONESHOT_INTERMEDIATE_CAP:
         return bucket_scores_xla(queries_p, corpus, aux_mul, aux_add, bucket)
 
-    if _bigq_eligible(n, qt):
+    if _bigq_eligible(n, qt, d, corpus.dtype.itemsize):
         return bucket_scores_pallas_bigq(
             queries_p, corpus, aux_mul, aux_add, bucket=bucket
         )
@@ -638,6 +658,29 @@ def topk_values_ids(s: jax.Array, ids: jax.Array, k: int) -> tuple[jax.Array, ja
     return top_s, jnp.take_along_axis(cand_ids, pos, axis=1)
 
 
+def topk_values_min_id(s: jax.Array, ids: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k by (score desc, id asc) — the engine's full tie
+    contract, independent of candidate order.
+
+    ``lax.top_k`` breaks ties by POSITION; in the clustered IVF layout
+    position order is (cell, row), so cross-cell score ties would
+    resolve to the smaller cell instead of the smaller row id. Iterated
+    max+min-id (k small) enforces the id rule exactly: each step takes
+    the max score, then the smallest id among rows tying at it."""
+    big = jnp.int32(2**31 - 1)
+
+    def body(carry, _):
+        s_cur = carry
+        m = jnp.max(s_cur, axis=1)  # [C]
+        tie = s_cur == m[:, None]
+        sel = jnp.min(jnp.where(tie & (ids >= 0), ids, big), axis=1)
+        hit = tie & (ids == sel[:, None])
+        return jnp.where(hit, NEG_INF, s_cur), (m, sel)
+
+    _, (vals, sids) = jax.lax.scan(body, s, None, length=k)
+    return vals.T, jnp.where(sids == big, -1, sids).T  # [C, k]
+
+
 def bucket_for(q: int, n: int) -> int:
     """Rescore-bucket granularity for a (query count, corpus) pair —
     shared by the kernels and host-side IVF bucket-list builders."""
@@ -654,6 +697,7 @@ def topk_ivf_clustered(
     aux_mul_s: jax.Array,  # [N_pad] (sorted order)
     aux_add_s: jax.Array,  # [N_pad] (sorted order; −inf on masked/pad)
     coded_s: jax.Array,  # [N_pad] int32 cell ids, sorted (−1 pad)
+    orig_ids_s: jax.Array,  # [N_pad] int32 original row id per position (−1 pad)
     cells: jax.Array,  # [Q, P] int32 probe cells per query
     bucket_lists: jax.Array,  # [Q, B] int32 bucket indices (−1 pad)
     k: int,
@@ -670,9 +714,9 @@ def topk_ivf_clustered(
     brute force at 1M rows, P=64/4096 cells — the clustered gather is
     the actual IVF speedup). Boundary buckets contain neighbor cells'
     rows; the per-row probe-membership compare masks them (reference
-    index.py:113-126 semantics). Returned ids are positions in the
-    SORTED layout — the caller maps them through the sort permutation
-    and re-sorts by (distance, original id) for the tie contract."""
+    index.py:113-126 semantics). Returned ids are ORIGINAL row ids,
+    ordered by (distance asc, id asc) — ties resolve by smallest id via
+    topk_values_min_id, matching the masked-scan path exactly."""
     metric = canonical_metric(metric)
     n, d = corpus_s.shape
     q = queries.shape[0]
@@ -688,8 +732,8 @@ def topk_ivf_clustered(
     mul_b = aux_mul_s.reshape(n_buckets, bucket)
     add_b = aux_add_s.reshape(n_buckets, bucket)
     coded_b = coded_s.reshape(n_buckets, bucket)
+    oid_b = orig_ids_s.reshape(n_buckets, bucket)
     kk = min(k, kp * bucket)
-    lane_iota = jnp.arange(bucket, dtype=jnp.int32)[None, None, :]
 
     def rescore_chunk(args):
         qp_c, bidx_c, ok_c, cells_c = args
@@ -706,8 +750,8 @@ def topk_ivf_clustered(
         s = jnp.where(probe_ok & ok_c[:, :, None], s, NEG_INF)
         c = qp_c.shape[0]
         s = s.reshape(c, kp * bucket)
-        ids = (bidx_c[:, :, None] * bucket + lane_iota).reshape(c, kp * bucket)
-        return topk_values_ids(s, ids, kk)
+        ids = oid_b[bidx_c].reshape(c, kp * bucket)
+        return topk_values_min_id(s, ids, kk)
 
     per_query = kp * bucket * d * 4
     chunk = min(q, max(8, _RESCORE_GATHER_CAP // per_query))

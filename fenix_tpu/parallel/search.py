@@ -24,7 +24,7 @@ from fenix_tpu.ops import topk2
 from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, row_sharding
 
 
-def _build(mesh: Mesh, k: int, metric: str, block: int, probed: bool):
+def _build(mesh: Mesh, k: int, metric: str, probed: bool):
     axes = (DATA_AXIS, MODEL_AXIS)
     n_shards = mesh.devices.size
 
@@ -96,23 +96,23 @@ def build_sharded_search(
     mesh: Mesh,
     k: int,
     metric: str,
-    block: int = 8192,
+    block: int | None = None,  # unused; kept for call-site compatibility
 ):
     """Compile a sharded exact top-k search step.
 
     Returns ``fn(corpus, queries, mask) -> (distances [Q,k], ids [Q,k])``
     where ``corpus`` is ``[N_pad, D]`` sharded over rows, ``queries``
-    replicated, ``mask`` row-sharded. ``N_pad / n_devices`` must be a
-    multiple of ``block``.
+    replicated, ``mask`` row-sharded. The two-phase kernel sizes its own
+    blocking; ``block`` only matters to ``shard_corpus`` padding.
     """
-    return _build(mesh, k, metric, block, probed=False)
+    return _build(mesh, k, metric, probed=False)
 
 
 def build_sharded_search_probed(
     mesh: Mesh,
     k: int,
     metric: str,
-    block: int = 8192,
+    block: int | None = None,  # unused; kept for call-site compatibility
 ):
     """Sharded IVF search: row-sharded cell ids travel with the corpus;
     each shard scans only rows whose cell is in the query's probe set.
@@ -120,7 +120,7 @@ def build_sharded_search_probed(
     ``fn(corpus, queries, mask, coded, cells) → (dist [Q,k], ids [Q,k])``
     with ``coded`` row-sharded int32 and ``cells`` replicated [Q, P].
     """
-    return _build(mesh, k, metric, block, probed=True)
+    return _build(mesh, k, metric, probed=True)
 
 
 def shard_corpus(

@@ -275,3 +275,25 @@ def test_bigq_pallas_fine_bucket_interpret(rng):
         jnp.asarray(queries), jnp.asarray(corpus), aux_mul, aux_add,
         interpret=True, bucket=32))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_topk_values_min_id_tie_contract(rng):
+    """Iterated max+min-id selection must order by (score desc, id asc)
+    regardless of candidate position — the clustered IVF layout's
+    candidate order is (cell, row), not id."""
+    c, w, k = 8, 512, 6
+    s = rng.integers(0, 5, (c, w)).astype(np.float32)  # heavy ties
+    ids = np.stack([rng.permutation(w).astype(np.int32) for _ in range(c)])
+    ids[0, :10] = -1  # some invalid slots
+    s[0, :10] = NEG_INF
+
+    got_s, got_i = topk2.topk_values_min_id(jnp.asarray(s), jnp.asarray(ids), k)
+    got_s, got_i = np.asarray(got_s), np.asarray(got_i)
+
+    for ci in range(c):
+        valid = ids[ci] >= 0
+        order = np.lexsort((ids[ci][valid], -s[ci][valid]))
+        want_s = s[ci][valid][order][:k]
+        want_i = ids[ci][valid][order][:k]
+        np.testing.assert_array_equal(got_s[ci], want_s)
+        np.testing.assert_array_equal(got_i[ci], want_i)
