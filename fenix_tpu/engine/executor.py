@@ -89,15 +89,19 @@ def _search_packed(
     return topk2.pack_result(d, i)
 
 
-def _rank_cells(queries, coding_data, metric: str, probes: int):
-    """Top-``probes`` composite cells per query, with the bounded beam
-    fallback when k^n exceeds dense enumeration (mirrors coder.call)."""
-    codebooks = jnp.asarray(coding_data["tensor"])
+def _rank_cells(queries, coding_data, metric: str, probes: int) -> np.ndarray:
+    """Top-``probes`` composite cells per query as a HOST array, with
+    the bounded beam fallback when k^n exceeds dense enumeration
+    (mirrors coder.call). Dense grids rank on the host — fetching a
+    device-ranked [Q, P] costs a full tunnel round-trip per request."""
+    codebooks = coding_data["tensor"]
     n_books, k_book, _ = codebooks.shape
     probes = int(min(probes, k_book**n_books))
     if k_book**n_books > cells_ops.DENSE_CELL_LIMIT:
-        return cells_ops.topk_cells_bounded(queries, codebooks, metric, probes)
-    return cells_ops.topk_cells(queries, codebooks, metric=metric, maxval=probes)
+        return np.asarray(
+            cells_ops.topk_cells_bounded(queries, jnp.asarray(codebooks), metric, probes)
+        )
+    return cells_ops.topk_cells_np(np.asarray(queries), codebooks, metric, probes)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
@@ -267,7 +271,7 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         # ANDs the probe mask into the filter regardless of maxval).
         probe_masks: np.ndarray | None = None
         if coding_data is not None:
-            cells = _rank_cells(queries, coding_data, metric, int(req.probes))
+            cells = _rank_cells(target, coding_data, metric, int(req.probes))
             codes_np = np.asarray(data.column(CODE_COL))
             probe_masks = np.stack(
                 [np.isin(codes_np, np.asarray(cells[qi])) for qi in range(num_queries)]
@@ -310,7 +314,14 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         # (the masked-scan kernel costs a full corpus pass regardless
         # of selectivity; fenix_tpu.ops.topk2.topk_ivf_clustered).
         # Routing happens BEFORE any device-side layout is built.
-        cells = _rank_cells(queries, coding_data, metric, int(req.probes))
+        target_pad = (
+            target
+            if q_pad == num_queries
+            else np.concatenate(
+                [target, np.zeros((q_pad - num_queries, dim), np.float32)]
+            )
+        )
+        cells = _rank_cells(target_pad, coding_data, metric, int(req.probes))
 
         n_books, k_book, _ = coding_data["tensor"].shape
         n_cells = int(k_book) ** int(n_books)

@@ -90,6 +90,43 @@ def topk_cells(
     return ids.astype(jnp.int32)
 
 
+def topk_cells_np(targets, codebooks, metric: str, maxval: int):
+    """Host (numpy) mirror of :func:`topk_cells` for dense cell grids.
+
+    Probed serving uses this to pick probe cells without a device
+    round-trip (the [Q, P] fetch costs a full tunnel round-trip per
+    request). Same math (fp32) and the same smallest-id tie rule
+    (stable argsort ≡ lax.top_k's earliest-on-tie)."""
+    import numpy as np
+
+    metric = canonical_metric(metric)
+    targets = np.asarray(targets, dtype=np.float32)
+    codebooks = np.asarray(codebooks, dtype=np.float32)
+    n, k, d = codebooks.shape
+    flat = codebooks.reshape(n * k, d)
+
+    if metric == "l2":
+        uu = np.sum(np.square(targets), axis=-1, keepdims=True)
+        vv = np.sum(np.square(flat), axis=-1, keepdims=True).T
+        dist = np.sqrt(np.maximum(uu - 2.0 * (targets @ flat.T) + vv, 0.0))
+    elif metric == "cosine":
+        tn = targets / np.maximum(
+            np.linalg.norm(targets, axis=-1, keepdims=True), 1e-12
+        )
+        fn = flat / np.maximum(np.linalg.norm(flat, axis=-1, keepdims=True), 1e-12)
+        dist = 0.5 - 0.5 * (tn @ fn.T)
+    else:
+        dist = -(targets @ flat.T)
+    dist = dist.reshape(-1, n, k)
+
+    q = dist.shape[0]
+    scores = dist[:, 0, :]
+    for j in range(1, n):
+        scores = (scores[:, :, None] + dist[:, j, None, :]).reshape(q, -1)
+    order = np.argsort(scores, axis=-1, kind="stable")
+    return order[:, :maxval].astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def all_cell_ranks(
     targets: jax.Array,  # [Q, D]
