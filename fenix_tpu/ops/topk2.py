@@ -1,28 +1,31 @@
-"""Two-phase exact top-k search: streaming bucket maxima → rescore.
+"""Two-phase exact top-k search: bucket maxima → select → rescore.
 
 The hot loop of the engine (SURVEY.md §7 "fused top-k on TPU"). The
 single-pass scan in fenix_tpu.ops.distance materializes a [Q, block]
 score tile in HBM per step and runs ``lax.top_k`` against it — sort
 cost and tile traffic dominate. This module splits the search:
 
-**Phase 1 (Pallas, bandwidth-bound):** stream the corpus once through
-VMEM; for every 128-row bucket emit only the bucket's max score —
-a [N/128] summary per query (0.8% of corpus bytes). The kernel computes
-``s = (q·v) · aux_mul + aux_add`` so one binary handles all metrics and
-carries the predicate/probe mask (−inf in ``aux_add``); the matmul is
-laid out transposed (rows on sublanes) so bucket maxima reduce along
-sublanes with static slices — no lane shuffles, no relayouts.
+**Phase 1 (bandwidth-bound):** one pass over the corpus emits, per
+``bucket`` rows (128, or 32 for large query batches), the max of the
+fused score ``s = (q·v) · aux_mul + aux_add`` — one formula for all
+metrics, with predicate/probe masks as −inf in ``aux_add``. Three
+measured lowerings (docs/DESIGN.md): an unblocked dot at small Q
+(~96 % of the HBM read ceiling), the fused Pallas kernel at large Q
+(VMEM score tiles, no [N, Q] intermediate), and a VMEM-fusable
+``lax.scan`` as the shape-generic fallback. Scan dtype options: fp32
+(exact), bf16 copy, int8 per-row-quantized copy (selection-only
+precision; opt-in).
 
-**Phase 2 (XLA, tiny):** take the top ``k + pad`` buckets per query
-(monotone-consistency pad — phase-1 scores are order-equivalent, not
-bit-equal, to exact distances), gather those buckets' rows, rescore
-exactly, and merge. Gather traffic is ``(k+pad)·128`` rows per query.
+**Phase 2 (small):** top ``k + pad`` buckets per query via
+hierarchical selection (TPU top-k is sort-like), gather those buckets'
+rows, rescore exactly in fp32 (Precision.HIGHEST), merge.
 
 Exactness: a bucket containing a true top-k element has bucket-max ≥
 that element's score, and at most k buckets hold values ≥ the k-th
 best, so the top-k buckets cover the true top-k (ties resolve to the
 earliest bucket under ``lax.top_k``'s stable order → smallest row id,
-the engine's deterministic tie rule).
+the engine's deterministic tie rule; the IVF-clustered kernel enforces
+the id rule explicitly via topk_values_min_id).
 """
 
 from __future__ import annotations
