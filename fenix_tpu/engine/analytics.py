@@ -72,6 +72,76 @@ def _join_aggregate_device(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "k_pad", "metric", "agg", "max_groups", "use_value_col", "use_dist"),
+)
+def _fused_search_join_aggregate(
+    corpus,  # [N_pad, D]
+    queries,  # [Q_pad, D]
+    aux_mul,
+    aux_add,
+    num_queries,  # scalar: real query count (rest is padding)
+    left_col,  # [N_pad] int32 join-key column of the SEARCH table
+    sorted_keys,  # [A] pre-sorted attr keys
+    sorted_index,  # [A]
+    attr_rows,
+    group_col,  # [A_pad]
+    value_col,  # [A_pad] (or dummy)
+    k: int,
+    k_pad: int,
+    metric: str,
+    agg: str,
+    max_groups: int,
+    use_value_col: bool,
+    use_dist: bool,
+):
+    """Search → join → aggregate as ONE dispatch + ONE fetch.
+
+    The two-step path (search fetch → host key extract → join dispatch
+    → fetch) pays two device roundtrips (~27 ms each through the
+    tunnel); here the top-k ids never leave the device — the search
+    table's key column is HBM-resident, so join keys gather on device."""
+    from fenix_tpu.ops import topk2
+
+    dist, ids = topk2.topk_two_phase(
+        corpus, queries, aux_mul, aux_add, k=k_pad, metric=metric
+    )
+    dist = dist[:, :k]
+    ids = ids[:, :k]
+    flat_ids = ids.reshape(-1)
+    flat_dist = dist.reshape(-1)
+    q_pad = queries.shape[0]
+    from_real_query = (
+        jax.lax.broadcasted_iota(jnp.int32, (q_pad * k, 1), 0).squeeze(-1) // k
+        < num_queries
+    )
+    valid = (flat_ids >= 0) & from_real_query
+    left_keys = jnp.take(left_col, jnp.where(valid, flat_ids, 0))
+
+    ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
+    ridx = jnp.where((ridx < attr_rows) & valid, ridx, -1)
+    hit = ridx >= 0
+    safe = jnp.where(hit, ridx, 0)
+    groups = jnp.take(group_col, safe).astype(jnp.int32)
+    if use_value_col:
+        values = jnp.take(value_col, safe).astype(jnp.float32)
+    elif use_dist:
+        values = flat_dist
+    else:
+        values = jnp.ones_like(flat_dist)
+    gk, gv, n = relational.group_aggregate(
+        groups, values, max_groups=max_groups, agg=agg, mask=hit
+    )
+    return jnp.concatenate(
+        [
+            gk.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(gv.astype(jnp.float32), jnp.int32),
+            n.astype(jnp.int32)[None],
+        ]
+    )
+
+
 @dataclass
 class JoinSpec:
     """Enrichment join: attach rows of ``source`` where
@@ -112,6 +182,96 @@ class AggregateSpec:
         )
 
 
+def _groups_table(packed: np.ndarray, max_groups: int) -> pa.Table:
+    g = max_groups
+    gk = packed[:g]
+    gv = packed[g : 2 * g].view(np.float32)
+    n = int(packed[2 * g])
+    if n > g:
+        raise ValueError(
+            f"aggregate produced {n} distinct groups but max_groups={g}; "
+            "raise aggregate.max_groups"
+        )
+    return pa.table(
+        {
+            GROUP_COL: pa.array(gk[:n].astype(np.int64)),
+            AGG_COL: pa.array(gv[:n].astype(np.float64)),
+        }
+    )
+
+
+def _execute_fused_aggregate(
+    cache: DeviceCache,
+    req: executor.SearchRequest,
+    join: JoinSpec,
+    aggregate: AggregateSpec,
+) -> pa.Table:
+    """Single-dispatch search→join→aggregate (brute-force searches)."""
+    from fenix_tpu.ops import distance as distance_ops
+    from fenix_tpu.ops import topk2  # noqa: F401 — used inside the jit
+
+    data, corpus = cache.snapshot(req.source, req.column)
+    column_type = data.schema.field(req.column).type
+    dim = column_type.list_size
+    target = executor.normalize_target(req.target, dim)
+    num_queries = target.shape[0]
+    metric = distance_ops.canonical_metric(req.metric)
+    rows, n_pad = corpus.rows, corpus.rows_padded
+
+    k = int(min(req.maxval, rows))
+    q_pad = executor._canonical_q(num_queries)
+    k_pad = min(executor._canonical_k(k), n_pad)
+    queries = jnp.asarray(target)
+    if q_pad != num_queries:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((q_pad - num_queries, dim), queries.dtype)]
+        )
+
+    aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
+    if req.filter is not None:
+        mask_np = np.zeros(n_pad, dtype=bool)
+        mask_np[:rows] = req.filter.mask(data)
+        aux_add = executor._overlay_mask(aux_add, jnp.asarray(mask_np))
+
+    left_col = cache.scalar(req.source, join.left_on)
+    sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
+    group_col = cache.scalar(join.source, aggregate.group_by)
+    use_value_col = aggregate.value is not None and aggregate.value != executor.DIST_COL
+    use_dist = aggregate.value == executor.DIST_COL
+    value_col = (
+        cache.scalar(join.source, aggregate.value).data
+        if use_value_col
+        else group_col.data
+    )
+    agg = aggregate.agg
+    if not use_value_col and not use_dist and agg == "count":
+        agg = "sum"
+
+    packed = np.asarray(
+        _fused_search_join_aggregate(
+            corpus.data,
+            queries,
+            aux_mul,
+            aux_add,
+            jnp.int32(num_queries),
+            left_col.data.astype(jnp.int32),
+            sorted_keys,
+            sorted_index,
+            attr_rows,
+            group_col.data,
+            value_col,
+            k=k,
+            k_pad=k_pad,
+            metric=metric,
+            agg=agg,
+            max_groups=aggregate.max_groups,
+            use_value_col=use_value_col,
+            use_dist=use_dist,
+        )
+    )
+    return _groups_table(packed, aggregate.max_groups)
+
+
 def execute_search_join(
     cache: DeviceCache,
     req: executor.SearchRequest,
@@ -121,6 +281,14 @@ def execute_search_join(
     """Search, join each result row to the attribute table, and either
     return the enriched rows or the aggregate over match groups."""
     assert req.maxval is not None, "join/aggregate queries require maxval (top-k)"
+
+    if (
+        aggregate is not None
+        and req.coding is None
+        and req.precision == "fp32"
+        and req.metric is not None
+    ):
+        return _execute_fused_aggregate(cache, req, join, aggregate)
 
     result = executor.execute_search(cache, req)
 
@@ -168,21 +336,7 @@ def execute_search_join(
                 use_value_col=use_value_col,
             )
         )  # one roundtrip
-        g = aggregate.max_groups
-        gk = packed[:g]
-        gv = packed[g : 2 * g].view(np.float32)
-        n = int(packed[2 * g])
-        if n > g:
-            raise ValueError(
-                f"aggregate produced {n} distinct groups but max_groups={g}; "
-                "raise aggregate.max_groups"
-            )
-        return pa.table(
-            {
-                GROUP_COL: pa.array(gk[:n].astype(np.int64)),
-                AGG_COL: pa.array(gv[:n].astype(np.float64)),
-            }
-        )
+        return _groups_table(packed, aggregate.max_groups)
 
     # enrichment path (host gather of joined columns)
     ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)

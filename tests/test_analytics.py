@@ -132,3 +132,28 @@ def test_join_aggregate_sum_weight(root, rng):
     assert set(got) == set(want)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-6)
+
+
+def test_join_aggregate_two_step_path_matches_fused(root, rng):
+    """The fused single-dispatch path and the two-step fallback (taken
+    for non-fp32/coded searches) must agree."""
+    cache = executor.get_cache(root)
+    target = rng.standard_normal(DIM).astype(np.float32)
+    spec_j = analytics.JoinSpec(source="attrs", right_on="key")
+    spec_a = analytics.AggregateSpec(group_by="grp", agg="count", max_groups=64)
+
+    req_fused = executor.SearchRequest(
+        source="vec", column="vector", target=target, metric="l2", maxval=40
+    )
+    req_twostep = executor.SearchRequest(
+        source="vec", column="vector", target=target, metric="l2", maxval=40,
+        precision="bf16",  # routes around the fused path
+    )
+    a = analytics.execute_search_join(cache, req_fused, spec_j, spec_a)
+    b = analytics.execute_search_join(cache, req_twostep, spec_j, spec_a)
+    # bf16 scan is recall≈1; on this small corpus results should agree
+    da = dict(zip(a.column(analytics.GROUP_COL).to_pylist(),
+                  a.column(analytics.AGG_COL).to_pylist()))
+    db = dict(zip(b.column(analytics.GROUP_COL).to_pylist(),
+                  b.column(analytics.AGG_COL).to_pylist()))
+    assert da == db
