@@ -142,6 +142,41 @@ def _fused_search_join_aggregate(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "k_pad", "metric"))
+def _fused_search_lookup(
+    corpus,
+    queries,
+    aux_mul,
+    aux_add,
+    num_queries,
+    left_col,  # [N_pad] int32
+    sorted_keys,
+    sorted_index,
+    attr_rows,
+    k: int,
+    k_pad: int,
+    metric: str,
+):
+    """Search + join-probe in one dispatch; ONE packed fetch of
+    (distances, result ids, attr row indices) as [3, Q_pad, k] int32."""
+    from fenix_tpu.ops import topk2
+
+    dist, ids = topk2.topk_two_phase(
+        corpus, queries, aux_mul, aux_add, k=k_pad, metric=metric
+    )
+    dist = dist[:, :k]
+    ids = ids[:, :k]
+    q_pad = queries.shape[0]
+    valid = ids >= 0
+    left_keys = jnp.take(left_col, jnp.where(valid, ids, 0)).reshape(-1)
+    ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
+    ridx = ridx.reshape(q_pad, k)
+    ridx = jnp.where((ridx < attr_rows) & valid, ridx, -1)
+    return jnp.stack(
+        [jax.lax.bitcast_convert_type(dist, jnp.int32), ids, ridx.astype(jnp.int32)]
+    )
+
+
 @dataclass
 class JoinSpec:
     """Enrichment join: attach rows of ``source`` where
@@ -200,18 +235,18 @@ def _groups_table(packed: np.ndarray, max_groups: int) -> pa.Table:
     )
 
 
-def _execute_fused_aggregate(
+def _execute_fused(
     cache: DeviceCache,
     req: executor.SearchRequest,
     join: JoinSpec,
-    aggregate: AggregateSpec,
+    aggregate: AggregateSpec | None,
 ) -> pa.Table:
-    """Single-dispatch search→join→aggregate (brute-force searches)."""
+    """Single-dispatch search→join[→aggregate] (brute-force searches)."""
     from fenix_tpu.ops import distance as distance_ops
-    from fenix_tpu.ops import topk2  # noqa: F401 — used inside the jit
 
     data, corpus = cache.snapshot(req.source, req.column)
     column_type = data.schema.field(req.column).type
+    value_dtype = column_type.value_type.to_pandas_dtype()
     dim = column_type.list_size
     target = executor.normalize_target(req.target, dim)
     num_queries = target.shape[0]
@@ -235,20 +270,49 @@ def _execute_fused_aggregate(
 
     left_col = cache.scalar(req.source, join.left_on)
     sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
-    group_col = cache.scalar(join.source, aggregate.group_by)
-    use_value_col = aggregate.value is not None and aggregate.value != executor.DIST_COL
-    use_dist = aggregate.value == executor.DIST_COL
-    value_col = (
-        cache.scalar(join.source, aggregate.value).data
-        if use_value_col
-        else group_col.data
-    )
-    agg = aggregate.agg
-    if not use_value_col and not use_dist and agg == "count":
-        agg = "sum"
 
+    if aggregate is not None:
+        group_col = cache.scalar(join.source, aggregate.group_by)
+        use_value_col = (
+            aggregate.value is not None and aggregate.value != executor.DIST_COL
+        )
+        use_dist = aggregate.value == executor.DIST_COL
+        value_col = (
+            cache.scalar(join.source, aggregate.value).data
+            if use_value_col
+            else group_col.data
+        )
+        agg = aggregate.agg
+        if not use_value_col and not use_dist and agg == "count":
+            agg = "sum"
+
+        packed = np.asarray(
+            _fused_search_join_aggregate(
+                corpus.data,
+                queries,
+                aux_mul,
+                aux_add,
+                jnp.int32(num_queries),
+                left_col.data.astype(jnp.int32),
+                sorted_keys,
+                sorted_index,
+                attr_rows,
+                group_col.data,
+                value_col,
+                k=k,
+                k_pad=k_pad,
+                metric=metric,
+                agg=agg,
+                max_groups=aggregate.max_groups,
+                use_value_col=use_value_col,
+                use_dist=use_dist,
+            )
+        )
+        return _groups_table(packed, aggregate.max_groups)
+
+    # enrichment: one packed fetch of (dist, ids, attr row index)
     packed = np.asarray(
-        _fused_search_join_aggregate(
+        _fused_search_lookup(
             corpus.data,
             queries,
             aux_mul,
@@ -258,18 +322,37 @@ def _execute_fused_aggregate(
             sorted_keys,
             sorted_index,
             attr_rows,
-            group_col.data,
-            value_col,
             k=k,
             k_pad=k_pad,
             metric=metric,
-            agg=agg,
-            max_groups=aggregate.max_groups,
-            use_value_col=use_value_col,
-            use_dist=use_dist,
         )
     )
-    return _groups_table(packed, aggregate.max_groups)
+    dists = packed[0].view(np.float32)[:num_queries]
+    ids = packed[1][:num_queries]
+    ridx = packed[2][:num_queries]
+
+    select = [*req.select] if req.select is not None else data.column_names
+    select = select + [executor.DIST_COL]
+    result = executor.gather_results(data, select, dists, ids, value_dtype)
+
+    import pyarrow.compute as pc
+
+    attrs = cache.host_table(join.source)
+    hit = ridx[ids >= 0] >= 0  # flattened in the same order gather_results keeps
+    take = pa.array(np.where(hit, ridx[ids >= 0], 0).astype(np.int64))
+    existing = set(result.column_names)
+    columns = (
+        [c for c in attrs.column_names if c != join.right_on and c not in existing]
+        if join.columns is None
+        else [*join.columns]
+    )
+    hit_arr = pa.array(hit)
+    for name in columns:
+        col = attrs.column(name).take(take).combine_chunks()
+        if not hit.all():
+            col = pc.if_else(hit_arr, col, pa.nulls(len(col), col.type))
+        result = result.append_column(name, col)
+    return result
 
 
 def execute_search_join(
@@ -282,13 +365,8 @@ def execute_search_join(
     return the enriched rows or the aggregate over match groups."""
     assert req.maxval is not None, "join/aggregate queries require maxval (top-k)"
 
-    if (
-        aggregate is not None
-        and req.coding is None
-        and req.precision == "fp32"
-        and req.metric is not None
-    ):
-        return _execute_fused_aggregate(cache, req, join, aggregate)
+    if req.coding is None and req.precision == "fp32" and req.metric is not None:
+        return _execute_fused(cache, req, join, aggregate)
 
     result = executor.execute_search(cache, req)
 

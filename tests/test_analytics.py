@@ -157,3 +157,25 @@ def test_join_aggregate_two_step_path_matches_fused(root, rng):
     db = dict(zip(b.column(analytics.GROUP_COL).to_pylist(),
                   b.column(analytics.AGG_COL).to_pylist()))
     assert da == db
+
+
+def test_join_enrichment_multi_query_fused(root, rng):
+    """Fused search+lookup path with a [Q, D] target: per-query rows,
+    __QUERY_ID__ present, attr values correct (None on misses)."""
+    cache = executor.get_cache(root)
+    target = rng.standard_normal((3, DIM)).astype(np.float32)
+    req = executor.SearchRequest(
+        source="vec", column="vector", target=target, metric="l2", maxval=6
+    )
+    out = analytics.execute_search_join(
+        cache, req, analytics.JoinSpec(source="attrs", right_on="key")
+    )
+    assert out.num_rows == 18
+    assert "__QUERY_ID__" in out.column_names
+
+    attrs = table.load(root, "attrs")
+    lookup = dict(zip(np.asarray(attrs.column("key")).tolist(),
+                      np.asarray(attrs.column("weight")).tolist()))
+    ids = np.asarray(out.column("id"))
+    for i, w in zip(ids.tolist(), out.column("weight").to_pylist()):
+        assert w == lookup.get(i, None)
