@@ -74,7 +74,7 @@ def _join_aggregate_device(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "k_pad", "metric", "agg", "max_groups", "use_value_col", "use_dist"),
+    static_argnames=("k_pad", "metric", "agg", "max_groups", "use_value_col", "use_dist"),
 )
 def _fused_search_join_aggregate(
     corpus,  # [N_pad, D]
@@ -82,13 +82,13 @@ def _fused_search_join_aggregate(
     aux_mul,
     aux_add,
     num_queries,  # scalar: real query count (rest is padding)
+    k_limit,  # scalar: requested maxval (k_pad is the padded compile shape)
     left_col,  # [N_pad] int32 join-key column of the SEARCH table
     sorted_keys,  # [A] pre-sorted attr keys
     sorted_index,  # [A]
     attr_rows,
     group_col,  # [A_pad]
     value_col,  # [A_pad] (or dummy)
-    k: int,
     k_pad: int,
     metric: str,
     agg: str,
@@ -101,22 +101,21 @@ def _fused_search_join_aggregate(
     The two-step path (search fetch → host key extract → join dispatch
     → fetch) pays two device roundtrips (~27 ms each through the
     tunnel); here the top-k ids never leave the device — the search
-    table's key column is HBM-resident, so join keys gather on device."""
+    table's key column is HBM-resident, so join keys gather on device.
+    The jit key uses only the canonical ``k_pad``; the requested
+    ``k_limit`` rides as a traced scalar mask (a raw static k would
+    recompile the serving path per novel maxval — minutes each here)."""
     from fenix_tpu.ops import topk2
 
     dist, ids = topk2.topk_two_phase(
         corpus, queries, aux_mul, aux_add, k=k_pad, metric=metric
     )
-    dist = dist[:, :k]
-    ids = ids[:, :k]
     flat_ids = ids.reshape(-1)
     flat_dist = dist.reshape(-1)
     q_pad = queries.shape[0]
-    from_real_query = (
-        jax.lax.broadcasted_iota(jnp.int32, (q_pad * k, 1), 0).squeeze(-1) // k
-        < num_queries
-    )
-    valid = (flat_ids >= 0) & from_real_query
+    pos = jax.lax.broadcasted_iota(jnp.int32, (q_pad * k_pad, 1), 0).squeeze(-1)
+    in_bounds = (pos // k_pad < num_queries) & (pos % k_pad < k_limit)
+    valid = (flat_ids >= 0) & in_bounds
     left_keys = jnp.take(left_col, jnp.where(valid, flat_ids, 0))
 
     ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
@@ -142,35 +141,33 @@ def _fused_search_join_aggregate(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "k_pad", "metric"))
+@functools.partial(jax.jit, static_argnames=("k_pad", "metric"))
 def _fused_search_lookup(
     corpus,
     queries,
     aux_mul,
     aux_add,
-    num_queries,
     left_col,  # [N_pad] int32
     sorted_keys,
     sorted_index,
     attr_rows,
-    k: int,
     k_pad: int,
     metric: str,
 ):
     """Search + join-probe in one dispatch; ONE packed fetch of
-    (distances, result ids, attr row indices) as [3, Q_pad, k] int32."""
+    (distances, result ids, attr row indices) as [3, Q_pad, k_pad]
+    int32. The host trims to the requested (num_queries, maxval) —
+    only the canonical ``k_pad`` keys the jit cache."""
     from fenix_tpu.ops import topk2
 
     dist, ids = topk2.topk_two_phase(
         corpus, queries, aux_mul, aux_add, k=k_pad, metric=metric
     )
-    dist = dist[:, :k]
-    ids = ids[:, :k]
     q_pad = queries.shape[0]
     valid = ids >= 0
     left_keys = jnp.take(left_col, jnp.where(valid, ids, 0)).reshape(-1)
     ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
-    ridx = ridx.reshape(q_pad, k)
+    ridx = ridx.reshape(q_pad, k_pad)
     ridx = jnp.where((ridx < attr_rows) & valid, ridx, -1)
     return jnp.stack(
         [jax.lax.bitcast_convert_type(dist, jnp.int32), ids, ridx.astype(jnp.int32)]
@@ -244,13 +241,34 @@ def _execute_fused(
     """Single-dispatch search→join[→aggregate] (brute-force searches)."""
     from fenix_tpu.ops import distance as distance_ops
 
-    data, corpus = cache.snapshot(req.source, req.column)
+    import os
+
+    from fenix_tpu.io import table as table_mod
+
+    # snapshot-coherent prologue: the search table's key column joins
+    # device row ids, so it MUST come from the same table revision as
+    # the device matrix (a concurrent re-ingest between the two reads
+    # would join old ids against new keys). Retry until stable, like
+    # session.snapshot.
+    src = (req.source,) if isinstance(req.source, str) else tuple(req.source)
+    for _ in range(5):
+        stamp = tuple(os.path.getmtime(table_mod.path_of(cache.root, s)) for s in src)
+        data, corpus = cache.snapshot(req.source, req.column)
+        left_col = cache.scalar(req.source, join.left_on)
+        aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric_canonical := distance_ops.canonical_metric(req.metric))
+        if stamp == tuple(
+            os.path.getmtime(table_mod.path_of(cache.root, s)) for s in src
+        ):
+            break
+    else:
+        raise RuntimeError(f"table {req.source!r} kept changing during snapshot")
+
+    metric = metric_canonical
     column_type = data.schema.field(req.column).type
     value_dtype = column_type.value_type.to_pandas_dtype()
     dim = column_type.list_size
     target = executor.normalize_target(req.target, dim)
     num_queries = target.shape[0]
-    metric = distance_ops.canonical_metric(req.metric)
     rows, n_pad = corpus.rows, corpus.rows_padded
 
     k = int(min(req.maxval, rows))
@@ -262,13 +280,11 @@ def _execute_fused(
             [queries, jnp.zeros((q_pad - num_queries, dim), queries.dtype)]
         )
 
-    aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
     if req.filter is not None:
         mask_np = np.zeros(n_pad, dtype=bool)
         mask_np[:rows] = req.filter.mask(data)
         aux_add = executor._overlay_mask(aux_add, jnp.asarray(mask_np))
 
-    left_col = cache.scalar(req.source, join.left_on)
     sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
 
     if aggregate is not None:
@@ -293,13 +309,13 @@ def _execute_fused(
                 aux_mul,
                 aux_add,
                 jnp.int32(num_queries),
+                jnp.int32(k),
                 left_col.data.astype(jnp.int32),
                 sorted_keys,
                 sorted_index,
                 attr_rows,
                 group_col.data,
                 value_col,
-                k=k,
                 k_pad=k_pad,
                 metric=metric,
                 agg=agg,
@@ -317,29 +333,35 @@ def _execute_fused(
             queries,
             aux_mul,
             aux_add,
-            jnp.int32(num_queries),
             left_col.data.astype(jnp.int32),
             sorted_keys,
             sorted_index,
             attr_rows,
-            k=k,
             k_pad=k_pad,
             metric=metric,
         )
     )
-    dists = packed[0].view(np.float32)[:num_queries]
-    ids = packed[1][:num_queries]
-    ridx = packed[2][:num_queries]
+    dists = packed[0].view(np.float32)[:num_queries, :k]
+    ids = packed[1][:num_queries, :k]
+    ridx = packed[2][:num_queries, :k]
 
     select = [*req.select] if req.select is not None else data.column_names
     select = select + [executor.DIST_COL]
     result = executor.gather_results(data, select, dists, ids, value_dtype)
+    # ridx flattened in the same (query-major, valid-only) order that
+    # gather_results keeps
+    return _attach_join_columns(result, cache.host_table(join.source), ridx[ids >= 0], join)
 
+
+def _attach_join_columns(
+    result: pa.Table, attrs: pa.Table, ridx_flat: np.ndarray, join: JoinSpec
+) -> pa.Table:
+    """Append the joined attribute columns for each result row;
+    misses become NULLs, collisions with existing names are skipped."""
     import pyarrow.compute as pc
 
-    attrs = cache.host_table(join.source)
-    hit = ridx[ids >= 0] >= 0  # flattened in the same order gather_results keeps
-    take = pa.array(np.where(hit, ridx[ids >= 0], 0).astype(np.int64))
+    hit = ridx_flat >= 0
+    take = pa.array(np.where(hit, ridx_flat, 0).astype(np.int64))
     existing = set(result.column_names)
     columns = (
         [c for c in attrs.column_names if c != join.right_on and c not in existing]
@@ -420,29 +442,7 @@ def execute_search_join(
     ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
     ridx_np = np.asarray(ridx)
     ridx_np = np.where(ridx_np < attr_rows, ridx_np, -1)
-
-    attrs = cache.host_table(join.source)
-
-    import pyarrow.compute as pc
-
-    hit = ridx_np >= 0
-    take = pa.array(np.where(hit, ridx_np, 0).astype(np.int64))
-    existing = set(result.column_names)
-    columns = (
-        # skip the key column and anything that would collide with a
-        # result column — duplicate names break downstream .column()
-        [c for c in attrs.column_names if c != join.right_on and c not in existing]
-        if join.columns is None
-        else [*join.columns]
-    )
-    out = result
-    hit_arr = pa.array(hit)
-    for name in columns:
-        col = attrs.column(name).take(take).combine_chunks()
-        if not hit.all():
-            col = pc.if_else(hit_arr, col, pa.nulls(len(col), col.type))
-        out = out.append_column(name, col)
-    return out
+    return _attach_join_columns(result, cache.host_table(join.source), ridx_np, join)
 
 
 

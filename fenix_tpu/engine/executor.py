@@ -313,15 +313,14 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         # IVF-clustered route: gather only the probed cells' buckets
         # (the masked-scan kernel costs a full corpus pass regardless
         # of selectivity; fenix_tpu.ops.topk2.topk_ivf_clustered).
-        # Routing happens BEFORE any device-side layout is built.
-        target_pad = (
-            target
-            if q_pad == num_queries
-            else np.concatenate(
-                [target, np.zeros((q_pad - num_queries, dim), np.float32)]
+        # Routing happens BEFORE any device-side layout is built. Only
+        # REAL queries rank cells (dense ranking is O(k^n) per row);
+        # padding queries get −1 probes, which never match a cell id.
+        cells = _rank_cells(target, coding_data, metric, int(req.probes))
+        if q_pad != num_queries:
+            cells = np.concatenate(
+                [cells, np.full((q_pad - num_queries, cells.shape[1]), -1, cells.dtype)]
             )
-        )
-        cells = _rank_cells(target_pad, coding_data, metric, int(req.probes))
 
         n_books, k_book, _ = coding_data["tensor"].shape
         n_cells = int(k_book) ** int(n_books)
@@ -330,9 +329,7 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         if use_clustered:
             perm, offsets = cache.clustered_meta(req.coding, req.source, req.column)
             bucket = topk2.bucket_for(q_pad, n_pad)
-            bucket_lists = _ivf_bucket_lists(
-                np.asarray(cells), offsets, bucket, n_pad // bucket
-            )
+            bucket_lists = _ivf_bucket_lists(cells, offsets, bucket, n_pad // bucket)
             # Route on total work: the clustered gather moves
             # Q·B·bucket rows in scattered chunks, the masked scan reads
             # the corpus once regardless of Q. Gathering more than ~one

@@ -120,11 +120,34 @@ def topk_cells_np(targets, codebooks, metric: str, maxval: int):
     dist = dist.reshape(-1, n, k)
 
     q = dist.shape[0]
-    scores = dist[:, 0, :]
-    for j in range(1, n):
-        scores = (scores[:, :, None] + dist[:, j, None, :]).reshape(q, -1)
-    order = np.argsort(scores, axis=-1, kind="stable")
-    return order[:, :maxval].astype(np.int32)
+    num_cells = k**n
+    maxval = min(maxval, num_cells)
+
+    # Chunk queries: the [chunk, k^n] score matrix at DENSE_CELL_LIMIT
+    # is 4 MB/row — a full [Q, k^n] would be GBs for big batches.
+    chunk = max(1, min(q, (64 << 20) // max(num_cells * 4, 1)))
+    out = np.empty((q, maxval), np.int32)
+    for lo in range(0, q, chunk):
+        hi = min(lo + chunk, q)
+        scores = dist[lo:hi, 0, :]
+        for j in range(1, n):
+            scores = (scores[:, :, None] + dist[lo:hi, j, None, :]).reshape(hi - lo, -1)
+        if num_cells > 4 * maxval and num_cells > 4096:
+            # argpartition then a stable (score, id) sort of the
+            # selected slice — full argsorts of k^n elements dominate
+            # otherwise. Boundary ties may select a different (equal-
+            # score) cell than the full sort; probe sets stay valid.
+            part = np.argpartition(scores, maxval - 1, axis=1)[:, :maxval]
+            sel = np.take_along_axis(scores, part, axis=1)
+            o1 = np.argsort(part, axis=1, kind="stable")
+            part = np.take_along_axis(part, o1, axis=1)
+            sel = np.take_along_axis(sel, o1, axis=1)
+            o2 = np.argsort(sel, axis=1, kind="stable")
+            out[lo:hi] = np.take_along_axis(part, o2, axis=1).astype(np.int32)
+        else:
+            order = np.argsort(scores, axis=-1, kind="stable")
+            out[lo:hi] = order[:, :maxval].astype(np.int32)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

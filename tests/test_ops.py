@@ -161,3 +161,33 @@ def test_topk_cells_bounded_matches_dense(rng):
     bounded = np.asarray(cells.topk_cells_bounded(jnp.asarray(targets), jnp.asarray(codebooks), "l2", m))
 
     np.testing.assert_array_equal(dense, bounded)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "dot"])
+def test_topk_cells_np_matches_device(rng, metric):
+    """Host probe-cell ranking must equal the device topk_cells it
+    replaced on the serving path (same math, same tie rule)."""
+    from fenix_tpu.ops import cells as cells_ops
+
+    q, n_books, k_book, d = 16, 2, 8, 24
+    targets = rng.standard_normal((q, d)).astype(np.float32)
+    books = rng.standard_normal((n_books, k_book, d)).astype(np.float32)
+    for maxval in (3, 16, 64):  # 64 = all cells
+        want = np.asarray(cells_ops.topk_cells(
+            jnp.asarray(targets), jnp.asarray(books), metric=metric, maxval=maxval))
+        got = cells_ops.topk_cells_np(targets, books, metric, maxval)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_topk_cells_np_argpartition_path(rng):
+    """Wide grids (k^n > 4096) take the argpartition branch — results
+    must still match the device ranking (no exact score ties here)."""
+    from fenix_tpu.ops import cells as cells_ops
+
+    q, n_books, k_book, d = 4, 2, 72, 16  # 5184 cells
+    targets = rng.standard_normal((q, d)).astype(np.float32)
+    books = rng.standard_normal((n_books, k_book, d)).astype(np.float32)
+    want = np.asarray(cells_ops.topk_cells(
+        jnp.asarray(targets), jnp.asarray(books), metric="l2", maxval=16))
+    got = cells_ops.topk_cells_np(targets, books, "l2", 16)
+    np.testing.assert_array_equal(got, want)
