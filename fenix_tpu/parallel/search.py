@@ -24,11 +24,13 @@ from fenix_tpu.ops import topk2
 from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, row_sharding
 
 
-def _build(mesh: Mesh, k: int, metric: str, probed: bool):
+def _build(mesh: Mesh, k: int, metric: str, probed: bool, with_aux: bool = False):
     axes = (DATA_AXIS, MODEL_AXIS)
     n_shards = mesh.devices.size
 
     in_specs = (P(axes, None), P(), P(axes))
+    if with_aux:
+        in_specs = in_specs + (P(axes), P(axes))
     if probed:
         in_specs = in_specs + (P(axes), P())
 
@@ -41,18 +43,23 @@ def _build(mesh: Mesh, k: int, metric: str, probed: bool):
         # the first iteration; skip the varying-manual-axes check.
         check_vma=False,
     )
-    def local_search(corpus_local, queries, mask_local, *probe_args):
+    def local_search(corpus_local, queries, mask_local, *rest):
         rows_local = corpus_local.shape[0]
         shard = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
             MODEL_AXIS
         ) + jax.lax.axis_index(MODEL_AXIS)
 
-        coded_local, cells = probe_args if probed else (None, None)
+        if with_aux:
+            aux_mul, aux_add = rest[0], rest[1]
+            rest = rest[2:]
+        coded_local, cells = rest if probed else (None, None)
 
         local_k = min(k, rows_local)
-        # Per-shard metric aux; the extra ‖v‖² pass is one read of the
-        # local shard (cached by XLA across scan/rescore within the jit).
-        aux_mul, aux_add = topk2.prepare_aux(corpus_local, mask_local, metric)
+        if not with_aux:
+            # Per-shard metric aux computed inline: one extra read of
+            # the local shard per call. Serving paths precompute it
+            # once (shard_aux) and pass with_aux=True.
+            aux_mul, aux_add = topk2.prepare_aux(corpus_local, mask_local, metric)
         if probed:
             dist, ids = topk2.topk_two_phase_probed(
                 corpus_local, queries, aux_mul, aux_add, coded_local, cells,
@@ -97,15 +104,27 @@ def build_sharded_search(
     k: int,
     metric: str,
     block: int | None = None,  # unused; kept for call-site compatibility
+    with_aux: bool = False,
 ):
     """Compile a sharded exact top-k search step.
 
     Returns ``fn(corpus, queries, mask) -> (distances [Q,k], ids [Q,k])``
     where ``corpus`` is ``[N_pad, D]`` sharded over rows, ``queries``
-    replicated, ``mask`` row-sharded. The two-phase kernel sizes its own
-    blocking; ``block`` only matters to ``shard_corpus`` padding.
+    replicated, ``mask`` row-sharded. With ``with_aux=True`` the
+    signature becomes ``fn(corpus, queries, mask, aux_mul, aux_add)``
+    with row-sharded aux from :func:`shard_aux` — skipping the per-call
+    ‖v‖² corpus pass (serving-path default). The two-phase kernel sizes
+    its own blocking; ``block`` only matters to ``shard_corpus`` padding.
     """
-    return _build(mesh, k, metric, probed=False)
+    return _build(mesh, k, metric, probed=False, with_aux=with_aux)
+
+
+def shard_aux(mesh: Mesh, corpus_dev, mask_dev, metric: str):
+    """Precompute row-sharded (aux_mul, aux_add) for the sharded search
+    (one corpus pass, amortized across all subsequent queries). Plain
+    jit: prepare_aux is row-wise, so sharding propagates."""
+    fn = jax.jit(functools.partial(topk2.prepare_aux, metric=metric))
+    return fn(corpus_dev, mask_dev)
 
 
 def build_sharded_search_probed(
@@ -121,6 +140,12 @@ def build_sharded_search_probed(
     with ``coded`` row-sharded int32 and ``cells`` replicated [Q, P].
     """
     return _build(mesh, k, metric, probed=True)
+
+
+def build_sharded_search_with_aux(mesh: Mesh, k: int, metric: str):
+    """Sharded search taking precomputed row-sharded aux:
+    ``fn(corpus, queries, mask, aux_mul, aux_add)``."""
+    return _build(mesh, k, metric, probed=False, with_aux=True)
 
 
 def shard_corpus(

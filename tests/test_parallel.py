@@ -96,3 +96,23 @@ def test_sharded_probed_search(mesh8, rng):
         valid = ids[qi] >= 0
         assert valid.sum() == min(k, keep.sum())
         np.testing.assert_array_equal(ids[qi][valid], cand[want_i[0][: valid.sum()]])
+
+
+def test_sharded_search_with_precomputed_aux_matches(rng, mesh8):
+    """with_aux variant (serving path, no per-call aux pass) must equal
+    the inline-aux builder."""
+    n, d, k = 1024, 16, 7
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    import jax.numpy as jnp
+
+    corpus_dev, mask_dev = psearch.shard_corpus(mesh8, corpus, block=128)
+    fn_inline = psearch.build_sharded_search(mesh8, k=k, metric="l2", block=128)
+    d1, i1 = fn_inline(corpus_dev, jnp.asarray(queries), mask_dev)
+
+    aux_mul, aux_add = psearch.shard_aux(mesh8, corpus_dev, mask_dev, "l2")
+    fn_aux = psearch.build_sharded_search_with_aux(mesh8, k=k, metric="l2")
+    d2, i2 = fn_aux(corpus_dev, jnp.asarray(queries), mask_dev, aux_mul, aux_add)
+
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
