@@ -283,3 +283,51 @@ def test_clustered_ivf_matches_masked_scan(root, rng):
             valid = i_ref[qi] >= 0
             np.testing.assert_array_equal(got_ids[qi], i_ref[qi][valid])
             np.testing.assert_allclose(got_d[qi], d_ref[qi][valid], rtol=1e-4, atol=1e-5)
+
+
+def test_multi_source_probed_clustered(root, rng):
+    """Probed search over a LIST of sources goes through the clustered
+    layout built on the concatenated row space; results must match the
+    masked-scan kernel on the same concatenation."""
+    import jax.numpy as jnp
+
+    from fenix_tpu.engine import executor as ex
+    from fenix_tpu.ops import topk2
+
+    extra = rng.standard_normal((512, DIM)).astype(np.float32) + 3.0
+    table.make(
+        root, "test/extra2",
+        pa.table({
+            "id": pa.array(np.arange(ROWS, ROWS + 512)),
+            "tag": pa.array(rng.integers(0, 4, 512)),
+            "vector": ingest.numpy_to_fixed_size_list(extra, pa.float32()),
+        }).to_reader(),
+    )
+    sources = ["test/table", "test/extra2"]
+    coder.make(root, "m/l2", sources, "vector", CONFIG, seed=0)
+    for s in sources:
+        index.make(root, "m/l2", s, "vector")
+
+    cache = ex.get_cache(root)
+    target = rng.standard_normal((2, DIM)).astype(np.float32)
+    req = ex.SearchRequest(source=sources, column="vector", target=target,
+                           metric="l2", maxval=6, coding="m/l2", probes=5)
+    got = ex.execute_search(cache, req)
+    assert got.num_rows == 12
+
+    data, corpus_dc = cache.snapshot(sources, "vector", coding="m/l2")
+    coding_data = cache.coding("m/l2")
+    cells = ex._rank_cells(target, coding_data, "l2", 5)
+    coded = cache.coded_ids("m/l2", sources, "vector")
+    am, aa = cache.metric_aux(sources, "vector", "l2")
+    d_ref, i_ref = topk2.topk_two_phase_probed(
+        corpus_dc.data, jnp.asarray(target), am, aa, coded.data,
+        jnp.asarray(cells), k=8, metric="l2",
+    )
+    i_ref = np.asarray(i_ref)[:, :6]
+    got_pos = np.asarray(got.column("__QUERY_ID__"))
+    all_ids = np.asarray(data.column("id"))
+    for qi in range(2):
+        rows_q = np.asarray(got.column("id"))[got_pos == qi]
+        want = all_ids[i_ref[qi][i_ref[qi] >= 0]]
+        np.testing.assert_array_equal(rows_q, want)
