@@ -345,8 +345,17 @@ def bucket_scores_pallas(
 # BQ] bucket maxima — 1/128th of the oneshot's intermediate traffic —
 # leaving the MXU as the only floor.
 
-_BIGQ_BN = 1024  # corpus rows per grid cell (BN/bucket ≥ 8: output tile sublanes)
-_BIGQ_BQ = 256  # queries per grid cell
+# Grid cell: per-cell overhead dominates this kernel (fp32 and bf16
+# time identically), so bigger tiles win — (2048, 512) measured 9.55 ms
+# vs (1024, 256)'s 12.3 ms at Q=1024/1M (benchmarks/exp_bigq_tiles.py).
+_BIGQ_BN = 2048  # corpus rows per grid cell (BN/bucket ≥ 8: output tile sublanes)
+_BIGQ_BQ = 512  # preferred queries per grid cell
+
+
+def _bigq_bq(qt: int) -> int:
+    """Widest query tile that divides the batch (canonical Q steps are
+    powers of two ≥ 256 here)."""
+    return _BIGQ_BQ if qt % _BIGQ_BQ == 0 else 256
 
 
 def _make_bigq_kernel(bucket: int, int8_mode: bool):
@@ -410,14 +419,15 @@ def bucket_scores_pallas_bigq(
 
     qt, d = queries_p.shape
     n = corpus.shape[0]
-    assert qt % _BIGQ_BQ == 0 and n % _BIGQ_BN == 0, (qt, n)
-    ni, nj = n // _BIGQ_BN, qt // _BIGQ_BQ
+    bq = _bigq_bq(qt)
+    assert qt % bq == 0 and n % _BIGQ_BN == 0, (qt, n)
+    ni, nj = n // _BIGQ_BN, qt // bq
     bpb = _BIGQ_BN // bucket
 
     int8_mode = inv_sq is not None
     kernel = _make_bigq_kernel(bucket, int8_mode)
     in_specs = [
-        pl.BlockSpec((_BIGQ_BQ, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bq, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((_BIGQ_BN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((_BIGQ_BN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
         pl.BlockSpec((_BIGQ_BN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
@@ -425,9 +435,9 @@ def bucket_scores_pallas_bigq(
     args = [queries_p, corpus, aux_mul, aux_add]
     if int8_mode:
         in_specs.append(
-            pl.BlockSpec((nj, _BIGQ_BQ), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((nj, bq), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
         )
-        args.append(inv_sq.reshape(nj, _BIGQ_BQ))
+        args.append(inv_sq.reshape(nj, bq))
 
     itemsize = corpus.dtype.itemsize
     out = pl.pallas_call(
@@ -435,7 +445,7 @@ def bucket_scores_pallas_bigq(
         grid=(ni, nj),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (bpb, _BIGQ_BQ), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (bpb, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n // bucket, qt), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -457,12 +467,13 @@ def _bigq_eligible(n: int, qt: int, d: int, itemsize: int) -> bool:
     tile within ~12 MB of the 16 MB VMEM), and we are on a real TPU
     backend (Mosaic has no CPU lowering; tests run the kernel in
     interpret mode explicitly)."""
-    if qt % _BIGQ_BQ != 0 or n % _BIGQ_BN != 0:
+    if qt % _bigq_bq(qt) != 0 or n % _BIGQ_BN != 0:
         return False
+    bq = _bigq_bq(qt)
     vmem = (
         2 * _BIGQ_BN * d * itemsize  # corpus block, double-buffered
-        + 2 * _BIGQ_BQ * d * itemsize  # query block
-        + _BIGQ_BN * _BIGQ_BQ * 4  # score tile
+        + 2 * bq * d * itemsize  # query block
+        + _BIGQ_BN * bq * 4  # score tile
         + 3 * _BIGQ_BN * 4  # aux blocks
     )
     if vmem > 12 << 20:

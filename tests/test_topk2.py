@@ -202,7 +202,7 @@ def test_int8_quantization_respects_filter_mask(rng):
 
 
 def test_bigq_pallas_matches_xla_interpret(rng):
-    n, d, qt = 1024, 128, 256
+    n, d, qt = 2048, 128, 512
     corpus = rng.standard_normal((n, d)).astype(np.float32)
     queries = rng.standard_normal((qt, d)).astype(np.float32)
     aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "l2")
@@ -215,7 +215,7 @@ def test_bigq_pallas_matches_xla_interpret(rng):
 
 
 def test_bigq_pallas_int8_matches_reference_math(rng):
-    n, d, qt = 1024, 128, 256
+    n, d, qt = 2048, 128, 256
     corpus = rng.standard_normal((n, d)).astype(np.float32)
     queries = rng.standard_normal((qt, d)).astype(np.float32)
     aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "l2")
