@@ -346,16 +346,34 @@ def bucket_scores_pallas(
 # leaving the MXU as the only floor.
 
 # Grid cell: per-cell overhead dominates this kernel (fp32 and bf16
-# time identically), so bigger tiles win — (2048, 512) measured 9.55 ms
-# vs (1024, 256)'s 12.3 ms at Q=1024/1M (benchmarks/exp_bigq_tiles.py).
+# time identically), so bigger tiles win — (2048, 1024) measured
+# 8.79 ms vs (1024, 256)'s 12.3 ms at Q=1024/1M
+# (benchmarks/exp_bigq_tiles.py, exp sweep 2); (4096, 1024) exceeds
+# VMEM and collapses to 16.6 ms, which the _bigq_eligible gate rejects.
 _BIGQ_BN = 2048  # corpus rows per grid cell (BN/bucket ≥ 8: output tile sublanes)
-_BIGQ_BQ = 512  # preferred queries per grid cell
+_BIGQ_BQ = 1024  # preferred queries per grid cell
 
 
-def _bigq_bq(qt: int) -> int:
-    """Widest query tile that divides the batch (canonical Q steps are
-    powers of two ≥ 256 here)."""
-    return _BIGQ_BQ if qt % _BIGQ_BQ == 0 else 256
+_BIGQ_VMEM_BUDGET = 12 << 20  # of the 16 MB VMEM
+
+
+def _bigq_vmem(bq: int, d: int, itemsize: int) -> int:
+    return (
+        2 * _BIGQ_BN * d * itemsize  # corpus block, double-buffered
+        + 2 * bq * d * itemsize  # query block
+        + _BIGQ_BN * bq * 4  # score tile
+        + 3 * _BIGQ_BN * 4  # aux blocks
+    )
+
+
+def _bigq_bq(qt: int, d: int = 128, itemsize: int = 4) -> int:
+    """Widest query tile that divides the batch AND fits VMEM
+    (canonical Q steps are powers of two ≥ 256 here); larger tiles cut
+    per-cell overhead, the kernel's measured floor."""
+    for bq in (_BIGQ_BQ, 512, 256):
+        if qt % bq == 0 and _bigq_vmem(bq, d, itemsize) <= _BIGQ_VMEM_BUDGET:
+            return bq
+    return 256
 
 
 def _make_bigq_kernel(bucket: int, int8_mode: bool):
@@ -419,7 +437,7 @@ def bucket_scores_pallas_bigq(
 
     qt, d = queries_p.shape
     n = corpus.shape[0]
-    bq = _bigq_bq(qt)
+    bq = _bigq_bq(qt, d, corpus.dtype.itemsize)
     assert qt % bq == 0 and n % _BIGQ_BN == 0, (qt, n)
     ni, nj = n // _BIGQ_BN, qt // bq
     bpb = _BIGQ_BN // bucket
@@ -467,16 +485,10 @@ def _bigq_eligible(n: int, qt: int, d: int, itemsize: int) -> bool:
     tile within ~12 MB of the 16 MB VMEM), and we are on a real TPU
     backend (Mosaic has no CPU lowering; tests run the kernel in
     interpret mode explicitly)."""
-    if qt % _bigq_bq(qt) != 0 or n % _BIGQ_BN != 0:
+    bq = _bigq_bq(qt, d, itemsize)
+    if qt % bq != 0 or n % _BIGQ_BN != 0:
         return False
-    bq = _bigq_bq(qt)
-    vmem = (
-        2 * _BIGQ_BN * d * itemsize  # corpus block, double-buffered
-        + 2 * bq * d * itemsize  # query block
-        + _BIGQ_BN * bq * 4  # score tile
-        + 3 * _BIGQ_BN * 4  # aux blocks
-    )
-    if vmem > 12 << 20:
+    if _bigq_vmem(bq, d, itemsize) > _BIGQ_VMEM_BUDGET:
         return False
     try:
         return jax.default_backend() != "cpu"
