@@ -39,8 +39,8 @@ def main() -> None:
     for nd in ([1, n_dev] if n_dev > 1 else [1]):
         mesh = mesh_mod.make_mesh(nd, model_parallel=1, devices=devices[:nd])
         corpus_dev, mask_dev = psearch.shard_corpus(mesh, corpus, block=8192)
-        aux_mul, aux_add = psearch.shard_aux(mesh, corpus_dev, mask_dev, "cosine")
-        fn = psearch.build_sharded_search_with_aux(mesh, k=k, metric="cosine")
+        aux_mul, aux_add = psearch.shard_aux(corpus_dev, mask_dev, "cosine")
+        fn = psearch.build_sharded_search(mesh, k=k, metric="cosine", with_aux=True)
         t = common.timeit(
             lambda: fn(corpus_dev, queries, mask_dev, aux_mul, aux_add), args.iters
         )

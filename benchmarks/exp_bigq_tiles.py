@@ -38,7 +38,10 @@ def main():
     np.asarray(cb[0, 0])
 
     ref_ids = None
-    for bn, bq in ((1024, 256), (2048, 256), (2048, 512), (4096, 256)):
+    for bn, bq in (
+        (1024, 256), (2048, 256), (2048, 512), (4096, 256),
+        (2048, 1024), (4096, 1024),  # adopted winner / VMEM-blowout point
+    ):
         topk2._BIGQ_BN, topk2._BIGQ_BQ = bn, bq
         topk2.topk_two_phase.clear_cache()
         t32 = timed(lambda: topk2.topk_two_phase(corpus, q1024, am, aa, k=k, metric="cosine"))

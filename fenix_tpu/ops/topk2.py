@@ -191,7 +191,7 @@ def bucket_scores_scan_int8(
         )  # [QT, N]
         return fuse(s32, aux_mul_s, aux_add)
 
-    if _bigq_eligible(n, qt, d, 1):
+    if _bigq_eligible(n, qt, d, 1, int8_mode=True):
         return bucket_scores_pallas_bigq(
             q8, corpus8, aux_mul_s, aux_add, inv_sq=inv_sq, bucket=bucket
         )
@@ -357,28 +357,31 @@ _BIGQ_BQ = 1024  # preferred queries per grid cell
 _BIGQ_VMEM_BUDGET = 12 << 20  # of the 16 MB VMEM
 
 
-def _bigq_vmem(bq: int, d: int, itemsize: int) -> int:
+def _bigq_vmem(bn: int, bq: int, d: int, itemsize: int, int8_mode: bool) -> int:
+    score_tiles = 2 if int8_mode else 1  # int8 holds the i32 dot AND its f32 convert
     return (
-        2 * _BIGQ_BN * d * itemsize  # corpus block, double-buffered
+        2 * bn * d * itemsize  # corpus block, double-buffered
         + 2 * bq * d * itemsize  # query block
-        + _BIGQ_BN * bq * 4  # score tile
-        + 3 * _BIGQ_BN * 4  # aux blocks
+        + score_tiles * bn * bq * 4  # score tile(s)
+        + 3 * bn * 4  # aux blocks
     )
 
 
-def _bigq_bq(qt: int, d: int = 128, itemsize: int = 4) -> int:
-    """Widest query tile that divides the batch AND fits VMEM
-    (canonical Q steps are powers of two ≥ 256 here); larger tiles cut
-    per-cell overhead, the kernel's measured floor."""
-    for bq in (_BIGQ_BQ, 512, 256):
-        if qt % bq == 0 and _bigq_vmem(bq, d, itemsize) <= _BIGQ_VMEM_BUDGET:
-            return bq
-    return 256
+def _bigq_tiles(qt: int, d: int, itemsize: int, int8_mode: bool) -> tuple[int, int] | None:
+    """Largest (row-block, query-tile) pair that divides the batch AND
+    fits VMEM, or None. Larger tiles cut per-cell overhead — the
+    kernel's measured floor — so prefer wide, then degrade: high-dim
+    corpora step the row block down before losing the kernel."""
+    for bn in (_BIGQ_BN, 1024):
+        for bq in (_BIGQ_BQ, 512, 256):
+            if qt % bq == 0 and _bigq_vmem(bn, bq, d, itemsize, int8_mode) <= _BIGQ_VMEM_BUDGET:
+                return bn, bq
+    return None
 
 
-def _make_bigq_kernel(bucket: int, int8_mode: bool):
+def _make_bigq_kernel(bn: int, bucket: int, int8_mode: bool):
     """Kernel factory: [BN, BQ] scores in VMEM, per-``bucket``-row
-    maxima out. Rows ride sublanes; queries ride lanes (BQ = 2 lane
+    maxima out. Rows ride sublanes; queries ride lanes (wide lane
     tiles, no layout waste — the round-1 kernel's QT=8 lane dim wasted
     15/16 of every vector op)."""
 
@@ -390,7 +393,7 @@ def _make_bigq_kernel(bucket: int, int8_mode: bool):
             preferred_element_type=jnp.float32,
         )  # [BN, BQ]
         s = s * mul_ref[:][:, None] + add_ref[:][:, None]
-        for j in range(_BIGQ_BN // bucket):
+        for j in range(bn // bucket):
             out_ref[j, :] = jnp.max(s[j * bucket : (j + 1) * bucket], axis=0)
 
     def kernel_int8(q_ref, v_ref, mul_ref, add_ref, inv_sq_ref, out_ref):
@@ -409,7 +412,7 @@ def _make_bigq_kernel(bucket: int, int8_mode: bool):
             s32.astype(jnp.float32) * mul_ref[:][:, None]
             + add_ref[:][:, None] * inv_sq_row[None, :]
         )
-        for j in range(_BIGQ_BN // bucket):
+        for j in range(bn // bucket):
             out_ref[j, :] = jnp.max(s[j * bucket : (j + 1) * bucket], axis=0)
 
     return kernel_int8 if int8_mode else kernel_f32
@@ -424,7 +427,9 @@ def bucket_scores_pallas_bigq(
     interpret: bool = False,
     bucket: int = BUCKET,
 ) -> jax.Array:  # [QT, N // bucket]
-    """Fused matmul + bucket-max for query batches ≥ _BIGQ_BQ.
+    """Fused matmul + bucket-max for query batches that tile per
+    ``_bigq_tiles`` (any Q divisible by 256 with a VMEM-fitting tile —
+    wider tiles preferred, per-cell overhead is the measured floor).
 
     Grid is (N blocks, Q tiles) with Q innermost, so each corpus block
     is DMA'd once and revisited for every query tile; output traffic is
@@ -437,18 +442,20 @@ def bucket_scores_pallas_bigq(
 
     qt, d = queries_p.shape
     n = corpus.shape[0]
-    bq = _bigq_bq(qt, d, corpus.dtype.itemsize)
-    assert qt % bq == 0 and n % _BIGQ_BN == 0, (qt, n)
-    ni, nj = n // _BIGQ_BN, qt // bq
-    bpb = _BIGQ_BN // bucket
-
     int8_mode = inv_sq is not None
-    kernel = _make_bigq_kernel(bucket, int8_mode)
+    tiles = _bigq_tiles(qt, d, corpus.dtype.itemsize, int8_mode)
+    assert tiles is not None, (qt, d)
+    bn, bq = tiles
+    assert qt % bq == 0 and n % bn == 0, (qt, n)
+    ni, nj = n // bn, qt // bq
+    bpb = bn // bucket
+
+    kernel = _make_bigq_kernel(bn, bucket, int8_mode)
     in_specs = [
         pl.BlockSpec((bq, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_BIGQ_BN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_BIGQ_BN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_BIGQ_BN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
     ]
     args = [queries_p, corpus, aux_mul, aux_add]
     if int8_mode:
@@ -479,16 +486,14 @@ def bucket_scores_pallas_bigq(
     return out.T  # [QT, N/bucket]
 
 
-def _bigq_eligible(n: int, qt: int, d: int, itemsize: int) -> bool:
+def _bigq_eligible(n: int, qt: int, d: int, itemsize: int, int8_mode: bool = False) -> bool:
     """Use the fused Pallas phase 1 when shapes tile, the per-cell VMEM
-    footprint fits (double-buffered corpus/query blocks + the f32 score
-    tile within ~12 MB of the 16 MB VMEM), and we are on a real TPU
+    footprint fits (double-buffered corpus/query blocks + the score
+    tile(s) within ~12 MB of the 16 MB VMEM), and we are on a real TPU
     backend (Mosaic has no CPU lowering; tests run the kernel in
     interpret mode explicitly)."""
-    bq = _bigq_bq(qt, d, itemsize)
-    if qt % bq != 0 or n % _BIGQ_BN != 0:
-        return False
-    if _bigq_vmem(bq, d, itemsize) > _BIGQ_VMEM_BUDGET:
+    tiles = _bigq_tiles(qt, d, itemsize, int8_mode)
+    if tiles is None or qt % tiles[1] != 0 or n % tiles[0] != 0:
         return False
     try:
         return jax.default_backend() != "cpu"

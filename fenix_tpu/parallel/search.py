@@ -119,12 +119,16 @@ def build_sharded_search(
     return _build(mesh, k, metric, probed=False, with_aux=with_aux)
 
 
-def shard_aux(mesh: Mesh, corpus_dev, mask_dev, metric: str):
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _prepare_aux_jit(corpus_dev, mask_dev, metric: str):
+    return topk2.prepare_aux(corpus_dev, mask_dev, metric)
+
+
+def shard_aux(corpus_dev, mask_dev, metric: str):
     """Precompute row-sharded (aux_mul, aux_add) for the sharded search
     (one corpus pass, amortized across all subsequent queries). Plain
     jit: prepare_aux is row-wise, so sharding propagates."""
-    fn = jax.jit(functools.partial(topk2.prepare_aux, metric=metric))
-    return fn(corpus_dev, mask_dev)
+    return _prepare_aux_jit(corpus_dev, mask_dev, metric)
 
 
 def build_sharded_search_probed(
@@ -140,12 +144,6 @@ def build_sharded_search_probed(
     with ``coded`` row-sharded int32 and ``cells`` replicated [Q, P].
     """
     return _build(mesh, k, metric, probed=True)
-
-
-def build_sharded_search_with_aux(mesh: Mesh, k: int, metric: str):
-    """Sharded search taking precomputed row-sharded aux:
-    ``fn(corpus, queries, mask, aux_mul, aux_add)``."""
-    return _build(mesh, k, metric, probed=False, with_aux=True)
 
 
 def shard_corpus(

@@ -110,8 +110,8 @@ def test_sharded_search_with_precomputed_aux_matches(rng, mesh8):
     fn_inline = psearch.build_sharded_search(mesh8, k=k, metric="l2", block=128)
     d1, i1 = fn_inline(corpus_dev, jnp.asarray(queries), mask_dev)
 
-    aux_mul, aux_add = psearch.shard_aux(mesh8, corpus_dev, mask_dev, "l2")
-    fn_aux = psearch.build_sharded_search_with_aux(mesh8, k=k, metric="l2")
+    aux_mul, aux_add = psearch.shard_aux(corpus_dev, mask_dev, "l2")
+    fn_aux = psearch.build_sharded_search(mesh8, k=k, metric="l2", with_aux=True)
     d2, i2 = fn_aux(corpus_dev, jnp.asarray(queries), mask_dev, aux_mul, aux_add)
 
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
