@@ -405,20 +405,28 @@ def batchable(req: SearchRequest) -> bool:
     """Whether a request can join a coalesced device dispatch.
 
     Filters would need per-query aux_add overlays (one shared [N] array
-    today) and coding/probes change the kernel; both pass through to
-    the solo path. maxval may differ across a batch — ascending top-k
+    today) and pass through to the solo path. Probed requests batch
+    with identical (coding, probes) — probe cells are per-query inputs
+    to the kernels. maxval may differ across a batch — ascending top-k
     means each request's top-m is a prefix of the batch's top-k."""
     return (
         req.maxval is not None
         and req.filter is None
-        and req.coding is None
         and req.metric is not None
+        and (req.coding is None or req.probes is not None)
     )
 
 
 def batch_key(req: SearchRequest) -> tuple:
     source = (req.source,) if isinstance(req.source, str) else tuple(req.source)
-    return (source, req.column, distance_ops.canonical_metric(req.metric), req.precision)
+    return (
+        source,
+        req.column,
+        distance_ops.canonical_metric(req.metric),
+        req.precision,
+        req.coding,
+        req.probes,
+    )
 
 
 def execute_search_batched(
@@ -435,7 +443,7 @@ def execute_search_batched(
     batcher dispatch the NEXT batch while the previous one's results
     ride back through the tunnel (~24 ms readback latency each)."""
     r0 = reqs[0]
-    data, corpus = cache.snapshot(r0.source, r0.column)
+    data, corpus = cache.snapshot(r0.source, r0.column, coding=r0.coding)
     column_type = data.schema.field(r0.column).type
     value_dtype = column_type.value_type.to_pandas_dtype()
     dim = column_type.list_size
@@ -457,25 +465,71 @@ def execute_search_batched(
             [queries, jnp.zeros((q_pad - total, dim), queries.dtype)]
         )
 
-    aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)
-    corpus_scan = (
-        cache.matrix_bf16(r0.source, r0.column).data if r0.precision == "bf16" else None
-    )
-    corpus_scan_int8 = None
-    if r0.precision == "int8":
-        v8, sv = cache.matrix_int8(r0.source, r0.column)
-        corpus_scan_int8 = (v8.data, sv.data)
+    if r0.coding is not None:
+        # probed batch (same coding+probes across the group): identical
+        # kernel routing to execute_search's coding branch, over the
+        # concatenated query batch.
+        coding_data = cache.coding(r0.coding)
+        cells = _rank_cells(stacked, coding_data, metric, int(r0.probes))
+        if q_pad != total:
+            cells = np.concatenate(
+                [cells, np.full((q_pad - total, cells.shape[1]), -1, cells.dtype)]
+            )
+        n_pad = corpus.rows_padded
+        n_books, k_book, _ = coding_data["tensor"].shape
+        use_clustered = int(k_book) ** int(n_books) <= _CLUSTERED_MAX_CELLS
+        bucket_lists = None
+        if use_clustered:
+            perm, offsets = cache.clustered_meta(r0.coding, r0.source, r0.column)
+            bucket = topk2.bucket_for(q_pad, n_pad)
+            bucket_lists = _ivf_bucket_lists(cells, offsets, bucket, n_pad // bucket)
+            use_clustered = q_pad * bucket_lists.shape[1] * bucket <= n_pad
+        if use_clustered:
+            corpus_s, coded_s, orig_ids = cache.clustered(r0.coding, r0.source, r0.column)
+            aux_mul_s, aux_add_s = cache.clustered_aux(
+                r0.coding, r0.source, r0.column, metric
+            )
+            packed = _search_ivf_packed(
+                corpus_s.data,
+                queries,
+                aux_mul_s,
+                aux_add_s,
+                coded_s.data,
+                orig_ids.data,
+                cells,
+                jnp.asarray(bucket_lists),
+                k=k_pad,
+                metric=metric,
+            )
+        else:
+            coded = cache.coded_ids(r0.coding, r0.source, r0.column)
+            aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)
+            packed = _search_probed_packed(
+                corpus.data, queries, aux_mul, aux_add, coded.data, cells,
+                k=k_pad, metric=metric,
+            )
+    else:
+        aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)
+        corpus_scan = (
+            cache.matrix_bf16(r0.source, r0.column).data
+            if r0.precision == "bf16"
+            else None
+        )
+        corpus_scan_int8 = None
+        if r0.precision == "int8":
+            v8, sv = cache.matrix_int8(r0.source, r0.column)
+            corpus_scan_int8 = (v8.data, sv.data)
 
-    packed = _search_packed(
-        corpus.data,
-        queries,
-        aux_mul,
-        aux_add,
-        k=k_pad,
-        metric=metric,
-        corpus_scan=corpus_scan,
-        corpus_scan_int8=corpus_scan_int8,
-    )
+        packed = _search_packed(
+            corpus.data,
+            queries,
+            aux_mul,
+            aux_add,
+            k=k_pad,
+            metric=metric,
+            corpus_scan=corpus_scan,
+            corpus_scan_int8=corpus_scan_int8,
+        )
 
     def finish() -> list[pa.Table]:
         dists, ids = topk2.unpack_result(packed)  # blocks: device→host fetch

@@ -142,3 +142,51 @@ def test_batcher_invalid_metric_fails_on_caller_thread(root, rng):
     # dispatcher still serves later requests
     res = batcher.submit(_req(t))
     assert res.num_rows == 5
+
+
+def test_batched_probed_matches_solo(root, rng):
+    """Probed requests with identical (coding, probes) coalesce; results
+    must match solo execution exactly."""
+    from fenix_tpu import coder, index
+
+    cfg = {"metric": "l2", "codebook_size": 4, "num_codebooks": 2,
+           "batch_size": 256, "num_epochs": 2}
+    coder.make(root, "b/ivf", "b/table", "vector", cfg, seed=0)
+    index.make(root, "b/ivf", "b/table", "vector")
+
+    cache = executor.get_cache(root)
+    targets = [rng.standard_normal((q, DIM)).astype(np.float32) for q in (1, 2, 1)]
+    reqs = [_req(t, coding="b/ivf", probes=4, maxval=5) for t in targets]
+
+    got = executor.execute_search_batched(cache, reqs)
+    want = [executor.execute_search(cache, r) for r in reqs]
+    for g, w in zip(got, want):
+        assert g == w, (g.column_names, w.column_names)
+    assert "__CODED_ID__" in got[0].column_names  # coded schema preserved
+
+
+def test_batcher_concurrent_probed(root, rng):
+    from fenix_tpu import coder, index
+    import threading
+
+    cfg = {"metric": "l2", "codebook_size": 4, "num_codebooks": 2,
+           "batch_size": 256, "num_epochs": 2}
+    coder.make(root, "c/ivf", "b/table", "vector", cfg, seed=0)
+    index.make(root, "c/ivf", "b/table", "vector")
+    cache = executor.get_cache(root)
+    batcher = batching.SearchBatcher(cache)
+    targets = [rng.standard_normal(DIM).astype(np.float32) for _ in range(8)]
+    want = [executor.execute_search(cache, _req(t, coding="c/ivf", probes=4, maxval=4))
+            for t in targets]
+    results = [None] * 8
+    errs = []
+    def worker(i):
+        try:
+            results[i] = batcher.submit(_req(targets[i], coding="c/ivf", probes=4, maxval=4))
+        except BaseException as e:
+            errs.append(e)
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]; [t.join() for t in ts]
+    assert not errs
+    for got, expect in zip(results, want):
+        assert got == expect
