@@ -20,6 +20,15 @@ precision; opt-in).
 hierarchical selection (TPU top-k is sort-like), gather those buckets'
 rows, rescore exactly in fp32 (Precision.HIGHEST), merge.
 
+Phase-1 matmul precision: the small-Q oneshot runs fp32-true
+(HIGHEST). The large-Q Pallas kernel runs the TPU DEFAULT one-bf16-pass
+dot — fp32-true passes measured +7.3 ms of 5.3 ms at Q=1024/1M
+(benchmarks/exp_int8_slice.py) — so at large Q phase-1 *selection* is
+bf16-graded even in fp32 mode, protected by the same BUCKET_PAD
+candidate margin as the explicit bf16/int8 scan modes (returned
+distances are always fp32-true from the phase-2 rescore; recall@16
+measured 1.0 on chip vs the fp32-true oneshot ranking).
+
 Exactness: a bucket containing a true top-k element has bucket-max ≥
 that element's score, and at most k buckets hold values ≥ the k-th
 best, so the top-k buckets cover the true top-k (ties resolve to the
@@ -358,11 +367,13 @@ _BIGQ_VMEM_BUDGET = 12 << 20  # of the 16 MB VMEM
 
 
 def _bigq_vmem(bn: int, bq: int, d: int, itemsize: int, int8_mode: bool) -> int:
-    score_tiles = 2 if int8_mode else 1  # int8 holds the i32 dot AND its f32 convert
+    # int8 converts i32→f32 per bucket slice inside the reduction loop,
+    # so both modes hold exactly ONE [bn, bq] 4-byte score tile.
+    del int8_mode
     return (
         2 * bn * d * itemsize  # corpus block, double-buffered
         + 2 * bq * d * itemsize  # query block
-        + score_tiles * bn * bq * 4  # score tile(s)
+        + bn * bq * 4  # score tile
         + 3 * bn * 4  # aux blocks
     )
 
@@ -402,18 +413,24 @@ def _make_bigq_kernel(bn: int, bucket: int, int8_mode: bool):
             q_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # [BN, BQ]
+        )  # [BN, BQ] — the only full score tile in VMEM
         # inv_sq rides whole as a [nj, BQ] block (tiny; 1-D or 1-row
         # blocks trip Mosaic/XLA tiling checks) — pick this tile's row.
         from jax.experimental import pallas as pl
 
         inv_sq_row = inv_sq_ref[pl.program_id(1), :]
-        s = (
-            s32.astype(jnp.float32) * mul_ref[:][:, None]
-            + add_ref[:][:, None] * inv_sq_row[None, :]
-        )
+        # Convert/scale per bucket slice so the f32 tile never
+        # materializes alongside the i32 dot — halves the kernel's VMEM
+        # score footprint, which is what lets int8 keep the wide
+        # (2048, 1024) tiles instead of falling to (2048, 512) and
+        # paying 2× the per-grid-cell overhead (the kernel's floor).
         for j in range(bn // bucket):
-            out_ref[j, :] = jnp.max(s[j * bucket : (j + 1) * bucket], axis=0)
+            sl = slice(j * bucket, (j + 1) * bucket)
+            s = (
+                s32[sl].astype(jnp.float32) * mul_ref[sl][:, None]
+                + add_ref[sl][:, None] * inv_sq_row[None, :]
+            )
+            out_ref[j, :] = jnp.max(s, axis=0)
 
     return kernel_int8 if int8_mode else kernel_f32
 
@@ -426,7 +443,9 @@ def bucket_scores_pallas_bigq(
     inv_sq: jax.Array | None = None,  # [QT] f32 — int8 path only
     interpret: bool = False,
     bucket: int = BUCKET,
-) -> jax.Array:  # [QT, N // bucket]
+    transpose: bool = True,
+) -> jax.Array:  # [QT, N // bucket] (or the kernel-natural [N // bucket, QT]
+    # when ``transpose=False`` — feed that layout to topk_buckets_nbq)
     """Fused matmul + bucket-max for query batches that tile per
     ``_bigq_tiles`` (any Q divisible by 256 with a VMEM-fitting tile —
     wider tiles preferred, per-cell overhead is the measured floor).
@@ -483,7 +502,7 @@ def bucket_scores_pallas_bigq(
         ),
         interpret=interpret,
     )(*args)
-    return out.T  # [QT, N/bucket]
+    return out.T if transpose else out  # [QT, N/bucket] | [N/bucket, QT]
 
 
 def _bigq_eligible(n: int, qt: int, d: int, itemsize: int, int8_mode: bool = False) -> bool:
@@ -654,6 +673,46 @@ def topk_buckets(bucket_max: jax.Array, kp: int) -> jax.Array:
     bidx = jnp.take_along_axis(cand_ids, pos, axis=1)
     # padding groups carry −inf and are only picked when fewer than kp
     # real buckets exist; clamp their synthetic ids into range
+    return jnp.minimum(bidx, nb - 1)
+
+
+def topk_buckets_nbq(bucket_max_nbq: jax.Array, kp: int) -> jax.Array:
+    """topk_buckets on the kernel's NATURAL [nb, Q] layout.
+
+    The Pallas phase-1 kernel emits bucket maxima as [nb, Q]; selecting
+    straight off that layout skips the 128 MB [nb, Q] → [Q, nb]
+    transpose the [Q, nb] API forces XLA to materialize/fuse — measured
+    3.67 vs 4.39 ms at Q=1024, N=1M (benchmarks/exp_decomp.py),
+    identical selected sets. Same coverage + stable-tie argument as
+    topk_buckets (groups gathered ascending; ties → smallest bucket)."""
+    nb, q = bucket_max_nbq.shape
+    if kp > _SEL_GROUP or nb < 8 * _SEL_GROUP or nb <= 2 * kp * _SEL_GROUP:
+        _, bidx = jax.lax.top_k(bucket_max_nbq.T, kp)
+        return bidx
+
+    pad = (-nb) % _SEL_GROUP
+    if pad:
+        bucket_max_nbq = jnp.concatenate(
+            [bucket_max_nbq, jnp.full((pad, q), NEG_INF, bucket_max_nbq.dtype)]
+        )
+    g = bucket_max_nbq.shape[0] // _SEL_GROUP
+    grouped = bucket_max_nbq.reshape(g, _SEL_GROUP, q)
+    gmax = grouped.max(axis=1)  # [g, Q]
+
+    kg = min(kp, g)
+    _, gidx = jax.lax.top_k(gmax.T, kg)  # [Q, kg], stable
+    gidx = jnp.sort(gidx, axis=-1)  # ascending → candidate order = id order
+
+    cand = jnp.take_along_axis(
+        grouped.transpose(2, 0, 1), gidx[:, :, None], axis=1
+    )  # [Q, kg, 128] — XLA lowers this to a gather; the full transpose
+    # never materializes (only kg·128 columns per query are read)
+    cand = cand.reshape(q, kg * _SEL_GROUP)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _SEL_GROUP), 2)
+    cand_ids = (gidx[:, :, None] * _SEL_GROUP + lane).reshape(q, kg * _SEL_GROUP)
+
+    _, pos = jax.lax.top_k(cand, kp)
+    bidx = jnp.take_along_axis(cand_ids, pos, axis=1)
     return jnp.minimum(bidx, nb - 1)
 
 
@@ -914,14 +973,10 @@ def topk_two_phase_probed(
     return dist, top_ids
 
 
-def _use_pallas() -> bool:
-    return False  # Pallas phase 1 pending a compile-safe reduction
-
-
 # -- phase 2: gather + exact rescore --------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
 def topk_two_phase(
     corpus: jax.Array,  # [N_pad, D]
     queries: jax.Array,  # [Q, D]
@@ -929,7 +984,6 @@ def topk_two_phase(
     aux_add: jax.Array,  # [N_pad]  (−inf on masked/padding rows)
     k: int,
     metric: str,
-    block_rows: int = 262144,
     corpus_scan: jax.Array | None = None,
     corpus_scan_int8: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -952,27 +1006,39 @@ def topk_two_phase(
 
     queries_p = prepare_queries(queries, metric)
 
-    if corpus_scan_int8 is not None:
-        v8, sv = corpus_scan_int8
-        q8, inv_sq = quantize_queries_int8(queries_p)
-        bucket_max = bucket_scores_scan_int8(
-            q8, v8, aux_mul * sv, aux_add, inv_sq, bucket
-        )
-    else:
-        scan_c = corpus if corpus_scan is None else corpus_scan
-        scan_q = queries_p if corpus_scan is None else queries_p.astype(corpus_scan.dtype)
-
-        if _use_pallas():
-            bucket_max = bucket_scores_pallas(scan_q, scan_c, aux_mul, aux_add, block_rows)
-        else:
-            bucket_max = bucket_scores_scan(scan_q, scan_c, aux_mul, aux_add, bucket)
-
     # int8 selection error exceeds bf16's — widen the candidate margin
     pad = BUCKET_PAD * 2 if corpus_scan_int8 is not None else BUCKET_PAD
     kp = min(k + pad, n_buckets)
-    bidx = topk_buckets(bucket_max, kp)  # stable ties → smallest bucket id
+
+    if corpus_scan_int8 is not None:
+        v8, sv = corpus_scan_int8
+        q8, inv_sq = quantize_queries_int8(queries_p)
+        ams = aux_mul * sv
+        if q > ONESHOT_MAX_Q and _bigq_eligible(n, q, d, 1, int8_mode=True):
+            # kernel-natural [nb, Q] maxima + transpose-free selection
+            bm_nbq = bucket_scores_pallas_bigq(
+                q8, v8, ams, aux_add, inv_sq=inv_sq, bucket=bucket, transpose=False
+            )
+            bidx = topk_buckets_nbq(bm_nbq, kp)
+        else:
+            bucket_max = bucket_scores_scan_int8(q8, v8, ams, aux_add, inv_sq, bucket)
+            bidx = topk_buckets(bucket_max, kp)
+    else:
+        scan_c = corpus if corpus_scan is None else corpus_scan
+        scan_q = queries_p if corpus_scan is None else queries_p.astype(corpus_scan.dtype)
+        acc_bytes = 2 if scan_c.dtype == jnp.bfloat16 else 4
+        oneshot = q <= ONESHOT_MAX_Q and n * q * acc_bytes <= ONESHOT_INTERMEDIATE_CAP
+        if not oneshot and _bigq_eligible(n, q, d, scan_c.dtype.itemsize):
+            bm_nbq = bucket_scores_pallas_bigq(
+                scan_q, scan_c, aux_mul, aux_add, bucket=bucket, transpose=False
+            )
+            bidx = topk_buckets_nbq(bm_nbq, kp)
+        else:
+            bucket_max = bucket_scores_scan(scan_q, scan_c, aux_mul, aux_add, bucket)
+            bidx = topk_buckets(bucket_max, kp)
+
     # gather in ascending bucket order so final ties resolve to smallest id
-    bidx = jnp.sort(bidx, axis=-1)
+    bidx = jnp.sort(bidx, axis=-1)  # stable ties above → smallest bucket id
 
     rows = corpus.reshape(n_buckets, bucket, d)
     mul_b = aux_mul.reshape(n_buckets, bucket)

@@ -250,6 +250,31 @@ def test_topk_buckets_flat_fallback(rng):
     np.testing.assert_array_equal(got, np.asarray(want))
 
 
+def test_topk_buckets_nbq_matches_qnb(rng):
+    """[nb, Q]-layout selection (transpose-free Pallas consumer) must
+    pick the identical bucket sets as the [Q, nb] hierarchy, including
+    under heavy ties (stable → smallest bucket id)."""
+    q, nb, kp = 16, 4096, 4
+    bm = rng.integers(0, 7, (q, nb)).astype(np.float32)
+    bm[0, :] = 3.0
+    bm[1, -kp:] = 100.0
+    got = np.sort(np.asarray(topk2.topk_buckets_nbq(jnp.asarray(bm.T), kp)), axis=1)
+    want = np.sort(np.asarray(topk2.topk_buckets(jnp.asarray(bm), kp)), axis=1)
+    np.testing.assert_array_equal(got, want)
+    # flat fallback (narrow) path too
+    q2, nb2, kp2 = 4, 256, 8
+    bm2 = rng.standard_normal((q2, nb2)).astype(np.float32)
+    got2 = np.sort(np.asarray(topk2.topk_buckets_nbq(jnp.asarray(bm2.T), kp2)), axis=1)
+    want2 = np.sort(np.asarray(topk2.topk_buckets(jnp.asarray(bm2), kp2)), axis=1)
+    np.testing.assert_array_equal(got2, want2)
+    # non-128-divisible nb exercises the NEG_INF row padding
+    q3, nb3, kp3 = 8, 8 * 128 + 96, 4
+    bm3 = rng.standard_normal((q3, nb3)).astype(np.float32)
+    got3 = np.sort(np.asarray(topk2.topk_buckets_nbq(jnp.asarray(bm3.T), kp3)), axis=1)
+    want3 = np.sort(np.asarray(topk2.topk_buckets(jnp.asarray(bm3), kp3)), axis=1)
+    np.testing.assert_array_equal(got3, want3)
+
+
 def test_two_phase_large_q_fine_bucket_exact(rng):
     """Q > 64 switches to the 32-row rescore bucket — still exact."""
     n, d, q, k = 2048, 16, 128, 7
