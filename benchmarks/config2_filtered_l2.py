@@ -22,18 +22,38 @@ def main() -> None:
     d, k = 768, 128  # top-100 canonicalized to 128
     rng = np.random.default_rng(0)
 
+    import functools
+
+    import jax
+
     corpus = jnp.asarray(common.make_corpus(n, d))
     tags = rng.integers(0, 10, n)
     mask = jnp.asarray(tags < 3)  # 30% selectivity scalar predicate
     aux_mul, aux_add = topk2.prepare_aux(corpus, mask, "l2")
     queries = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32))
 
-    t = common.timeit(
+    t_disp = common.timeit(
         lambda: topk2.topk_two_phase(
             corpus, queries, aux_mul, aux_add, k=k, metric="l2"
         ),
         args.iters,
     )
+
+    # sustained: chain scans inside one dispatch (bench.py methodology —
+    # a lone jit call pays ~1.3 ms fixed tunnel dispatch)
+    @functools.partial(jax.jit, static_argnames=("k_",))
+    def sustained(corpus_, qb, mul, add, k_):
+        def body(_, qs):
+            return None, topk2.topk_two_phase(corpus_, qs, mul, add, k=k_, metric="l2")
+
+        _, out = jax.lax.scan(body, None, qb)
+        return out
+
+    inner = 8
+    qb = jnp.asarray(rng.standard_normal((inner, 8, d)).astype(np.float32))
+    t = common.timeit(
+        lambda: sustained(corpus, qb, aux_mul, aux_add, k), max(args.iters // 2, 2)
+    ) / inner
     common.emit(
         "filtered_scan_rows_per_sec",
         n / t,
@@ -44,6 +64,7 @@ def main() -> None:
         selectivity=0.3,
         seconds=round(t, 5),
         gbytes_per_s=round(n * d * 4 / t / 1e9, 1),
+        per_dispatch_rows_per_s=round(n / t_disp, 1),
     )
 
 

@@ -230,6 +230,29 @@ def test_bigq_pallas_int8_matches_reference_math(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_bigq_pallas_nbq_selection_path_interpret(rng):
+    """The production large-Q route on TPU: kernel-natural [nb, Q]
+    output (transpose=False) fed to topk_buckets_nbq must select the
+    same buckets as the [Q, nb] API + topk_buckets."""
+    n, d, qt, kp = 131072, 32, 256, 12  # nb = n/32 = 4096 → hierarchical
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((qt, d)).astype(np.float32)
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "cosine")
+    qp = topk2.prepare_queries(jnp.asarray(queries), "cosine")
+
+    bm_nbq = topk2.bucket_scores_pallas_bigq(
+        qp, jnp.asarray(corpus), aux_mul, aux_add, interpret=True,
+        bucket=topk2.BUCKET_LARGE_Q, transpose=False)
+    bm_qnb = topk2.bucket_scores_pallas_bigq(
+        qp, jnp.asarray(corpus), aux_mul, aux_add, interpret=True,
+        bucket=topk2.BUCKET_LARGE_Q)
+    np.testing.assert_array_equal(np.asarray(bm_nbq).T, np.asarray(bm_qnb))
+
+    got = np.sort(np.asarray(topk2.topk_buckets_nbq(bm_nbq, kp)), axis=1)
+    want = np.sort(np.asarray(topk2.topk_buckets(bm_qnb, kp)), axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_topk_buckets_hierarchical_matches_flat_with_ties(rng):
     """Hierarchical bucket selection must equal flat lax.top_k exactly,
     including stable tie order (small integer values force heavy ties)."""
