@@ -78,12 +78,14 @@ def main() -> None:
         ])
     )
 
+    # corpus/aux passed as jit ARGUMENTS — closing over them captures
+    # GBs of constants that upload to the remote compiler (CLAUDE.md)
     @functools.partial(jax.jit, static_argnames=("k_",))
-    def ivf_sustained(qb, cb, blb, k_):
+    def ivf_sustained(corpus, mul, add, coded, orig_ids, qb, cb, blb, k_):
         def body(_, x):
             qs, cells, bl = x
             return None, topk2.topk_ivf_clustered(
-                corpus_s, qs, aux_mul_s, aux_add_s, coded_s, orig_ids_s,
+                corpus, qs, mul, add, coded, orig_ids,
                 cells, bl, k=k_, metric="l2",
             )
 
@@ -91,21 +93,28 @@ def main() -> None:
         return out
 
     @functools.partial(jax.jit, static_argnames=("k_",))
-    def brute_sustained(qb, k_):
+    def brute_sustained(corpus, mul, add, qb, k_):
         def body(_, qs):
-            return None, topk2.topk_two_phase(
-                corpus_s, qs, aux_mul_s, aux_add_s, k=k_, metric="l2"
-            )
+            return None, topk2.topk_two_phase(corpus, qs, mul, add, k=k_, metric="l2")
 
         _, out = jax.lax.scan(body, None, qb)
         return out
 
-    t_ivf = common.timeit(lambda: ivf_sustained(qs_s, cells_s, bl_s, k), 4) / inner
-    t_brute = common.timeit(lambda: brute_sustained(qs_s, k), 4) / inner
+    def run_ivf():
+        return ivf_sustained(
+            corpus_s, aux_mul_s, aux_add_s, coded_s, orig_ids_s,
+            qs_s, cells_s, bl_s, k,
+        )
+
+    def run_brute():
+        return brute_sustained(corpus_s, aux_mul_s, aux_add_s, qs_s, k)
+
+    t_ivf = common.timeit(run_ivf, 4) / inner
+    t_brute = common.timeit(run_brute, 4) / inner
 
     # recall@10: ivf ids vs brute ids on batch 0
-    di, ii = ivf_sustained(qs_s, cells_s, bl_s, k)
-    db, ib = brute_sustained(qs_s, k)
+    di, ii = run_ivf()
+    db, ib = run_brute()
     ii0, ib0 = np.asarray(ii[0])[:, :10], np.asarray(ib[0])[:, :10]
     recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(ii0, ib0)])
 
