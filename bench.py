@@ -137,6 +137,29 @@ def main() -> None:
         q=8, inner=8, iters=3, corpus_=corpus_8m, mul=am8, add=aa8, scan_int8=(v8b, svb)
     )
 
+    # --- measured stack read ceiling (self-calibration) ---------------------
+    # Pure sustained HBM read: scan body reads n8 rows at an iteration-
+    # dependent offset (unhoistable) and max-reduces. The spec roofline
+    # (819 GB/s v5e) is not reachable through any kernel on this stack —
+    # this measures what IS (benchmarks/exp_hbm_ceiling.py: 592 GB/s).
+    @functools.partial(jax.jit, static_argnames=("n_read",))
+    def pure_read(big, offsets, n_read):
+        def body(carry, off):
+            sl = jax.lax.dynamic_slice(big, (off, 0), (n_read, big.shape[1]))
+            return carry + jnp.max(sl), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), offsets)
+        return acc
+
+    half = n8 // 2
+    offs = jnp.asarray(rng.integers(0, half, 16).astype(np.int32))
+    np.asarray(pure_read(corpus_8m, offs, half))  # compile
+    start = time.perf_counter()
+    for _ in range(4):
+        out = pure_read(corpus_8m, offs, half)
+    np.asarray(out)
+    ceiling = half * d * 4 * 16 * 4 / (time.perf_counter() - start)
+
     result = {
         "metric": "scan_rows_per_sec_per_chip_1Mx128_cosine_top10",
         "value": round(scan_rows_per_s, 1),
@@ -146,6 +169,8 @@ def main() -> None:
             "device": str(getattr(dev, "device_kind", dev)),
             "hbm_roofline_bytes_per_s": roofline,
             "scan_gbytes_per_s": round(scan_bytes_per_s / 1e9, 2),
+            "stack_read_ceiling_gbytes_per_s": round(ceiling / 1e9, 1),
+            "vs_stack_ceiling": round(scan_bytes_per_s / ceiling, 4),
             "methodology": "sustained: 64 scans per dispatch (lax.scan); "
             "per_dispatch: one jit call per scan (adds ~1.3 ms fixed "
             "tunnel dispatch cost in this environment)",

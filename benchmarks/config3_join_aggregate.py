@@ -67,15 +67,71 @@ def main() -> None:
         out = run()
     elapsed = (time.perf_counter() - start) / args.iters
 
+    # sustained: chain the SAME fused device pipeline over a stream of
+    # targets inside one dispatch (bench.py methodology) — the
+    # per-dispatch number above sits at the ~27 ms tunnel-roundtrip
+    # floor, this exposes the device rate of search→join→aggregate
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fenix_tpu.ops import distance as distance_ops
+
+    metric = distance_ops.canonical_metric("cosine")
+    data, corpus = cache.snapshot("vec", "vector")
+    left_col = cache.scalar("vec", "id")
+    aux_mul, aux_add = cache.metric_aux("vec", "vector", metric)
+    sorted_keys, sorted_index, attr_rows = cache.sorted_key("attrs", "key")
+    group_col = cache.scalar("attrs", "grp")
+    value_col = cache.scalar("attrs", "weight")
+    q_pad = executor._canonical_q(1)
+    k_pad = min(executor._canonical_k(k), corpus.rows_padded)
+
+    statics = dict(
+        k_pad=k_pad,
+        metric=metric,
+        agg=spec_agg.agg,
+        max_groups=spec_agg.max_groups,
+        use_value_col=True,
+        use_dist=False,
+    )
+
+    @functools.partial(jax.jit, static_argnames=tuple(statics))
+    def sustained(corpus_, qb, mul, add, lcol, skeys, sidx, arows, gcol, vcol, **st):
+        def body(_, queries):
+            return None, analytics._fused_search_join_aggregate(
+                corpus_, queries, mul, add, jnp.int32(1), jnp.int32(k),
+                lcol, skeys, sidx, arows, gcol, vcol, **st,
+            )
+
+        _, outs = jax.lax.scan(body, None, qb)
+        return outs
+
+    inner = 8
+    targets = np.random.default_rng(1).standard_normal((inner, q_pad, d)).astype(np.float32)
+    targets[:, 1:] = 0.0
+    qb = jnp.asarray(targets)
+
+    def run_sustained():
+        return sustained(
+            corpus.data, qb, aux_mul, aux_add,
+            left_col.data.astype(jnp.int32), sorted_keys, sorted_index,
+            attr_rows, group_col.data, value_col.data, **statics,
+        )
+
+    t_sust = common.timeit(run_sustained, max(args.iters, 4)) / inner
+
     common.emit(
         "search_join_aggregate_qps",
-        1.0 / elapsed,
+        1.0 / t_sust,
         "queries/s",
         n_vectors=n,
         n_attrs=n_attrs,
         k=k,
         groups=out.num_rows,
-        seconds=round(elapsed, 5),
+        seconds=round(t_sust, 5),
+        per_dispatch_qps=round(1.0 / elapsed, 1),
     )
 
 

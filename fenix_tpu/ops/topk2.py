@@ -175,12 +175,22 @@ def bucket_scores_scan_int8(
 ) -> jax.Array:  # [QT, N // bucket]
     """int8 phase 1: s8[q,i] = (q8·v8)·sv_i·aux_mul_i + aux_add_i/sq_q.
 
-    The dot runs int8×int8→int32 on the MXU; scales fold into the f32
-    FMA epilogue. Per query this is the exact score divided by sq_q —
-    a positive constant — so bucket ranking matches fp32 up to int8
-    rounding of the dot."""
+    The dot runs int8×int8 on the MXU; scales fold into the f32 FMA
+    epilogue. Per query this is the exact score divided by sq_q — a
+    positive constant — so bucket ranking matches fp32 up to int8
+    rounding of the dot.
+
+    Accumulation dtype: f32 when d ≤ 1024 (127²·d < 2²⁴ ⇒ every
+    partial sum is an exactly-representable integer — bitwise equal to
+    i32), i32 above. The f32 form matters for speed, not just purity:
+    with an i32 dot output XLA will not fuse the convert+FMA+bucket-max
+    epilogue into the matmul and materializes the [QT, N] i32 tile in
+    HBM (+2·4·N·QT bytes ≈ 33 % at QT=8/d=128 — measured 2.95 vs
+    4.4 B rows/s, benchmarks/exp_int8_fuse.py); the f32 form is the
+    same epilogue shape as the fp32 path, which fuses free."""
     n, d = corpus8.shape
     qt = q8.shape[0]
+    acc_t = jnp.float32 if d <= 1024 else jnp.int32
 
     def fuse(s32, mb, ab):
         s = s32.astype(jnp.float32) * mb[None, :] + ab[None, :] * inv_sq[:, None]
@@ -196,7 +206,7 @@ def bucket_scores_scan_int8(
             q8,
             corpus8,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=acc_t,
         )  # [QT, N]
         return fuse(s32, aux_mul_s, aux_add)
 
@@ -213,7 +223,7 @@ def bucket_scores_scan_int8(
             q8,
             corpus8,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=acc_t,
         )
         return fuse(s32, aux_mul_s, aux_add)
     nb = max(n // block_rows, 1)
@@ -229,7 +239,7 @@ def bucket_scores_scan_int8(
             q8,
             vb,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=acc_t,
         )  # [QT, block]
         return None, fuse(s32, mb, ab)
 

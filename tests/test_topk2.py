@@ -253,6 +253,26 @@ def test_bigq_pallas_nbq_selection_path_interpret(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_int8_f32_accumulation_is_exact(rng):
+    """The int8 phase-1 dot accumulates in f32 when d <= 1024: every
+    partial sum is an integer bounded by 127^2*d < 2^24, exactly
+    representable in f32 — bitwise equal to i32 accumulation. (The f32
+    form is what lets XLA fuse the bucket-max epilogue into the dot;
+    benchmarks/exp_int8_fuse{,2}.py.)"""
+    import jax
+
+    for d in (128, 1024):
+        q8 = jnp.asarray(rng.integers(-127, 128, (8, d)).astype(np.int8))
+        v8 = jnp.asarray(rng.integers(-127, 128, (4096, d)).astype(np.int8))
+        dn = (((1,), (1,)), ((), ()))
+        s_f32 = jax.lax.dot_general(q8, v8, dn, preferred_element_type=jnp.float32)
+        s_i32 = jax.lax.dot_general(q8, v8, dn, preferred_element_type=jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(s_f32), np.asarray(s_i32).astype(np.float32)
+        )
+        assert 127 * 127 * d < 2**24
+
+
 def test_topk_buckets_hierarchical_matches_flat_with_ties(rng):
     """Hierarchical bucket selection must equal flat lax.top_k exactly,
     including stable tie order (small integer values force heavy ties)."""
