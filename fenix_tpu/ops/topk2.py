@@ -375,6 +375,10 @@ _BIGQ_BQ = 1024  # preferred queries per grid cell
 
 _BIGQ_VMEM_BUDGET = 12 << 20  # of the 16 MB VMEM
 
+# Smallest query tile the kernel offers; batches above ONESHOT_MAX_Q
+# that don't divide it are padded up to it (topk_two_phase mid-Q route).
+_BIGQ_MIN_Q = 256
+
 
 def _bigq_vmem(bn: int, bq: int, d: int, itemsize: int, int8_mode: bool) -> int:
     # int8 converts i32→f32 per bucket slice inside the reduction loop,
@@ -1009,6 +1013,38 @@ def topk_two_phase(
     metric = canonical_metric(metric)
     n, d = corpus.shape
     q = queries.shape[0]
+
+    # Mid-size batches (32 < Q, Q not a multiple of the 256-wide minimum
+    # Pallas query tile) would fall through to the blocked fusable scan —
+    # the slowest phase-1 lowering. Padding the batch up to the tile and
+    # taking the fused kernel wins outright: 2.91 vs 4.06 ms at Q=64,
+    # 2.95 vs 3.94 at Q=128 (1M×128, benchmarks/exp_midq.py). Padding
+    # queries are all-zero rows; every step is row-independent per
+    # query, so real queries' results are unchanged and the pad rows
+    # are sliced off.
+    if q > ONESHOT_MAX_Q and q % _BIGQ_MIN_Q != 0:
+        scan_itemsize = (
+            1
+            if corpus_scan_int8 is not None
+            else (corpus_scan if corpus_scan is not None else corpus).dtype.itemsize
+        )
+        q_up = -(-q // _BIGQ_MIN_Q) * _BIGQ_MIN_Q
+        if _bigq_eligible(n, q_up, d, scan_itemsize, corpus_scan_int8 is not None):
+            queries_up = jnp.concatenate(
+                [queries, jnp.zeros((q_up - q, d), queries.dtype)]
+            )
+            dist, ids = topk_two_phase(
+                corpus,
+                queries_up,
+                aux_mul,
+                aux_add,
+                k=k,
+                metric=metric,
+                corpus_scan=corpus_scan,
+                corpus_scan_int8=corpus_scan_int8,
+            )
+            return dist[:q], ids[:q]
+
     bucket = BUCKET if q <= _BUCKET_SWITCH_Q else BUCKET_LARGE_Q
     while n % bucket != 0:  # tiny shards (sharded search) may not tile
         bucket //= 2

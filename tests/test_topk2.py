@@ -365,3 +365,33 @@ def test_topk_values_min_id_tie_contract(rng):
         want_i = ids[ci][valid][order][:k]
         np.testing.assert_array_equal(got_s[ci], want_s)
         np.testing.assert_array_equal(got_i[ci], want_i)
+
+
+def test_midq_pad_to_bigq_matches_oracle(rng, monkeypatch):
+    """32 < Q < 256 routes through the padded Pallas bigq kernel when
+    eligible (benchmarks/exp_midq.py: the blocked-scan fallback is
+    28-40 % slower). Padding queries are zero rows and every step is
+    row-independent per query, so results must equal the oracle
+    exactly. CPU has no Mosaic lowering — force eligibility and run the
+    kernel in interpret mode."""
+    n, d, q, k = 2048, 64, 96, 10
+    corpus, queries = build(rng, n, d, q)
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), None, "l2")
+
+    orig_kernel = topk2.bucket_scores_pallas_bigq
+    monkeypatch.setattr(topk2, "_bigq_eligible", lambda *a, **kw: True)
+    monkeypatch.setattr(
+        topk2,
+        "bucket_scores_pallas_bigq",
+        lambda *a, **kw: orig_kernel(*a, interpret=True, **kw),
+    )
+    # jit caches by traced shapes; these (n, d, q) are unique to this
+    # test so the patched globals are what get traced
+    dist, ids = topk2.topk_two_phase(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add, k=k, metric="l2"
+    )
+
+    assert ids.shape == (q, k)
+    want_d, want_i = oracles.topk(oracles.distance(queries, corpus, "l2"), k)
+    np.testing.assert_array_equal(np.asarray(ids), want_i)
+    np.testing.assert_allclose(np.asarray(dist), want_d, rtol=1e-4, atol=1e-5)
