@@ -54,6 +54,34 @@ def main() -> None:
     t = common.timeit(
         lambda: sustained(corpus, qb, aux_mul, aux_add, k), max(args.iters // 2, 2)
     ) / inner
+
+    # int8 scan copy + exact fp32 rescore (quarter scan traffic; the
+    # returned distances are exact — only bucket selection sees
+    # quantization, guarded by the widened candidate margin). d=768
+    # keeps the f32-accumulated int8 dot bit-exact (127²·768 < 2²⁴).
+    v8, sv = topk2.quantize_corpus_int8(corpus)
+
+    @functools.partial(jax.jit, static_argnames=("k_",))
+    def sustained_int8(corpus_, qb_, mul, add, vv, ss, k_):
+        def body(_, qs):
+            return None, topk2.topk_two_phase(
+                corpus_, qs, mul, add, k=k_, metric="l2", corpus_scan_int8=(vv, ss)
+            )
+
+        _, out = jax.lax.scan(body, None, qb_)
+        return out
+
+    t8 = common.timeit(
+        lambda: sustained_int8(corpus, qb, aux_mul, aux_add, v8, sv, k),
+        max(args.iters // 2, 2),
+    ) / inner
+
+    # recall@100 of the int8-selected ids vs the exact fp32 scan (batch 0)
+    _, ids_f = sustained(corpus, qb, aux_mul, aux_add, k)
+    _, ids_8 = sustained_int8(corpus, qb, aux_mul, aux_add, v8, sv, k)
+    a, b = np.asarray(ids_f[0])[:, :100], np.asarray(ids_8[0])[:, :100]
+    recall = float(np.mean([len(set(x) & set(y)) / 100 for x, y in zip(a, b)]))
+
     common.emit(
         "filtered_scan_rows_per_sec",
         n / t,
@@ -65,6 +93,8 @@ def main() -> None:
         seconds=round(t, 5),
         gbytes_per_s=round(n * d * 4 / t / 1e9, 1),
         per_dispatch_rows_per_s=round(n / t_disp, 1),
+        int8_rows_per_s=round(n / t8, 1),
+        int8_recall_at_100=round(recall, 4),
     )
 
 

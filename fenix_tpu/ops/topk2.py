@@ -138,6 +138,7 @@ def prepare_aux(
     return aux_mul, aux_add
 
 
+@jax.jit
 def quantize_corpus_int8(corpus: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-row symmetric int8 quantization: ``v ≈ sv · v8``.
 
@@ -145,7 +146,13 @@ def quantize_corpus_int8(corpus: jax.Array) -> tuple[jax.Array, jax.Array]:
     fp32; phase 2 always rescores in fp32 so returned distances are
     exact — only bucket *selection* sees quantization error (recall ≈ 1
     with the BUCKET_PAD margin; opt-in via the executor's
-    ``precision="int8"`` knob, same contract as bf16)."""
+    ``precision="int8"`` knob, same contract as bf16).
+
+    jit at the def site: called eagerly on a multi-GB corpus the
+    unfused divide/round/clip chain materializes ~3 corpus-sized fp32
+    intermediates and OOMs a chip the corpus itself fits comfortably
+    (hit at 2M×768 on 16 GB); fused, the only new allocations are the
+    int8 copy and the [N] scale. Inside other jits it inlines."""
     sv = jnp.max(jnp.abs(corpus), axis=-1) / 127.0
     sv = jnp.maximum(sv, 1e-30)  # zero rows quantize to zeros
     v8 = jnp.clip(jnp.round(corpus / sv[:, None]), -127, 127).astype(jnp.int8)

@@ -24,13 +24,27 @@ from fenix_tpu.ops import topk2
 from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, row_sharding
 
 
-def _build(mesh: Mesh, k: int, metric: str, probed: bool, with_aux: bool = False):
+def _build(
+    mesh: Mesh,
+    k: int,
+    metric: str,
+    probed: bool,
+    with_aux: bool = False,
+    precision: str = "fp32",
+):
+    assert precision in ("fp32", "bf16", "int8"), precision
+    # the probed kernel has no scan-copy inputs (same as single-chip)
+    assert precision == "fp32" or not probed, (precision, probed)
     axes = (DATA_AXIS, MODEL_AXIS)
     n_shards = mesh.devices.size
 
     in_specs = (P(axes, None), P(), P(axes))
     if with_aux:
         in_specs = in_specs + (P(axes), P(axes))
+    if precision == "bf16":
+        in_specs = in_specs + (P(axes, None),)
+    elif precision == "int8":
+        in_specs = in_specs + (P(axes, None), P(axes))
     if probed:
         in_specs = in_specs + (P(axes), P())
 
@@ -52,6 +66,13 @@ def _build(mesh: Mesh, k: int, metric: str, probed: bool, with_aux: bool = False
         if with_aux:
             aux_mul, aux_add = rest[0], rest[1]
             rest = rest[2:]
+        scan_kw = {}
+        if precision == "bf16":
+            scan_kw["corpus_scan"] = rest[0]
+            rest = rest[1:]
+        elif precision == "int8":
+            scan_kw["corpus_scan_int8"] = (rest[0], rest[1])
+            rest = rest[2:]
         coded_local, cells = rest if probed else (None, None)
 
         local_k = min(k, rows_local)
@@ -67,7 +88,8 @@ def _build(mesh: Mesh, k: int, metric: str, probed: bool, with_aux: bool = False
             )
         else:
             dist, ids = topk2.topk_two_phase(
-                corpus_local, queries, aux_mul, aux_add, k=local_k, metric=metric
+                corpus_local, queries, aux_mul, aux_add, k=local_k, metric=metric,
+                **scan_kw,
             )
         scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
         gids = jnp.where(ids >= 0, ids + shard * rows_local, -1)
@@ -105,6 +127,7 @@ def build_sharded_search(
     metric: str,
     block: int | None = None,  # unused; kept for call-site compatibility
     with_aux: bool = False,
+    precision: str = "fp32",
 ):
     """Compile a sharded exact top-k search step.
 
@@ -115,8 +138,16 @@ def build_sharded_search(
     with row-sharded aux from :func:`shard_aux` — skipping the per-call
     ‖v‖² corpus pass (serving-path default). The two-phase kernel sizes
     its own blocking; ``block`` only matters to ``shard_corpus`` padding.
+
+    ``precision`` mirrors the single-chip executor's scan modes: "bf16"
+    appends a row-sharded bf16 scan copy (:func:`shard_scan_bf16`) to
+    the signature, "int8" a ``(v8, sv)`` pair (:func:`shard_scan_int8`)
+    — half/quarter per-shard HBM scan traffic; each shard still
+    rescores its candidates against the fp32 corpus, so returned
+    distances are exact and only local bucket selection sees
+    quantization (same contract as single-chip).
     """
-    return _build(mesh, k, metric, probed=False, with_aux=with_aux)
+    return _build(mesh, k, metric, probed=False, with_aux=with_aux, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -129,6 +160,23 @@ def shard_aux(corpus_dev, mask_dev, metric: str):
     (one corpus pass, amortized across all subsequent queries). Plain
     jit: prepare_aux is row-wise, so sharding propagates."""
     return _prepare_aux_jit(corpus_dev, mask_dev, metric)
+
+
+def shard_scan_int8(corpus_dev):
+    """Row-sharded int8 scan copy ``(v8 [N,D] int8, sv [N] f32)`` —
+    per-row quantization, so the corpus row sharding propagates
+    (quantize_corpus_int8 is jitted at its def site)."""
+    return topk2.quantize_corpus_int8(corpus_dev)
+
+
+@jax.jit
+def _bf16_copy_jit(corpus_dev):
+    return corpus_dev.astype(jnp.bfloat16)
+
+
+def shard_scan_bf16(corpus_dev):
+    """Row-sharded bf16 scan copy (element-wise cast; sharding propagates)."""
+    return _bf16_copy_jit(corpus_dev)
 
 
 def build_sharded_search_probed(

@@ -116,3 +116,36 @@ def test_sharded_search_with_precomputed_aux_matches(rng, mesh8):
 
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("precision", ["bf16", "int8"])
+def test_sharded_search_precision_scan_modes(mesh8, rng, precision):
+    """Sharded search with half/quarter-traffic scan copies: distances
+    stay fp32-exact (per-shard rescore against the fp32 shard), recall
+    near-perfect — the single-chip precision contract, per shard."""
+    n, d, q, k = 3000, 32, 4, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    corpus_dev, mask_dev = psearch.shard_corpus(mesh8, corpus, block=128)
+    if precision == "int8":
+        scan_args = psearch.shard_scan_int8(corpus_dev)
+    else:
+        scan_args = (psearch.shard_scan_bf16(corpus_dev),)
+    for a in scan_args:
+        assert a.sharding == corpus_dev.sharding or a.ndim == 1
+
+    fn = psearch.build_sharded_search(mesh8, k=k, metric="l2", precision=precision)
+    dist, ids = fn(corpus_dev, jax.numpy.asarray(queries), mask_dev, *scan_args)
+
+    exact = oracles.distance(queries, corpus, "l2")
+    _, want_i = oracles.topk(exact, k)
+    got = np.asarray(ids)
+    recall = np.mean(
+        [len(set(got[i].tolist()) & set(want_i[i].tolist())) / k for i in range(q)]
+    )
+    assert recall >= 0.95
+    for i in range(q):
+        np.testing.assert_allclose(
+            np.asarray(dist)[i], exact[i][got[i]], rtol=1e-4, atol=1e-5
+        )
