@@ -78,8 +78,24 @@ class Server(fl.FlightServerBase):
     ) -> None:
         FAULTS.check("put")
         name = descriptor.path[0].decode()
-        with METRICS.timed("put", table=name):
-            table.make(self.root, name, reader.to_reader())
+        mode = descriptor.path[1].decode() if len(descriptor.path) > 1 else "overwrite"
+        with METRICS.timed("put", table=name, mode=mode):
+            match mode:
+                case "overwrite":
+                    table.make(self.root, name, reader.to_reader())
+                    # Any existing index is no longer row-aligned; drop it
+                    # so probed search fails loudly instead of returning
+                    # rows assigned under the previous table revision
+                    # (the reference leaves them stale, SURVEY.md §2.2.3).
+                    index_mod.drop_for_source(self.root, name)
+                case "append":
+                    new = reader.to_reader().read_all()
+                    table.append(self.root, name, new)
+                    # Score ONLY the appended rows into every index over
+                    # this source — incremental ingest, O(rows appended).
+                    index_mod.extend_for_source(self.root, name, new)
+                case _:
+                    raise ValueError(f"unknown put mode {mode!r}")
 
     # -- table read (reference flight.py:46-60, stateless) ----------------
 
@@ -175,6 +191,15 @@ class Server(fl.FlightServerBase):
                 index_mod.drop_all(self.root, config["name"])
                 self.cache.invalidate()
                 return iter([])
+
+            case "delete-rows":
+                with METRICS.timed("delete-rows", source=config["source"]):
+                    deleted = index_mod.delete_rows(
+                        self.root,
+                        config["source"],
+                        _decode_filter(config["filter"]),
+                    )
+                return iter([fl.Result(_dumps({"deleted": deleted}))])
 
             case "remove":
                 shutil.rmtree(self.root, ignore_errors=True)
@@ -286,12 +311,32 @@ class Flight:
     # -- tables -----------------------------------------------------------
 
     def make_table(self, name: str, data: pa.RecordBatchReader) -> "Flight":
-        descriptor = fl.FlightDescriptor.for_path(name)
+        return self._put(name, data, "overwrite")
+
+    def append_table(self, name: str, data: pa.RecordBatchReader) -> "Flight":
+        """Append rows to ``name`` (created if absent). Existing indexes
+        over the table are extended incrementally — only the appended
+        rows are scored."""
+        return self._put(name, data, "append")
+
+    def _put(self, name: str, data: pa.RecordBatchReader, mode: str) -> "Flight":
+        descriptor = fl.FlightDescriptor.for_path(name, mode)
         writer, _ = self.conn.do_put(descriptor, data.schema)
         with writer:
             for batch in data:
                 writer.write_batch(batch)
         return self
+
+    def delete_rows(self, source: str, filter: expr_mod.Expr) -> int:
+        """Delete rows matching ``filter``; returns the count removed.
+        Indexes over the table stay consistent (filtered by the same
+        row mask)."""
+        if not isinstance(filter, expr_mod.Expr):
+            raise TypeError("filter must be a fenix_tpu.expr.Expr")
+        results = self._action(
+            "delete-rows", {"source": source, "filter": filter.to_dict()}
+        )
+        return _loads(results[0].body.to_pybytes())["deleted"]
 
     def read_table(
         self,

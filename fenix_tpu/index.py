@@ -32,8 +32,9 @@ from fenix_tpu.ops import cells as cells_ops
 LOCATION: str = "indexes"
 
 __all__ = [
-    "CODE_COL", "DIST_COL", "QUERY_COL", "call", "drop", "drop_all",
-    "list", "load", "make", "path_of",
+    "CODE_COL", "DIST_COL", "QUERY_COL", "call", "delete_rows", "drop",
+    "drop_all", "drop_for_source", "extend_for_source",
+    "indexes_for_source", "list", "load", "make", "path_of",
 ]
 
 ASSIGN_BLOCK: int = 1 << 16  # rows per device assignment batch
@@ -59,12 +60,19 @@ def make(root: str, name: str, source: str | Sequence[str], column: str) -> pa.T
         assert isinstance(source, Sequence)
         return table.join(*[make(root, name, s, column) for s in source])
 
+    data = table.load(root, source)
+    codes = _assign_codes(root, name, data.column(column))
+    _write_codes(path_of(root, name, source, column), codes)
+    return load(root, name, source, column)
+
+
+def _assign_codes(root: str, name: str, column: pa.ChunkedArray) -> np.ndarray:
+    """Nearest-composite-cell id per row, block-wise on device."""
     coding = coder_mod.load(root, name)
     codebooks = jnp.asarray(coding["tensor"])
     metric = coding["config"]["metric"]
 
-    data = table.load(root, source)
-    matrix = ingest.fixed_size_list_to_numpy(data.column(column))
+    matrix = ingest.fixed_size_list_to_numpy(column)
     num_rows = matrix.shape[0]
 
     codes = np.empty(num_rows, dtype=np.int64)
@@ -74,8 +82,10 @@ def make(root: str, name: str, source: str | Sequence[str], column: str) -> pa.T
         codes[start:stop] = np.asarray(
             cells_ops.assign_cells(block, codebooks, metric=metric), dtype=np.int64
         )
+    return codes
 
-    path = path_of(root, name, source, column)
+
+def _write_codes(path: str, codes: np.ndarray) -> None:
     schema = pa.schema({CODE_COL: pa.int64()})
     arrow.make(
         path,
@@ -84,7 +94,6 @@ def make(root: str, name: str, source: str | Sequence[str], column: str) -> pa.T
             iter([pa.record_batch([pa.array(codes)], names=[CODE_COL])]),
         ),
     )
-    return load(root, name, source, column)
 
 
 def list(root: str) -> Iterator[str]:
@@ -97,6 +106,69 @@ def drop(root: str, name: str, source: str, column: str) -> None:
     path = path_of(root, name, source, column)
     if os.path.exists(path):
         os.unlink(path)
+
+
+def indexes_for_source(root: str, source: str) -> Iterator[tuple[str, str]]:
+    """Yield ``(name, column)`` for every index built over ``source``.
+
+    Index files live at ``indexes/<source>/<column>/<name>.arrow``; under
+    the given source's directory the first path component is the column
+    and the remainder is the coder name (which, like sources, may contain
+    ``/`` for namespacing — columns may not).
+    """
+    base = table.safe_join(root, LOCATION, source)
+    for path in sorted(glob.glob(os.path.join(base, "**", "*.arrow"), recursive=True)):
+        rel = os.path.relpath(path, base)
+        column, _, name = rel.partition(os.sep)
+        yield name.removesuffix(".arrow"), column
+
+
+def drop_for_source(root: str, source: str) -> None:
+    """Drop every index file over ``source`` (its assignments are no
+    longer row-aligned once the table is overwritten)."""
+    for name, column in [*indexes_for_source(root, source)]:
+        drop(root, name, source, column)
+
+
+def extend_for_source(root: str, source: str, new_rows: pa.Table) -> None:
+    """Append cell assignments for freshly appended ``new_rows`` to every
+    index over ``source`` — only the new rows are scored (the existing
+    assignment is immutable), keeping ingest cost O(rows appended)."""
+    for name, column in indexes_for_source(root, source):
+        path = path_of(root, name, source, column)
+        old = ingest.scalar_column_to_numpy(arrow.load(path).column(CODE_COL))
+        new = _assign_codes(root, name, new_rows.column(column))
+        _write_codes(path, np.concatenate([old.astype(np.int64), new]))
+
+
+def delete_rows(root: str, source: str, filter: expr_mod.Expr) -> int:
+    """Delete the rows of ``source`` matching ``filter``.
+
+    The ``__CODED_ID__`` index files are row-aligned with the source, so
+    every index over it is filtered by the SAME keep-mask — assignments
+    for surviving rows are reused verbatim, no re-scoring. Both rewrites
+    go through the atomic publish in :func:`fenix_tpu.io.arrow.make`.
+    """
+    data = table.load(root, source)
+    delete = np.asarray(filter.mask(data), dtype=bool)
+    keep = pa.array(~delete)
+
+    indexes = [*indexes_for_source(root, source)]
+    for name, column in indexes:
+        idx_path = path_of(root, name, source, column)
+        idx = arrow.load(idx_path)
+        if idx.num_rows != data.num_rows:
+            raise RuntimeError(
+                f"index {name!r} over {source!r}/{column!r} has "
+                f"{idx.num_rows} rows but the table has {data.num_rows}; "
+                "re-run sync_index before deleting"
+            )
+
+    arrow.make(table.path_of(root, source), data.filter(keep).to_reader())
+    for name, column in indexes:
+        idx_path = path_of(root, name, source, column)
+        arrow.make(idx_path, arrow.load(idx_path).filter(keep).to_reader())
+    return int(delete.sum())
 
 
 def drop_all(root: str, name: str) -> None:

@@ -51,6 +51,27 @@ def make(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
     return arrow.make(path_of(root, name), data)
 
 
+def append(root: str, name: str, data: pa.Table) -> pa.Table:
+    """Append rows to an existing table (create it if absent).
+
+    Beyond the reference (its ``do_put`` only overwrites,
+    /root/reference/src/fenix/flight.py:34-44): the combined table is
+    rewritten through the same atomic publish as ``make``, so readers
+    see either the old or the new revision, never a torn file.
+    """
+    path = path_of(root, name)
+    if not os.path.exists(path):
+        return arrow.make(path, data.to_reader())
+
+    old = arrow.load(path)
+    if old.schema != data.schema:
+        raise ValueError(
+            f"append schema mismatch for table {name!r}:\n"
+            f"existing: {old.schema}\nappended: {data.schema}"
+        )
+    return arrow.make(path, pa.concat_tables([old, data]).to_reader())
+
+
 def join(*data: pa.Table, axis: Literal[0, 1] = 0) -> pa.Table:
     if len(data) == 1:
         return data[0]

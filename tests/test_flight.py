@@ -271,6 +271,98 @@ def test_list_flights_and_info(flight, source):
     assert info.schema == source.schema
 
 
+def test_append_delete_and_overwrite_lifecycle(flight, rng):
+    """Incremental ingest: append extends indexes by scoring only the
+    new rows; delete-rows filters table + indexes by one mask; overwrite
+    drops stale indexes (they are no longer row-aligned)."""
+    src = pa.Table.from_batches(generate_batches(seed=7), SCHEMA)
+    flight.make_table("test/mut", src.to_reader())
+    flight.make_index(
+        name="test/mutcoder", source="test/mut", column="vector", config=CONFIG
+    )
+
+    # -- append: new rows searchable, index extended incrementally -----
+    x = rng.standard_normal((BATCH_SIZE, VECTOR_SIZE)).astype(np.float32) + 100.0
+    ids = np.arange(NUM_VECTORS, NUM_VECTORS + BATCH_SIZE)
+    extra = pa.record_batch(
+        [
+            pa.array(ids),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(x.flatten()), list_size=VECTOR_SIZE
+            ),
+        ],
+        names=["id", "vector"],
+    )
+    flight.append_table(
+        "test/mut", pa.RecordBatchReader.from_batches(SCHEMA, iter([extra]))
+    )
+
+    total = NUM_VECTORS + BATCH_SIZE
+    assert flight.read_table("test/mut").read_all().num_rows == total
+
+    coded = flight.read_table(
+        "test/mut", coding="test/mutcoder", column="vector"
+    ).read_all()
+    assert coded.num_rows == total
+    incremental = np.asarray(coded.column("__CODED_ID__"))
+
+    # appended vector is its own exact nearest neighbor
+    hit = flight.search(
+        target=x[3], source="test/mut", column="vector", metric="l2", maxval=1
+    )
+    assert np.asarray(hit.column("id"))[0] == ids[3]
+
+    # incremental assignment must equal a full re-assignment
+    flight.sync_index(name="test/mutcoder", source="test/mut", column="vector")
+    full = np.asarray(
+        flight.read_table("test/mut", coding="test/mutcoder", column="vector")
+        .read_all()
+        .column("__CODED_ID__")
+    )
+    assert (incremental == full).all()
+
+    # schema mismatch is rejected
+    bad = pa.record_batch([pa.array([1.5])], names=["id"])
+    with pytest.raises(Exception, match="schema mismatch"):
+        flight.append_table(
+            "test/mut",
+            pa.RecordBatchReader.from_batches(bad.schema, iter([bad])),
+        )
+
+    # -- delete-rows: same mask filters table and indexes --------------
+    deleted = flight.delete_rows("test/mut", expr.field("id") < 100)
+    assert deleted == 100
+    remaining = flight.read_table("test/mut").read_all()
+    assert remaining.num_rows == total - 100
+    assert (np.asarray(remaining.column("id")) >= 100).all()
+
+    kept = np.asarray(
+        flight.read_table("test/mut", coding="test/mutcoder", column="vector")
+        .read_all()
+        .column("__CODED_ID__")
+    )
+    assert (kept == full[100:]).all()
+
+    # probed search still works and never returns a deleted row
+    probed = flight.search(
+        target=x[3],
+        source="test/mut",
+        column="vector",
+        metric="l2",
+        coding="test/mutcoder",
+        maxval=10,
+        probes=16,
+    )
+    assert (np.asarray(probed.column("id")) >= 100).all()
+
+    # -- overwrite: stale indexes are dropped, not left lying ----------
+    flight.make_table("test/mut", src.to_reader())
+    assert "test/mut/vector/test/mutcoder" not in flight.list_indexes()
+
+    flight.drop_index("test/mutcoder")
+    flight.drop_table("test/mut")
+
+
 def test_drop_index_and_remove(server, source):
     client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
     client.drop_index("test/coder")
