@@ -253,7 +253,10 @@ def _execute_fused(
     src = (req.source,) if isinstance(req.source, str) else tuple(req.source)
     for _ in range(5):
         stamp = tuple(os.path.getmtime(table_mod.path_of(cache.root, s)) for s in src)
-        data, corpus = cache.snapshot(req.source, req.column)
+        # single-device: the fused join/aggregate kernels and scalar
+        # columns are not mesh-sharded (sharding the analytics pipeline
+        # means distributed join/aggregate — future work)
+        data, corpus = cache.snapshot(req.source, req.column, sharded=False)
         left_col = cache.scalar(req.source, join.left_on)
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric_canonical := distance_ops.canonical_metric(req.metric))
         if stamp == tuple(

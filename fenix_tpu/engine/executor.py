@@ -104,6 +104,24 @@ def _rank_cells(queries, coding_data, metric: str, probes: int) -> np.ndarray:
     return cells_ops.topk_cells_np(np.asarray(queries), codebooks, metric, probes)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_fn(mesh, k: int, metric: str, precision: str, probed: bool):
+    """Compiled mesh-sharded search step (fenix_tpu.parallel.search),
+    memoized per (mesh, canonical shape/mode) — each build is a fresh
+    shard_map jit and compiles are expensive in this environment."""
+    from fenix_tpu.parallel import search as psearch
+
+    return psearch.build_serving_search(
+        mesh, k=k, metric=metric, probed=probed, precision=precision
+    )
+
+
+def _sharded_mask(mesh, mask_np: np.ndarray):
+    from fenix_tpu.parallel.mesh import row_sharding
+
+    return jax.device_put(mask_np, row_sharding(mesh, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _search_probed_packed(corpus, queries, aux_mul, aux_add, coded, cells, k, metric):
     d, i = topk2.topk_two_phase_probed(
@@ -322,6 +340,30 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
                 [cells, np.full((q_pad - num_queries, cells.shape[1]), -1, cells.dtype)]
             )
 
+        if cache.mesh is not None:
+            # Mesh-sharded probed search: row-sharded cell ids travel
+            # with the corpus shards, each shard scans only matching
+            # rows, k candidates per (shard, query) merge over ICI.
+            # (The clustered-gather layout is a single-device
+            # optimization; per-shard clustering is future work.)
+            coded = cache.sharded_coded_ids(req.coding, req.source, req.column)
+            aux_mul, aux_add = cache.sharded_aux(req.source, req.column, metric)
+            if req.filter is not None:
+                aux_add = _overlay_mask(aux_add, _sharded_mask(cache.mesh, mask_np))
+            packed = _sharded_fn(cache.mesh, k_pad, metric, "fp32", True)(
+                corpus.data,
+                queries,
+                cache.sharded_validity(req.source, req.column),
+                aux_mul,
+                aux_add,
+                coded.data,
+                cells,
+            )
+            dists, ids = topk2.unpack_result(packed)
+            return gather_results(
+                data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
+            )
+
         n_books, k_book, _ = coding_data["tensor"].shape
         n_cells = int(k_book) ** int(n_books)
         use_clustered = n_cells <= _CLUSTERED_MAX_CELLS
@@ -372,6 +414,28 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         dists, ids = topk2.unpack_result(packed)
         return gather_results(
             data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
+        )
+    elif cache.mesh is not None:
+        # Mesh-sharded exact scan: every shard runs the two-phase kernel
+        # over its rows (fp32/bf16/int8 scan modes identical to
+        # single-chip), then only k (score, global-id) candidates per
+        # shard cross the interconnect for the replicated merge.
+        aux_mul, aux_add = cache.sharded_aux(req.source, req.column, metric)
+        if req.filter is not None:
+            aux_add = _overlay_mask(aux_add, _sharded_mask(cache.mesh, mask_np))
+        scan_args: tuple = ()
+        if req.precision == "bf16":
+            scan_args = (cache.sharded_matrix_bf16(req.source, req.column).data,)
+        elif req.precision == "int8":
+            v8, sv = cache.sharded_matrix_int8(req.source, req.column)
+            scan_args = (v8.data, sv.data)
+        packed = _sharded_fn(cache.mesh, k_pad, metric, req.precision, False)(
+            corpus.data,
+            queries,
+            cache.sharded_validity(req.source, req.column),
+            aux_mul,
+            aux_add,
+            *scan_args,
         )
     else:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
@@ -475,39 +539,70 @@ def execute_search_batched(
             cells = np.concatenate(
                 [cells, np.full((q_pad - total, cells.shape[1]), -1, cells.dtype)]
             )
-        n_pad = corpus.rows_padded
-        n_books, k_book, _ = coding_data["tensor"].shape
-        use_clustered = int(k_book) ** int(n_books) <= _CLUSTERED_MAX_CELLS
-        bucket_lists = None
-        if use_clustered:
-            perm, offsets = cache.clustered_meta(r0.coding, r0.source, r0.column)
-            bucket = topk2.bucket_for(q_pad, n_pad)
-            bucket_lists = _ivf_bucket_lists(cells, offsets, bucket, n_pad // bucket)
-            use_clustered = q_pad * bucket_lists.shape[1] * bucket <= n_pad
-        if use_clustered:
-            corpus_s, coded_s, orig_ids = cache.clustered(r0.coding, r0.source, r0.column)
-            aux_mul_s, aux_add_s = cache.clustered_aux(
-                r0.coding, r0.source, r0.column, metric
-            )
-            packed = _search_ivf_packed(
-                corpus_s.data,
+        if cache.mesh is not None:
+            coded = cache.sharded_coded_ids(r0.coding, r0.source, r0.column)
+            aux_mul, aux_add = cache.sharded_aux(r0.source, r0.column, metric)
+            packed = _sharded_fn(cache.mesh, k_pad, metric, "fp32", True)(
+                corpus.data,
                 queries,
-                aux_mul_s,
-                aux_add_s,
-                coded_s.data,
-                orig_ids.data,
+                cache.sharded_validity(r0.source, r0.column),
+                aux_mul,
+                aux_add,
+                coded.data,
                 cells,
-                jnp.asarray(bucket_lists),
-                k=k_pad,
-                metric=metric,
             )
         else:
-            coded = cache.coded_ids(r0.coding, r0.source, r0.column)
-            aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)
-            packed = _search_probed_packed(
-                corpus.data, queries, aux_mul, aux_add, coded.data, cells,
-                k=k_pad, metric=metric,
-            )
+            n_pad = corpus.rows_padded
+            n_books, k_book, _ = coding_data["tensor"].shape
+            use_clustered = int(k_book) ** int(n_books) <= _CLUSTERED_MAX_CELLS
+            bucket_lists = None
+            if use_clustered:
+                perm, offsets = cache.clustered_meta(r0.coding, r0.source, r0.column)
+                bucket = topk2.bucket_for(q_pad, n_pad)
+                bucket_lists = _ivf_bucket_lists(cells, offsets, bucket, n_pad // bucket)
+                use_clustered = q_pad * bucket_lists.shape[1] * bucket <= n_pad
+            if use_clustered:
+                corpus_s, coded_s, orig_ids = cache.clustered(
+                    r0.coding, r0.source, r0.column
+                )
+                aux_mul_s, aux_add_s = cache.clustered_aux(
+                    r0.coding, r0.source, r0.column, metric
+                )
+                packed = _search_ivf_packed(
+                    corpus_s.data,
+                    queries,
+                    aux_mul_s,
+                    aux_add_s,
+                    coded_s.data,
+                    orig_ids.data,
+                    cells,
+                    jnp.asarray(bucket_lists),
+                    k=k_pad,
+                    metric=metric,
+                )
+            else:
+                coded = cache.coded_ids(r0.coding, r0.source, r0.column)
+                aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)
+                packed = _search_probed_packed(
+                    corpus.data, queries, aux_mul, aux_add, coded.data, cells,
+                    k=k_pad, metric=metric,
+                )
+    elif cache.mesh is not None:
+        aux_mul, aux_add = cache.sharded_aux(r0.source, r0.column, metric)
+        scan_args: tuple = ()
+        if r0.precision == "bf16":
+            scan_args = (cache.sharded_matrix_bf16(r0.source, r0.column).data,)
+        elif r0.precision == "int8":
+            v8, sv = cache.sharded_matrix_int8(r0.source, r0.column)
+            scan_args = (v8.data, sv.data)
+        packed = _sharded_fn(cache.mesh, k_pad, metric, r0.precision, False)(
+            corpus.data,
+            queries,
+            cache.sharded_validity(r0.source, r0.column),
+            aux_mul,
+            aux_add,
+            *scan_args,
+        )
     else:
         aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)
         corpus_scan = (

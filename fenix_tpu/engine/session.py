@@ -33,9 +33,15 @@ def _source_key(source: str | Sequence[str]) -> tuple[str, ...]:
 class DeviceCache:
     """Per-root cache of host tables and device-resident columns."""
 
-    def __init__(self, root: str, block: int = DEFAULT_BLOCK) -> None:
+    def __init__(
+        self, root: str, block: int = DEFAULT_BLOCK, mesh="auto"
+    ) -> None:
         self.root = root
         self.block = block
+        # "auto" resolves lazily on first use: parallel.mesh.serving_mesh()
+        # touches jax.devices(), which initializes the backend (~40 s on
+        # the tunnel) — the cache itself must stay cheap to construct.
+        self._mesh = mesh
         self._host: dict = {}
         self._device: dict = {}
         # The Flight server dispatches handlers from a thread pool; a
@@ -193,6 +199,136 @@ class DeviceCache:
 
         return self._memo(self._device, (key, column, "matrix_int8"), stamp, build)
 
+    # -- mesh-sharded columns (multi-device serving) -----------------------
+
+    @property
+    def mesh(self):
+        """Serving mesh, or None for single-device execution. When a
+        mesh is active the executor's top-k paths run the shard_map
+        kernels from fenix_tpu.parallel.search over row-sharded columns
+        — only k candidates per (shard, query) cross the interconnect."""
+        if self._mesh == "auto":
+            from fenix_tpu.parallel import mesh as mesh_mod
+
+            self._mesh = mesh_mod.serving_mesh()
+        return self._mesh
+
+    def _row_sharding(self, ndim: int):
+        from fenix_tpu.parallel.mesh import row_sharding
+
+        return row_sharding(self.mesh, ndim)
+
+    @property
+    def _shard_block(self) -> int:
+        # every shard holds a whole number of scan blocks
+        return self.block * int(self.mesh.devices.size)
+
+    def sharded_matrix(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
+        """Row-sharded ``[N_pad, D]`` fp32 vector column over the mesh.
+        Rows split contiguously, so a shard-local index plus the shard's
+        row offset IS the global row id (padding sits at the tail)."""
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build() -> ingest.DeviceColumn:
+            data = self.host_table(source)
+            return ingest.to_device_matrix(
+                data.column(column),
+                block=self._shard_block,
+                sharding=self._row_sharding(2),
+            )
+
+        return self._memo(self._device, (key, column, "sharded_matrix"), stamp, build)
+
+    def sharded_validity(self, source: str | Sequence[str], column: str):
+        """Row-sharded bool ``[N_pad]`` marking real (non-padding) rows."""
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            col = self.sharded_matrix(source, column)
+            valid = np.zeros(col.rows_padded, dtype=bool)
+            valid[: col.rows] = True
+            import jax
+
+            return jax.device_put(valid, self._row_sharding(1))
+
+        return self._memo(self._device, (key, column, "sharded_validity"), stamp, build)
+
+    def sharded_aux(self, source: str | Sequence[str], column: str, metric: str):
+        """Row-sharded (aux_mul, aux_add) — one corpus pass at fill time,
+        sharding propagates through the row-wise prepare_aux."""
+        from fenix_tpu.ops import distance as distance_ops
+        from fenix_tpu.parallel import search as psearch
+
+        canonical = distance_ops.canonical_metric(metric)
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            col = self.sharded_matrix(source, column)
+            return psearch.shard_aux(
+                col.data, self.sharded_validity(source, column), canonical
+            )
+
+        return self._memo(self._device, (key, column, "sharded_aux", canonical), stamp, build)
+
+    def sharded_matrix_bf16(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build() -> ingest.DeviceColumn:
+            from fenix_tpu.parallel import search as psearch
+
+            full = self.sharded_matrix(source, column)
+            return ingest.DeviceColumn(
+                data=psearch.shard_scan_bf16(full.data), rows=full.rows
+            )
+
+        return self._memo(self._device, (key, column, "sharded_bf16"), stamp, build)
+
+    def sharded_matrix_int8(self, source: str | Sequence[str], column: str):
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            from fenix_tpu.parallel import search as psearch
+
+            full = self.sharded_matrix(source, column)
+            v8, sv = psearch.shard_scan_int8(full.data)
+            return (
+                ingest.DeviceColumn(data=v8, rows=full.rows),
+                ingest.DeviceColumn(data=sv, rows=full.rows),
+            )
+
+        return self._memo(self._device, (key, column, "sharded_int8"), stamp, build)
+
+    def sharded_coded_ids(
+        self, coding: str, source: str | Sequence[str], column: str
+    ) -> ingest.DeviceColumn:
+        """Row-sharded int32 cell ids (padding = −1, never probed)."""
+        from fenix_tpu import index as index_mod
+
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build() -> ingest.DeviceColumn:
+            parts = []
+            for s in key:
+                path = index_mod.path_of(self.root, coding, s, column)
+                parts.append(
+                    ingest.scalar_column_to_numpy(arrow.load(path).column(index_mod.CODE_COL))
+                )
+            codes = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            return ingest.to_device_vector(
+                codes.astype(np.int32),
+                block=self._shard_block,
+                fill=-1,
+                sharding=self._row_sharding(1),
+            )
+
+        return self._memo(self._device, (key, column, "sharded_coded", coding), stamp, build)
+
     def metric_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Cached per-row (aux_mul, aux_add) for the fused two-phase
         score (fenix_tpu.ops.topk2.prepare_aux) with padding rows
@@ -326,14 +462,24 @@ class DeviceCache:
             self._device, ("coding", name), stamp, lambda: coder_mod.load(self.root, name)
         )
 
-    def snapshot(self, source: str | Sequence[str], column: str, coding: str | None = None):
+    def snapshot(
+        self,
+        source: str | Sequence[str],
+        column: str,
+        coding: str | None = None,
+        sharded: bool | None = None,
+    ):
         """(host table, device matrix) from the SAME table revision.
 
         Fetching them separately can straddle a concurrent re-ingest —
         device ids would then be gathered from a different table version
         than was scanned. With ``coding``, the returned host table
         carries the ``__CODED_ID__`` join and the index file mtimes are
-        part of the consistency check. Retries until stable."""
+        part of the consistency check. Retries until stable.
+
+        ``sharded`` defaults to mesh-presence; pass False for consumers
+        whose device pipeline is single-device regardless (the fused
+        analytics kernels)."""
         key = _source_key(source)
 
         def stamps() -> tuple:
@@ -350,7 +496,13 @@ class DeviceCache:
                 if coding is not None
                 else self.host_table(source)
             )
-            matrix = self.matrix(source, column)
+            if sharded is None:
+                sharded = self.mesh is not None
+            matrix = (
+                self.sharded_matrix(source, column)
+                if sharded
+                else self.matrix(source, column)
+            )
             if stamps() == stamp:
                 return data, matrix
         raise RuntimeError(f"table {source!r} kept changing during snapshot")

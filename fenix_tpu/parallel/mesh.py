@@ -9,6 +9,7 @@ top-k merge and segment reductions.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -17,6 +18,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+_SERVING_MESH: "Mesh | None | str" = "unset"
+
+
+def serving_mesh() -> Mesh | None:
+    """Process-wide mesh the query engine shards corpora over.
+
+    Default (``FENIX_MESH=auto``): all visible devices whenever there is
+    more than one, so a server launched on a pod slice shards rows
+    across its chips without configuration. ``FENIX_MESH=off`` forces
+    single-device execution; ``FENIX_MESH=<n>`` uses the first n
+    devices. Resolved once per process (touching ``jax.devices()``
+    initializes the backend, which is expensive in this environment)."""
+    global _SERVING_MESH
+    if _SERVING_MESH != "unset":
+        return _SERVING_MESH  # type: ignore[return-value]
+    env = os.environ.get("FENIX_MESH", "auto").lower()
+    if env in ("off", "0", "1", "single", "none"):
+        _SERVING_MESH = None
+        return None
+    devices = jax.devices()
+    n = len(devices) if env == "auto" else max(1, min(int(env), len(devices)))
+    _SERVING_MESH = make_mesh(devices=devices[:n]) if n > 1 else None
+    return _SERVING_MESH
 
 
 def best_devices(n: int | None = None) -> list[jax.Device]:

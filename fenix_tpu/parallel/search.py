@@ -150,6 +150,27 @@ def build_sharded_search(
     return _build(mesh, k, metric, probed=False, with_aux=with_aux, precision=precision)
 
 
+def build_serving_search(
+    mesh: Mesh, k: int, metric: str, probed: bool = False, precision: str = "fp32"
+):
+    """Sharded search step as the query engine dispatches it: precomputed
+    row-sharded metric aux (``with_aux=True`` — per-request filters
+    overlay on ``aux_add`` outside), result packed to one ``[2, Q, k]``
+    int32 array (a single device→host fetch, matching the single-chip
+    executor's transport discipline).
+
+    Signature: ``fn(corpus, queries, validity, aux_mul, aux_add,
+    [scan copies…], [coded, cells]) -> packed``.
+    """
+    raw = _build(mesh, k, metric, probed=probed, with_aux=True, precision=precision)
+
+    @jax.jit
+    def packed_search(*args):
+        return topk2.pack_result(*raw(*args))
+
+    return packed_search
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def _prepare_aux_jit(corpus_dev, mask_dev, metric: str):
     return topk2.prepare_aux(corpus_dev, mask_dev, metric)

@@ -250,7 +250,12 @@ def test_clustered_ivf_matches_masked_scan(root, rng):
 
     coder.make(root, "c/l2", "test/table", "vector", CONFIG, seed=0)
     index.make(root, "c/l2", "test/table", "vector")
-    cache = ex.get_cache(root)
+    # single-device cache: this test pins the CLUSTERED route, which the
+    # executor only takes without a serving mesh (the 8-device test env
+    # would otherwise route to the sharded probed kernel)
+    from fenix_tpu.engine import session
+
+    cache = session.DeviceCache(root, mesh=None)
 
     target = rng.standard_normal((4, DIM)).astype(np.float32)
     for filt in (None, expr.field("tag") == 2):
@@ -308,7 +313,10 @@ def test_multi_source_probed_clustered(root, rng):
     for s in sources:
         index.make(root, "m/l2", s, "vector")
 
-    cache = ex.get_cache(root)
+    # single-device cache: pins the clustered route (see above)
+    from fenix_tpu.engine import session
+
+    cache = session.DeviceCache(root, mesh=None)
     target = rng.standard_normal((2, DIM)).astype(np.float32)
     req = ex.SearchRequest(source=sources, column="vector", target=target,
                            metric="l2", maxval=6, coding="m/l2", probes=5)

@@ -1,0 +1,165 @@
+"""Mesh-sharded serving: the executor's top-k paths over a multi-device
+mesh must return tables IDENTICAL to single-device execution — same
+rows, same deterministic (distance, id) tie order, same schemas — for
+every mode (fp32/bf16/int8, filters, probes, batched dispatch).
+
+The 8-virtual-device CPU env (tests/conftest.py) activates the serving
+mesh automatically (`DeviceCache.mesh`), so the rest of the suite
+already runs THROUGH the sharded path; this file pins equality against
+an explicit ``mesh=None`` cache and the routing itself.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fenix_tpu import coder, expr, index
+from fenix_tpu.engine import executor as ex
+from fenix_tpu.engine import session
+from fenix_tpu.io import ingest, table
+
+ROWS, DIM = 3_000, 32
+
+CONFIG: coder.Config = {
+    "metric": "l2",
+    "codebook_size": 4,
+    "num_codebooks": 2,
+    "batch_size": 512,
+    "num_epochs": 2,
+}
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    root = str(tmp_path_factory.mktemp("mesh_root"))
+    vecs = rng.standard_normal((ROWS, DIM)).astype(np.float32)
+    vecs[1000:] += 4.0  # cluster structure
+    table.make(
+        root,
+        "t",
+        pa.table(
+            {
+                "id": pa.array(np.arange(ROWS)),
+                "tag": pa.array(rng.integers(0, 5, ROWS)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    coder.make(root, "c", "t", "vector", CONFIG, seed=0)
+    index.make(root, "c", "t", "vector")
+    return root
+
+
+@pytest.fixture(scope="module")
+def caches(root):
+    import jax
+
+    assert jax.device_count() >= 2, "test env must expose a multi-device mesh"
+    # small blocks spread the 3k rows over every shard (default 16384-row
+    # blocks would land the whole corpus in shard 0 at this test size)
+    single = session.DeviceCache(root, block=128, mesh=None)
+    meshed = session.DeviceCache(root, block=128)  # auto: all 8 devices
+    assert meshed.mesh is not None and meshed.mesh.devices.size == jax.device_count()
+    return single, meshed
+
+
+def _req(**kw):
+    defaults = dict(source="t", column="vector", metric="l2")
+    defaults.update(kw)
+    return ex.SearchRequest(**defaults)
+
+
+def _assert_equivalent(a: pa.Table, b: pa.Table) -> None:
+    """Same rows in the same order; distances equal to fp32 accumulation
+    tolerance (the sharded rescore matmul tiles differently from the
+    single-device one, so values diverge by ~1 ulp — SURVEY.md §7 'hard
+    parts', exact-match determinism)."""
+    assert a.schema == b.schema
+    assert a.drop_columns([ex.DIST_COL]) == b.drop_columns([ex.DIST_COL])
+    np.testing.assert_allclose(
+        np.asarray(a.column(ex.DIST_COL)),
+        np.asarray(b.column(ex.DIST_COL)),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(maxval=10),
+        dict(maxval=10, metric="cosine"),
+        dict(maxval=10, metric="dot"),
+        dict(maxval=7, filter=expr.field("tag") == 2),
+        dict(maxval=10, precision="bf16"),
+        dict(maxval=10, precision="int8"),
+        dict(maxval=5, coding="c", probes=3),
+        dict(maxval=5, coding="c", probes=3, filter=expr.field("tag") < 3),
+        dict(maxval=2000),  # k > rows/shard: merge pads local candidates
+    ],
+    ids=lambda kw: "-".join(f"{k}={getattr(v, 'op', v)}" for k, v in kw.items()),
+)
+def test_sharded_equals_single_device(caches, rng, kw):
+    single, meshed = caches
+    target = rng.standard_normal((4, DIM)).astype(np.float32)
+    a = ex.execute_search(single, _req(target=target, **kw))
+    b = ex.execute_search(meshed, _req(target=target, **kw))
+    _assert_equivalent(a, b)
+
+
+def test_sharded_single_query_table(caches, rng):
+    single, meshed = caches
+    target = rng.standard_normal(DIM).astype(np.float32)
+    a = ex.execute_search(single, _req(target=target, maxval=10))
+    b = ex.execute_search(meshed, _req(target=target, maxval=10))
+    _assert_equivalent(a, b)
+    assert "__QUERY_ID__" not in b.schema.names
+
+
+def test_sharded_batched_dispatch(caches, rng):
+    """Coalesced multi-request dispatch through the mesh: same results
+    as issuing each request solo on a single device."""
+    single, meshed = caches
+    reqs = [
+        _req(target=rng.standard_normal((3, DIM)).astype(np.float32), maxval=4),
+        _req(target=rng.standard_normal(DIM).astype(np.float32), maxval=9),
+        _req(target=rng.standard_normal((2, DIM)).astype(np.float32), maxval=6),
+    ]
+    batched = ex.execute_search_batched(meshed, reqs)
+    solo = [ex.execute_search(single, r) for r in reqs]
+    for got, want in zip(batched, solo):
+        _assert_equivalent(got, want)
+
+
+def test_sharded_batched_probed(caches, rng):
+    single, meshed = caches
+    reqs = [
+        _req(
+            target=rng.standard_normal((2, DIM)).astype(np.float32),
+            maxval=4,
+            coding="c",
+            probes=3,
+        )
+        for _ in range(3)
+    ]
+    batched = ex.execute_search_batched(meshed, reqs)
+    solo = [ex.execute_search(single, r) for r in reqs]
+    for got, want in zip(batched, solo):
+        _assert_equivalent(got, want)
+
+
+def test_mesh_off_env(root, monkeypatch):
+    """FENIX_MESH=off forces single-device serving even with many
+    devices visible."""
+    from fenix_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_SERVING_MESH", "unset")
+    monkeypatch.setenv("FENIX_MESH", "off")
+    cache = session.DeviceCache(root)
+    assert cache.mesh is None
+    monkeypatch.setattr(mesh_mod, "_SERVING_MESH", "unset")
+    monkeypatch.setenv("FENIX_MESH", "2")
+    cache = session.DeviceCache(root)
+    assert cache.mesh is not None and cache.mesh.devices.size == 2
+    monkeypatch.setattr(mesh_mod, "_SERVING_MESH", "unset")
