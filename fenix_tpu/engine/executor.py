@@ -346,18 +346,12 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             # rows, k candidates per (shard, query) merge over ICI.
             # (The clustered-gather layout is a single-device
             # optimization; per-shard clustering is future work.)
-            coded = cache.sharded_coded_ids(req.coding, req.source, req.column)
+            coded = cache.coded_ids(req.coding, req.source, req.column, sharded=True)
             aux_mul, aux_add = cache.sharded_aux(req.source, req.column, metric)
             if req.filter is not None:
                 aux_add = _overlay_mask(aux_add, _sharded_mask(cache.mesh, mask_np))
             packed = _sharded_fn(cache.mesh, k_pad, metric, "fp32", True)(
-                corpus.data,
-                queries,
-                cache.sharded_validity(req.source, req.column),
-                aux_mul,
-                aux_add,
-                coded.data,
-                cells,
+                corpus.data, queries, aux_mul, aux_add, coded.data, cells,
             )
             dists, ids = topk2.unpack_result(packed)
             return gather_results(
@@ -425,17 +419,12 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             aux_add = _overlay_mask(aux_add, _sharded_mask(cache.mesh, mask_np))
         scan_args: tuple = ()
         if req.precision == "bf16":
-            scan_args = (cache.sharded_matrix_bf16(req.source, req.column).data,)
+            scan_args = (cache.matrix_bf16(req.source, req.column, sharded=True).data,)
         elif req.precision == "int8":
-            v8, sv = cache.sharded_matrix_int8(req.source, req.column)
+            v8, sv = cache.matrix_int8(req.source, req.column, sharded=True)
             scan_args = (v8.data, sv.data)
         packed = _sharded_fn(cache.mesh, k_pad, metric, req.precision, False)(
-            corpus.data,
-            queries,
-            cache.sharded_validity(req.source, req.column),
-            aux_mul,
-            aux_add,
-            *scan_args,
+            corpus.data, queries, aux_mul, aux_add, *scan_args,
         )
     else:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
@@ -540,16 +529,10 @@ def execute_search_batched(
                 [cells, np.full((q_pad - total, cells.shape[1]), -1, cells.dtype)]
             )
         if cache.mesh is not None:
-            coded = cache.sharded_coded_ids(r0.coding, r0.source, r0.column)
+            coded = cache.coded_ids(r0.coding, r0.source, r0.column, sharded=True)
             aux_mul, aux_add = cache.sharded_aux(r0.source, r0.column, metric)
             packed = _sharded_fn(cache.mesh, k_pad, metric, "fp32", True)(
-                corpus.data,
-                queries,
-                cache.sharded_validity(r0.source, r0.column),
-                aux_mul,
-                aux_add,
-                coded.data,
-                cells,
+                corpus.data, queries, aux_mul, aux_add, coded.data, cells,
             )
         else:
             n_pad = corpus.rows_padded
@@ -591,17 +574,12 @@ def execute_search_batched(
         aux_mul, aux_add = cache.sharded_aux(r0.source, r0.column, metric)
         scan_args: tuple = ()
         if r0.precision == "bf16":
-            scan_args = (cache.sharded_matrix_bf16(r0.source, r0.column).data,)
+            scan_args = (cache.matrix_bf16(r0.source, r0.column, sharded=True).data,)
         elif r0.precision == "int8":
-            v8, sv = cache.sharded_matrix_int8(r0.source, r0.column)
+            v8, sv = cache.matrix_int8(r0.source, r0.column, sharded=True)
             scan_args = (v8.data, sv.data)
         packed = _sharded_fn(cache.mesh, k_pad, metric, r0.precision, False)(
-            corpus.data,
-            queries,
-            cache.sharded_validity(r0.source, r0.column),
-            aux_mul,
-            aux_add,
-            *scan_args,
+            corpus.data, queries, aux_mul, aux_add, *scan_args,
         )
     else:
         aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)

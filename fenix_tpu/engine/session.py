@@ -88,6 +88,40 @@ class DeviceCache:
 
         return [index_mod.path_of(self.root, coding, s, column) for s in key]
 
+    def _synced_index(self, coding: str, source: str, column: str) -> pa.Table:
+        """The index table for one source, RESYNCED if its row count
+        diverges from the source table.
+
+        A mismatch means a reader landed inside a writer's
+        table-then-index publish window, or a crash left the pair
+        desynced (append: index short; delete: index long). Taking the
+        catalog lock waits out an in-flight writer; if the mismatch
+        persists, the assignment is rebuilt from the current table —
+        self-healing instead of failing every probed search until an
+        operator runs sync_index."""
+        from fenix_tpu import index as index_mod
+
+        path = index_mod.path_of(self.root, coding, source, column)
+        idx = arrow.load(path)
+        if idx.num_rows == table.load(self.root, source).num_rows:
+            return idx
+
+        from fenix_tpu.io.locks import catalog_lock
+
+        with catalog_lock(self.root):
+            idx = arrow.load(path)
+            data = table.load(self.root, source)
+            if idx.num_rows == data.num_rows:
+                return idx  # writer finished while we waited
+            import logging
+
+            logging.getLogger("fenix_tpu").warning(
+                "index %r over %r/%r has %d rows vs table's %d — resyncing",
+                coding, source, column, idx.num_rows, data.num_rows,
+            )
+            index_mod.make(self.root, coding, source, column)
+            return arrow.load(path)
+
     def coded_table(self, coding: str, source: str | Sequence[str], column: str) -> pa.Table:
         """Host table with the ``__CODED_ID__`` column joined on
         (reference index.py:19-34). Memoized on the table AND index
@@ -98,12 +132,28 @@ class DeviceCache:
 
         def build() -> pa.Table:
             parts = [
-                table.join(table.load(self.root, s), arrow.load(p), axis=1)
-                for s, p in zip(key, paths)
+                table.join(
+                    table.load(self.root, s),
+                    self._synced_index(coding, s, column),
+                    axis=1,
+                )
+                for s in key
             ]
             return table.join(*parts)
 
         return self._memo(self._host, (key, column, "coded_table", coding), stamp, build)
+
+    def _host_codes(self, coding: str, key: tuple[str, ...], column: str) -> np.ndarray:
+        """Concatenated (resync-checked) cell ids for the sources."""
+        from fenix_tpu import index as index_mod
+
+        parts = [
+            ingest.scalar_column_to_numpy(
+                self._synced_index(coding, s, column).column(index_mod.CODE_COL)
+            )
+            for s in key
+        ]
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
     # -- device columns ---------------------------------------------------
 
@@ -119,26 +169,32 @@ class DeviceCache:
         return self._memo(self._device, (key, column, "matrix"), stamp, build)
 
     def coded_ids(
-        self, coding: str, source: str | Sequence[str], column: str
+        self,
+        coding: str,
+        source: str | Sequence[str],
+        column: str,
+        *,
+        sharded: bool = False,
     ) -> ingest.DeviceColumn:
         """Padded ``[N_pad]`` int32 cell-id column in HBM (padding = −1,
-        which never matches a probe cell)."""
-        from fenix_tpu import index as index_mod
-
+        which never matches a probe cell). With ``sharded=True`` the
+        column is row-sharded over the serving mesh, padded like
+        :meth:`sharded_matrix` so it stays row-aligned with it."""
         key = _source_key(source)
         stamp = self._mtimes(key)
 
         def build() -> ingest.DeviceColumn:
-            parts = []
-            for s in key:
-                path = index_mod.path_of(self.root, coding, s, column)
-                parts.append(
-                    ingest.scalar_column_to_numpy(arrow.load(path).column(index_mod.CODE_COL))
-                )
-            codes = np.concatenate(parts) if len(parts) > 1 else parts[0]
-            return ingest.to_device_vector(codes.astype(np.int32), block=self.block, fill=-1)
+            codes = self._host_codes(coding, key, column)
+            return ingest.to_device_vector(
+                codes.astype(np.int32),
+                block=self._shard_block if sharded else self.block,
+                fill=-1,
+                sharding=self._row_sharding(1) if sharded else None,
+            )
 
-        return self._memo(self._device, (key, column, "coded", coding), stamp, build)
+        return self._memo(
+            self._device, (key, column, "coded", coding, sharded), stamp, build
+        )
 
     def scalar(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
         """Padded 1-D numeric column in HBM (join keys, filter columns,
@@ -165,39 +221,61 @@ class DeviceCache:
 
         return self._memo(self._device, (key, column, "scalar"), stamp, build)
 
-    def matrix_bf16(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
+    def _base_matrix(
+        self, source: str | Sequence[str], column: str, sharded: bool
+    ) -> ingest.DeviceColumn:
+        return (
+            self.sharded_matrix(source, column)
+            if sharded
+            else self.matrix(source, column)
+        )
+
+    def matrix_bf16(
+        self, source: str | Sequence[str], column: str, *, sharded: bool = False
+    ) -> ingest.DeviceColumn:
         """bf16 copy of the vector column for half-traffic phase-1 scans
-        (opt-in ``precision="bf16"``; fp32 stays resident for rescore)."""
+        (opt-in ``precision="bf16"``; fp32 stays resident for rescore).
+        Element-wise cast, so with ``sharded=True`` the base matrix's
+        row sharding propagates."""
         import jax.numpy as jnp
 
         key = _source_key(source)
         stamp = self._mtimes(key)
 
         def build() -> ingest.DeviceColumn:
-            full = self.matrix(source, column)
-            return ingest.DeviceColumn(data=full.data.astype(jnp.bfloat16), rows=full.rows)
+            full = self._base_matrix(source, column, sharded)
+            return ingest.DeviceColumn(
+                data=full.data.astype(jnp.bfloat16), rows=full.rows
+            )
 
-        return self._memo(self._device, (key, column, "matrix_bf16"), stamp, build)
+        return self._memo(
+            self._device, (key, column, "matrix_bf16", sharded), stamp, build
+        )
 
-    def matrix_int8(self, source: str | Sequence[str], column: str):
+    def matrix_int8(
+        self, source: str | Sequence[str], column: str, *, sharded: bool = False
+    ):
         """Per-row symmetric int8 copy ``(v8, sv)`` of the vector column
         for quarter-traffic phase-1 scans (opt-in ``precision="int8"``;
         fp32 stays resident for the exact rescore). Padding rows are
-        zeros and quantize to zeros with scale ~0."""
+        zeros and quantize to zeros with scale ~0. Quantization is
+        row-wise, so with ``sharded=True`` the row sharding propagates."""
         from fenix_tpu.ops import topk2
 
         key = _source_key(source)
         stamp = self._mtimes(key)
 
         def build():
-            full = self.matrix(source, column)
+            full = self._base_matrix(source, column, sharded)
             v8, sv = topk2.quantize_corpus_int8(full.data)
             return (
                 ingest.DeviceColumn(data=v8, rows=full.rows),
                 ingest.DeviceColumn(data=sv, rows=full.rows),
             )
 
-        return self._memo(self._device, (key, column, "matrix_int8"), stamp, build)
+        return self._memo(
+            self._device, (key, column, "matrix_int8", sharded), stamp, build
+        )
 
     # -- mesh-sharded columns (multi-device serving) -----------------------
 
@@ -272,62 +350,6 @@ class DeviceCache:
             )
 
         return self._memo(self._device, (key, column, "sharded_aux", canonical), stamp, build)
-
-    def sharded_matrix_bf16(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
-        key = _source_key(source)
-        stamp = self._mtimes(key)
-
-        def build() -> ingest.DeviceColumn:
-            from fenix_tpu.parallel import search as psearch
-
-            full = self.sharded_matrix(source, column)
-            return ingest.DeviceColumn(
-                data=psearch.shard_scan_bf16(full.data), rows=full.rows
-            )
-
-        return self._memo(self._device, (key, column, "sharded_bf16"), stamp, build)
-
-    def sharded_matrix_int8(self, source: str | Sequence[str], column: str):
-        key = _source_key(source)
-        stamp = self._mtimes(key)
-
-        def build():
-            from fenix_tpu.parallel import search as psearch
-
-            full = self.sharded_matrix(source, column)
-            v8, sv = psearch.shard_scan_int8(full.data)
-            return (
-                ingest.DeviceColumn(data=v8, rows=full.rows),
-                ingest.DeviceColumn(data=sv, rows=full.rows),
-            )
-
-        return self._memo(self._device, (key, column, "sharded_int8"), stamp, build)
-
-    def sharded_coded_ids(
-        self, coding: str, source: str | Sequence[str], column: str
-    ) -> ingest.DeviceColumn:
-        """Row-sharded int32 cell ids (padding = −1, never probed)."""
-        from fenix_tpu import index as index_mod
-
-        key = _source_key(source)
-        stamp = self._mtimes(key)
-
-        def build() -> ingest.DeviceColumn:
-            parts = []
-            for s in key:
-                path = index_mod.path_of(self.root, coding, s, column)
-                parts.append(
-                    ingest.scalar_column_to_numpy(arrow.load(path).column(index_mod.CODE_COL))
-                )
-            codes = np.concatenate(parts) if len(parts) > 1 else parts[0]
-            return ingest.to_device_vector(
-                codes.astype(np.int32),
-                block=self._shard_block,
-                fill=-1,
-                sharding=self._row_sharding(1),
-            )
-
-        return self._memo(self._device, (key, column, "sharded_coded", coding), stamp, build)
 
     def metric_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Cached per-row (aux_mul, aux_add) for the fused two-phase

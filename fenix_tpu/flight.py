@@ -89,11 +89,23 @@ class Server(fl.FlightServerBase):
                     # (the reference leaves them stale, SURVEY.md §2.2.3).
                     index_mod.drop_for_source(self.root, name)
                 case "append":
+                    from fenix_tpu.io.locks import catalog_lock
+
                     new = reader.to_reader().read_all()
-                    table.append(self.root, name, new)
-                    # Score ONLY the appended rows into every index over
-                    # this source — incremental ingest, O(rows appended).
-                    index_mod.extend_for_source(self.root, name, new)
+                    # One lock scope: table append + index extension form
+                    # a single catalog mutation (an interleaved append
+                    # would otherwise extend indexes twice off one base).
+                    with catalog_lock(self.root):
+                        fresh = not os.path.exists(table.path_of(self.root, name))
+                        table.append(self.root, name, new)
+                        if fresh:
+                            # a dropped-then-recreated table must not
+                            # inherit leftover index files
+                            index_mod.drop_for_source(self.root, name)
+                        else:
+                            # Score ONLY the appended rows into every
+                            # index — incremental ingest, O(rows appended).
+                            index_mod.extend_for_source(self.root, name, new)
                 case _:
                     raise ValueError(f"unknown put mode {mode!r}")
 
@@ -182,6 +194,10 @@ class Server(fl.FlightServerBase):
                 return iter([])
 
             case "drop-table":
+                # indexes first: attribution needs the table's schema,
+                # and a dropped table must not strand index files that a
+                # later table of the same name would inherit
+                index_mod.drop_for_source(self.root, config["name"])
                 table.drop(self.root, **config)
                 self.cache.invalidate()
                 return iter([])
@@ -330,12 +346,17 @@ class Flight:
     def delete_rows(self, source: str, filter: expr_mod.Expr) -> int:
         """Delete rows matching ``filter``; returns the count removed.
         Indexes over the table stay consistent (filtered by the same
-        row mask)."""
+        row mask).
+
+        Deliberately NOT retried: the verb's effect is idempotent but
+        its return value is not — a retry after a lost response would
+        report 0 for rows the first attempt already deleted."""
         if not isinstance(filter, expr_mod.Expr):
             raise TypeError("filter must be a fenix_tpu.expr.Expr")
-        results = self._action(
-            "delete-rows", {"source": source, "filter": filter.to_dict()}
+        action = fl.Action(
+            "delete-rows", _dumps({"source": source, "filter": filter.to_dict()})
         )
+        results = [*self.conn.do_action(action)]
         return _loads(results[0].body.to_pybytes())["deleted"]
 
     def read_table(

@@ -60,10 +60,13 @@ def make(root: str, name: str, source: str | Sequence[str], column: str) -> pa.T
         assert isinstance(source, Sequence)
         return table.join(*[make(root, name, s, column) for s in source])
 
-    data = table.load(root, source)
-    codes = _assign_codes(root, name, data.column(column))
-    _write_codes(path_of(root, name, source, column), codes)
-    return load(root, name, source, column)
+    from fenix_tpu.io.locks import catalog_lock
+
+    with catalog_lock(root):
+        data = table.load(root, source)
+        codes = _assign_codes(root, name, data.column(column))
+        _write_codes(path_of(root, name, source, column), codes)
+        return load(root, name, source, column)
 
 
 def _assign_codes(root: str, name: str, column: pa.ChunkedArray) -> np.ndarray:
@@ -115,12 +118,25 @@ def indexes_for_source(root: str, source: str) -> Iterator[tuple[str, str]]:
     the given source's directory the first path component is the column
     and the remainder is the coder name (which, like sources, may contain
     ``/`` for namespacing — columns may not).
+
+    Sources nest (``a`` and ``a/b`` can both exist), so a path under
+    ``indexes/a/`` may belong to the sibling source ``a/b`` instead. An
+    entry is attributed to ``source`` only if its parsed column is in the
+    source's schema AND its parsed name has a coder artifact — a nested
+    sibling's files fail both, so mutations on ``a`` never touch
+    ``a/b``'s indexes.
     """
     base = table.safe_join(root, LOCATION, source)
+    try:
+        columns = set(table.load(root, source).schema.names)
+    except FileNotFoundError:
+        return
     for path in sorted(glob.glob(os.path.join(base, "**", "*.arrow"), recursive=True)):
         rel = os.path.relpath(path, base)
         column, _, name = rel.partition(os.sep)
-        yield name.removesuffix(".arrow"), column
+        name = name.removesuffix(".arrow")
+        if column in columns and os.path.exists(coder_mod.path_of(root, name)):
+            yield name, column
 
 
 def drop_for_source(root: str, source: str) -> None:
@@ -133,12 +149,16 @@ def drop_for_source(root: str, source: str) -> None:
 def extend_for_source(root: str, source: str, new_rows: pa.Table) -> None:
     """Append cell assignments for freshly appended ``new_rows`` to every
     index over ``source`` — only the new rows are scored (the existing
-    assignment is immutable), keeping ingest cost O(rows appended)."""
-    for name, column in indexes_for_source(root, source):
-        path = path_of(root, name, source, column)
-        old = ingest.scalar_column_to_numpy(arrow.load(path).column(CODE_COL))
-        new = _assign_codes(root, name, new_rows.column(column))
-        _write_codes(path, np.concatenate([old.astype(np.int64), new]))
+    assignment is immutable), keeping ingest cost O(rows appended).
+    Serializes on the catalog lock (read-modify-write per index file)."""
+    from fenix_tpu.io.locks import catalog_lock
+
+    with catalog_lock(root):
+        for name, column in [*indexes_for_source(root, source)]:
+            path = path_of(root, name, source, column)
+            old = ingest.scalar_column_to_numpy(arrow.load(path).column(CODE_COL))
+            new = _assign_codes(root, name, new_rows.column(column))
+            _write_codes(path, np.concatenate([old.astype(np.int64), new]))
 
 
 def delete_rows(root: str, source: str, filter: expr_mod.Expr) -> int:
@@ -147,28 +167,35 @@ def delete_rows(root: str, source: str, filter: expr_mod.Expr) -> int:
     The ``__CODED_ID__`` index files are row-aligned with the source, so
     every index over it is filtered by the SAME keep-mask — assignments
     for surviving rows are reused verbatim, no re-scoring. Both rewrites
-    go through the atomic publish in :func:`fenix_tpu.io.arrow.make`.
+    go through the atomic publish in :func:`fenix_tpu.io.arrow.make` and
+    serialize on the catalog lock. Readers that land between the table
+    and index publishes (or after a crash in the window) hit a
+    row-count mismatch, which the device cache resolves by resyncing
+    the index (engine/session ``_resync_index``).
     """
-    data = table.load(root, source)
-    delete = np.asarray(filter.mask(data), dtype=bool)
-    keep = pa.array(~delete)
+    from fenix_tpu.io.locks import catalog_lock
 
-    indexes = [*indexes_for_source(root, source)]
-    for name, column in indexes:
-        idx_path = path_of(root, name, source, column)
-        idx = arrow.load(idx_path)
-        if idx.num_rows != data.num_rows:
-            raise RuntimeError(
-                f"index {name!r} over {source!r}/{column!r} has "
-                f"{idx.num_rows} rows but the table has {data.num_rows}; "
-                "re-run sync_index before deleting"
-            )
+    with catalog_lock(root):
+        data = table.load(root, source)
+        delete = np.asarray(filter.mask(data), dtype=bool)
+        keep = pa.array(~delete)
 
-    arrow.make(table.path_of(root, source), data.filter(keep).to_reader())
-    for name, column in indexes:
-        idx_path = path_of(root, name, source, column)
-        arrow.make(idx_path, arrow.load(idx_path).filter(keep).to_reader())
-    return int(delete.sum())
+        indexes = [*indexes_for_source(root, source)]
+        for name, column in indexes:
+            idx_path = path_of(root, name, source, column)
+            idx = arrow.load(idx_path)
+            if idx.num_rows != data.num_rows:
+                raise RuntimeError(
+                    f"index {name!r} over {source!r}/{column!r} has "
+                    f"{idx.num_rows} rows but the table has {data.num_rows}; "
+                    "re-run sync_index before deleting"
+                )
+
+        arrow.make(table.path_of(root, source), data.filter(keep).to_reader())
+        for name, column in indexes:
+            idx_path = path_of(root, name, source, column)
+            arrow.make(idx_path, arrow.load(idx_path).filter(keep).to_reader())
+        return int(delete.sum())
 
 
 def drop_all(root: str, name: str) -> None:

@@ -1,0 +1,31 @@
+"""Per-root write lock for catalog mutations.
+
+The Flight server dispatches handlers from a thread pool, so the
+mutation paths (append, delete-rows, index extend/rebuild) are
+read-modify-write sequences that must serialize within the process —
+two concurrent appends would otherwise each rewrite the table from the
+same base revision and the last writer's ``os.replace`` would silently
+drop the other's rows.
+
+Scope: in-process only. Like the reference (one server process owns a
+root, /root/reference/src/fenix/launch.py), multi-writer deployments
+point servers at distinct roots; cross-process locking is out of scope.
+Readers never take this lock — the hot search path stays lock-free and
+relies on atomic publishes plus the cache's mtime stamps (and the
+length-mismatch resync in engine/session) for consistency.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+_GUARD = threading.Lock()
+_LOCKS: dict[str, threading.RLock] = {}
+
+
+def catalog_lock(root: str) -> threading.RLock:
+    """The (reentrant) mutation lock for ``root``."""
+    root = os.path.abspath(root)
+    with _GUARD:
+        return _LOCKS.setdefault(root, threading.RLock())

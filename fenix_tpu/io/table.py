@@ -57,19 +57,25 @@ def append(root: str, name: str, data: pa.Table) -> pa.Table:
     Beyond the reference (its ``do_put`` only overwrites,
     /root/reference/src/fenix/flight.py:34-44): the combined table is
     rewritten through the same atomic publish as ``make``, so readers
-    see either the old or the new revision, never a torn file.
+    see either the old or the new revision, never a torn file. The
+    read-modify-write itself serializes on the per-root catalog lock —
+    concurrent appends would otherwise lose rows (last ``os.replace``
+    wins).
     """
-    path = path_of(root, name)
-    if not os.path.exists(path):
-        return arrow.make(path, data.to_reader())
+    from fenix_tpu.io.locks import catalog_lock
 
-    old = arrow.load(path)
-    if old.schema != data.schema:
-        raise ValueError(
-            f"append schema mismatch for table {name!r}:\n"
-            f"existing: {old.schema}\nappended: {data.schema}"
-        )
-    return arrow.make(path, pa.concat_tables([old, data]).to_reader())
+    with catalog_lock(root):
+        path = path_of(root, name)
+        if not os.path.exists(path):
+            return arrow.make(path, data.to_reader())
+
+        old = arrow.load(path)
+        if old.schema != data.schema:
+            raise ValueError(
+                f"append schema mismatch for table {name!r}:\n"
+                f"existing: {old.schema}\nappended: {data.schema}"
+            )
+        return arrow.make(path, pa.concat_tables([old, data]).to_reader())
 
 
 def join(*data: pa.Table, axis: Literal[0, 1] = 0) -> pa.Table:

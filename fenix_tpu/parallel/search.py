@@ -159,14 +159,17 @@ def build_serving_search(
     int32 array (a single device→host fetch, matching the single-chip
     executor's transport discipline).
 
-    Signature: ``fn(corpus, queries, validity, aux_mul, aux_add,
-    [scan copies…], [coded, cells]) -> packed``.
+    Signature: ``fn(corpus, queries, aux_mul, aux_add,
+    [scan copies…], [coded, cells]) -> packed``. The kernel's mask input
+    only feeds the inline-aux path, dead under ``with_aux=True`` — it is
+    synthesized here so callers don't thread a dead argument.
     """
     raw = _build(mesh, k, metric, probed=probed, with_aux=True, precision=precision)
 
     @jax.jit
-    def packed_search(*args):
-        return topk2.pack_result(*raw(*args))
+    def packed_search(corpus, queries, *rest):
+        valid = jnp.ones((corpus.shape[0],), jnp.bool_)
+        return topk2.pack_result(*raw(corpus, queries, valid, *rest))
 
     return packed_search
 

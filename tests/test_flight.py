@@ -363,6 +363,142 @@ def test_append_delete_and_overwrite_lifecycle(flight, rng):
     flight.drop_table("test/mut")
 
 
+def test_nested_sibling_sources_isolated(server, flight, rng):
+    """Sources nest (`nest` vs `nest/sub`): mutations on the parent must
+    never touch the sibling's index files (their directories overlap on
+    disk: indexes/nest/...)."""
+    import fenix_tpu.index as index_mod
+
+    vecs = rng.standard_normal((256, VECTOR_SIZE)).astype(np.float32)
+    data = pa.table(
+        {
+            "id": pa.array(np.arange(256)),
+            "vector": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.flatten()), list_size=VECTOR_SIZE
+            ),
+        }
+    )
+    flight.make_table("nest", data.to_reader())
+    flight.make_table("nest/sub", data.to_reader())
+    flight.make_index(name="nestcoder", source="nest/sub", column="vector", config=CONFIG)
+    sub_index = "nest/sub/vector/nestcoder"
+    assert sub_index in flight.list_indexes()
+
+    # overwrite + append + delete on the PARENT
+    flight.make_table("nest", data.to_reader())
+    flight.append_table("nest", data.slice(0, 8).to_reader())
+    flight.delete_rows("nest", expr.field("id") < 4)
+
+    # sibling's index untouched and still row-aligned
+    assert sub_index in flight.list_indexes()
+    coded = flight.read_table("nest/sub", coding="nestcoder", column="vector").read_all()
+    assert coded.num_rows == 256
+
+    # attribution helper itself never claims the sibling's files
+    # (client and server share the process; server.root is visible)
+    assert [*index_mod.indexes_for_source(server.root, "nest")] == []
+    assert [*index_mod.indexes_for_source(server.root, "nest/sub")] == [
+        ("nestcoder", "vector")
+    ]
+
+    flight.drop_index("nestcoder")
+    flight.drop_table("nest/sub")
+    flight.drop_table("nest")
+
+
+def test_drop_table_removes_indexes(flight, rng):
+    """drop-table must not strand index files a later same-named table
+    would inherit (desynced probed search)."""
+    src = pa.Table.from_batches(generate_batches(seed=9), SCHEMA)
+    flight.make_table("test/orph", src.to_reader())
+    flight.make_index(
+        name="test/orphcoder", source="test/orph", column="vector", config=CONFIG
+    )
+    assert any("orphcoder" in ix for ix in flight.list_indexes())
+    flight.drop_table("test/orph")
+    assert not any("orphcoder" in ix for ix in flight.list_indexes())
+
+    # recreate via APPEND (create-if-absent): must not extend leftovers
+    flight.append_table("test/orph", src.slice(0, BATCH_SIZE).to_reader())
+    assert not any("orphcoder" in ix for ix in flight.list_indexes())
+    flight.drop_index("test/orphcoder")
+    flight.drop_table("test/orph")
+
+
+def test_concurrent_appends_lose_no_rows(flight, rng):
+    """Appends serialize on the catalog lock: N concurrent appenders
+    through the threaded gRPC server must all land."""
+    import concurrent.futures
+
+    base = pa.Table.from_batches([next(generate_batches(seed=3))], SCHEMA)
+    flight.make_table("test/conc", base.to_reader())
+
+    batches = []
+    for i in range(8):  # rng is not thread-safe: build payloads up front
+        x = rng.standard_normal((50, VECTOR_SIZE)).astype(np.float32)
+        batches.append(
+            pa.record_batch(
+                [
+                    pa.array(np.arange(i * 50, (i + 1) * 50) + 10_000),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(x.flatten()), list_size=VECTOR_SIZE
+                    ),
+                ],
+                names=["id", "vector"],
+            )
+        )
+
+    def append(i: int) -> None:
+        client = fenix_tpu.Flight(host=flight.host, port=flight.port)
+        client.append_table(
+            "test/conc",
+            pa.RecordBatchReader.from_batches(SCHEMA, iter([batches[i]])),
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        [*pool.map(append, range(8))]
+
+    got = flight.read_table("test/conc").read_all()
+    assert got.num_rows == BATCH_SIZE + 8 * 50
+    ids = np.asarray(got.column("id"))
+    assert len(np.unique(ids)) == got.num_rows
+    flight.drop_table("test/conc")
+
+
+def test_desynced_index_self_heals(server, flight, rng):
+    """A crash between the table and index publishes leaves a row-count
+    mismatch; the next coded access must resync the index instead of
+    failing every probed search (engine/session._synced_index)."""
+    import fenix_tpu.index as index_mod
+    from fenix_tpu.io import arrow as arrow_io
+
+    src = pa.Table.from_batches(generate_batches(seed=5), SCHEMA)
+    flight.make_table("test/heal", src.to_reader())
+    flight.make_index(
+        name="test/healcoder", source="test/heal", column="vector", config=CONFIG
+    )
+
+    # simulate the crash window: truncate the index file by 100 rows
+    path = index_mod.path_of(server.root, "test/healcoder", "test/heal", "vector")
+    idx = arrow_io.load(path)
+    arrow_io.make(path, idx.slice(0, idx.num_rows - 100).to_reader())
+
+    hit = flight.search(
+        target=np.asarray(src.column("vector")[3].values),
+        source="test/heal",
+        column="vector",
+        metric="l2",
+        coding="test/healcoder",
+        maxval=1,
+        probes=8,
+    )
+    assert np.asarray(hit.column("id"))[0] == 3
+    assert arrow_io.load(path).num_rows == src.num_rows  # rebuilt
+
+    flight.drop_index("test/healcoder")
+    flight.drop_table("test/heal")
+
+
 def test_drop_index_and_remove(server, source):
     client = fenix_tpu.Flight(host="127.0.0.1", port=server.port)
     client.drop_index("test/coder")
