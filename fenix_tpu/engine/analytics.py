@@ -111,13 +111,32 @@ def _fused_search_join_aggregate(
         corpus, queries, aux_mul, aux_add, k=k_pad, metric=metric
     )
     flat_ids = ids.reshape(-1)
-    flat_dist = dist.reshape(-1)
-    q_pad = queries.shape[0]
+    valid = _winner_validity(flat_ids, queries.shape[0], k_pad, num_queries, k_limit)
+    left_keys = jnp.take(left_col, jnp.where(valid, flat_ids, 0))
+    return _aggregate_pack(
+        left_keys, dist.reshape(-1), valid,
+        sorted_keys, sorted_index, attr_rows, group_col, value_col,
+        agg=agg, max_groups=max_groups,
+        use_value_col=use_value_col, use_dist=use_dist,
+    )
+
+
+def _winner_validity(flat_ids, q_pad: int, k_pad: int, num_queries, k_limit):
+    """Mask of real winner slots in a flattened [Q_pad·k_pad] result:
+    real id, real (unpadded) query, and within the requested maxval."""
     pos = jax.lax.broadcasted_iota(jnp.int32, (q_pad * k_pad, 1), 0).squeeze(-1)
     in_bounds = (pos // k_pad < num_queries) & (pos % k_pad < k_limit)
-    valid = (flat_ids >= 0) & in_bounds
-    left_keys = jnp.take(left_col, jnp.where(valid, flat_ids, 0))
+    return (flat_ids >= 0) & in_bounds
 
+
+def _aggregate_pack(
+    left_keys, flat_dist, valid,
+    sorted_keys, sorted_index, attr_rows, group_col, value_col,
+    *, agg: str, max_groups: int, use_value_col: bool, use_dist: bool,
+):
+    """Join the winners' keys and aggregate over match groups; shared by
+    the single-device jit and the mesh-sharded shard_map body (all
+    inputs replicated in the sharded case)."""
     ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
     ridx = jnp.where((ridx < attr_rows) & valid, ridx, -1)
     hit = ridx >= 0
@@ -139,6 +158,109 @@ def _fused_search_join_aggregate(
             n.astype(jnp.int32)[None],
         ]
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_sharded_aggregate(
+    mesh, k_pad: int, metric: str, agg: str, max_groups: int,
+    use_value_col: bool, use_dist: bool,
+):
+    """Mesh-sharded search→join→aggregate: the corpus (fact side) and
+    its join-key column are row-sharded; the attribute (dimension side)
+    arrays replicate — standard star-schema placement. Per shard: local
+    top-k → candidate merge (k values per shard cross the interconnect)
+    → winners' keys gathered from the sharded key column via one psum →
+    replicated join+aggregate (identical math to single-device)."""
+    from jax.sharding import PartitionSpec as P
+
+    from fenix_tpu.ops import topk2
+    from fenix_tpu.parallel import search as psearch
+    from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axes = (DATA_AXIS, MODEL_AXIS)
+    in_specs = (
+        P(axes, None),  # corpus
+        P(),            # queries
+        P(axes), P(axes),  # aux
+        P(), P(),       # num_queries, k_limit
+        P(axes),        # left_col (row-sharded join keys)
+        P(), P(), P(),  # sorted_keys, sorted_index, attr_rows
+        P(), P(),       # group_col, value_col
+    )
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+    )
+    def fused(
+        corpus_l, queries, aux_mul_l, aux_add_l, num_queries, k_limit,
+        left_col_l, sorted_keys, sorted_index, attr_rows, group_col, value_col,
+    ):
+        rows_local = corpus_l.shape[0]
+        d, i = topk2.topk_two_phase(
+            corpus_l, queries, aux_mul_l, aux_add_l,
+            k=min(k_pad, rows_local), metric=metric,
+        )
+        dist, gids = psearch.merge_local_topk(d, i, k_pad, rows_local)
+        flat_gids = gids.reshape(-1)
+        valid = _winner_validity(
+            flat_gids, queries.shape[0], k_pad, num_queries, k_limit
+        )
+        left_keys = psearch.gather_rowsharded(left_col_l, flat_gids, valid)
+        return _aggregate_pack(
+            left_keys, dist.reshape(-1), valid,
+            sorted_keys, sorted_index, attr_rows, group_col, value_col,
+            agg=agg, max_groups=max_groups,
+            use_value_col=use_value_col, use_dist=use_dist,
+        )
+
+    return fused
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_sharded_lookup(mesh, k_pad: int, metric: str):
+    """Mesh-sharded search + join-probe (enrichment): replicated
+    [3, Q_pad, k_pad] packed (distances, global ids, attr row index)."""
+    from jax.sharding import PartitionSpec as P
+
+    from fenix_tpu.ops import topk2
+    from fenix_tpu.parallel import search as psearch
+    from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axes = (DATA_AXIS, MODEL_AXIS)
+    in_specs = (
+        P(axes, None), P(), P(axes), P(axes),
+        P(axes),        # left_col
+        P(), P(), P(),  # sorted_keys, sorted_index, attr_rows
+    )
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+    )
+    def fused(
+        corpus_l, queries, aux_mul_l, aux_add_l,
+        left_col_l, sorted_keys, sorted_index, attr_rows,
+    ):
+        rows_local = corpus_l.shape[0]
+        d, i = topk2.topk_two_phase(
+            corpus_l, queries, aux_mul_l, aux_add_l,
+            k=min(k_pad, rows_local), metric=metric,
+        )
+        dist, gids = psearch.merge_local_topk(d, i, k_pad, rows_local)
+        q_pad = queries.shape[0]
+        valid = gids >= 0
+        left_keys = psearch.gather_rowsharded(
+            left_col_l, gids.reshape(-1), valid.reshape(-1)
+        )
+        ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
+        ridx = ridx.reshape(q_pad, k_pad)
+        ridx = jnp.where((ridx < attr_rows) & valid, ridx, -1)
+        return jnp.stack(
+            [jax.lax.bitcast_convert_type(dist, jnp.int32), gids, ridx.astype(jnp.int32)]
+        )
+
+    return fused
 
 
 @functools.partial(jax.jit, static_argnames=("k_pad", "metric"))
@@ -250,15 +372,23 @@ def _execute_fused(
     # the device matrix (a concurrent re-ingest between the two reads
     # would join old ids against new keys). Retry until stable, like
     # session.snapshot.
+    # Under a serving mesh the fact side (corpus, its join-key column,
+    # metric aux) is row-sharded; the dimension side (attr key/group/
+    # value columns) replicates — star-schema placement. Join and
+    # aggregate run replicated on the merged winners.
+    sharded = cache.mesh is not None
+    metric_canonical = distance_ops.canonical_metric(req.metric)
+
     src = (req.source,) if isinstance(req.source, str) else tuple(req.source)
     for _ in range(5):
         stamp = tuple(os.path.getmtime(table_mod.path_of(cache.root, s)) for s in src)
-        # single-device: the fused join/aggregate kernels and scalar
-        # columns are not mesh-sharded (sharding the analytics pipeline
-        # means distributed join/aggregate — future work)
-        data, corpus = cache.snapshot(req.source, req.column, sharded=False)
-        left_col = cache.scalar(req.source, join.left_on)
-        aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric_canonical := distance_ops.canonical_metric(req.metric))
+        data, corpus = cache.snapshot(req.source, req.column, sharded=sharded)
+        left_col = cache.scalar(req.source, join.left_on, sharded=sharded)
+        aux_mul, aux_add = (
+            cache.sharded_aux(req.source, req.column, metric_canonical)
+            if sharded
+            else cache.metric_aux(req.source, req.column, metric_canonical)
+        )
         if stamp == tuple(
             os.path.getmtime(table_mod.path_of(cache.root, s)) for s in src
         ):
@@ -286,7 +416,12 @@ def _execute_fused(
     if req.filter is not None:
         mask_np = np.zeros(n_pad, dtype=bool)
         mask_np[:rows] = req.filter.mask(data)
-        aux_add = executor._overlay_mask(aux_add, jnp.asarray(mask_np))
+        mask_dev = (
+            executor._sharded_mask(cache.mesh, mask_np)
+            if sharded
+            else jnp.asarray(mask_np)
+        )
+        aux_add = executor._overlay_mask(aux_add, mask_dev)
 
     sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
 
@@ -305,45 +440,70 @@ def _execute_fused(
         if not use_value_col and not use_dist and agg == "count":
             agg = "sum"
 
+        if sharded:
+            fn = _fused_sharded_aggregate(
+                cache.mesh, k_pad, metric, agg, aggregate.max_groups,
+                use_value_col, use_dist,
+            )
+            packed = np.asarray(
+                fn(
+                    corpus.data, queries, aux_mul, aux_add,
+                    jnp.int32(num_queries), jnp.int32(k),
+                    left_col.data.astype(jnp.int32),
+                    sorted_keys, sorted_index, jnp.int32(attr_rows),
+                    group_col.data, value_col,
+                )
+            )
+        else:
+            packed = np.asarray(
+                _fused_search_join_aggregate(
+                    corpus.data,
+                    queries,
+                    aux_mul,
+                    aux_add,
+                    jnp.int32(num_queries),
+                    jnp.int32(k),
+                    left_col.data.astype(jnp.int32),
+                    sorted_keys,
+                    sorted_index,
+                    attr_rows,
+                    group_col.data,
+                    value_col,
+                    k_pad=k_pad,
+                    metric=metric,
+                    agg=agg,
+                    max_groups=aggregate.max_groups,
+                    use_value_col=use_value_col,
+                    use_dist=use_dist,
+                )
+            )
+        return _groups_table(packed, aggregate.max_groups)
+
+    # enrichment: one packed fetch of (dist, ids, attr row index)
+    if sharded:
+        fn = _fused_sharded_lookup(cache.mesh, k_pad, metric)
         packed = np.asarray(
-            _fused_search_join_aggregate(
+            fn(
+                corpus.data, queries, aux_mul, aux_add,
+                left_col.data.astype(jnp.int32),
+                sorted_keys, sorted_index, jnp.int32(attr_rows),
+            )
+        )
+    else:
+        packed = np.asarray(
+            _fused_search_lookup(
                 corpus.data,
                 queries,
                 aux_mul,
                 aux_add,
-                jnp.int32(num_queries),
-                jnp.int32(k),
                 left_col.data.astype(jnp.int32),
                 sorted_keys,
                 sorted_index,
                 attr_rows,
-                group_col.data,
-                value_col,
                 k_pad=k_pad,
                 metric=metric,
-                agg=agg,
-                max_groups=aggregate.max_groups,
-                use_value_col=use_value_col,
-                use_dist=use_dist,
             )
         )
-        return _groups_table(packed, aggregate.max_groups)
-
-    # enrichment: one packed fetch of (dist, ids, attr row index)
-    packed = np.asarray(
-        _fused_search_lookup(
-            corpus.data,
-            queries,
-            aux_mul,
-            aux_add,
-            left_col.data.astype(jnp.int32),
-            sorted_keys,
-            sorted_index,
-            attr_rows,
-            k_pad=k_pad,
-            metric=metric,
-        )
-    )
     dists = packed[0].view(np.float32)[:num_queries, :k]
     ids = packed[1][:num_queries, :k]
     ridx = packed[2][:num_queries, :k]

@@ -196,10 +196,14 @@ class DeviceCache:
             self._device, (key, column, "coded", coding, sharded), stamp, build
         )
 
-    def scalar(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
+    def scalar(
+        self, source: str | Sequence[str], column: str, *, sharded: bool = False
+    ) -> ingest.DeviceColumn:
         """Padded 1-D numeric column in HBM (join keys, filter columns,
         group-by columns). Padding value is 0 with validity carried by
-        ``rows`` — callers mask the tail themselves."""
+        ``rows`` — callers mask the tail themselves. With
+        ``sharded=True`` the column is row-sharded and padded like
+        :meth:`sharded_matrix` (row-aligned with it)."""
         key = _source_key(source)
         stamp = self._mtimes(key)
 
@@ -217,9 +221,13 @@ class DeviceCache:
                         "device int32 range; re-key the table below 2^31"
                     )
                 host = host.astype(np.int32)
-            return ingest.to_device_vector(host, block=self.block)
+            return ingest.to_device_vector(
+                host,
+                block=self._shard_block if sharded else self.block,
+                sharding=self._row_sharding(1) if sharded else None,
+            )
 
-        return self._memo(self._device, (key, column, "scalar"), stamp, build)
+        return self._memo(self._device, (key, column, "scalar", sharded), stamp, build)
 
     def _base_matrix(
         self, source: str | Sequence[str], column: str, sharded: bool

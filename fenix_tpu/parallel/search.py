@@ -59,9 +59,6 @@ def _build(
     )
     def local_search(corpus_local, queries, mask_local, *rest):
         rows_local = corpus_local.shape[0]
-        shard = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
-            MODEL_AXIS
-        ) + jax.lax.axis_index(MODEL_AXIS)
 
         if with_aux:
             aux_mul, aux_add = rest[0], rest[1]
@@ -91,34 +88,69 @@ def _build(
                 corpus_local, queries, aux_mul, aux_add, k=local_k, metric=metric,
                 **scan_kw,
             )
-        scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
-        gids = jnp.where(ids >= 0, ids + shard * rows_local, -1)
-
-        # [S, Q, local_k] candidate exchange — k·S values per query, not rows.
-        all_scores = jax.lax.all_gather(scores, axes)
-        all_gids = jax.lax.all_gather(gids, axes)
-
-        q = queries.shape[0]
-        # Shard-major concat keeps ties resolving to the smallest global id.
-        width = n_shards * local_k
-        all_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, width)
-        all_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(q, width)
-
-        kk = min(k, width)  # k can exceed the merged candidate pool
-        top_scores, pos = jax.lax.top_k(all_scores, kk)
-        top_gids = jnp.take_along_axis(all_gids, pos, axis=1)
-        if kk < k:
-            pad = k - kk
-            top_scores = jnp.concatenate(
-                [top_scores, jnp.full((q, pad), distance_ops.NEG_INF)], axis=1
-            )
-            top_gids = jnp.concatenate([top_gids, jnp.full((q, pad), -1, jnp.int32)], axis=1)
-
-        out_dist = jnp.where(top_scores == distance_ops.NEG_INF, jnp.inf, -top_scores)
-        out_ids = jnp.where(top_scores == distance_ops.NEG_INF, -1, top_gids)
-        return out_dist, out_ids
+        return merge_local_topk(dist, ids, k, rows_local)
 
     return jax.jit(local_search)
+
+
+def shard_index() -> "jax.Array":
+    """Linear shard index inside a ``(data, model)`` shard_map body."""
+    return jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
+        MODEL_AXIS
+    ) + jax.lax.axis_index(MODEL_AXIS)
+
+
+def merge_local_topk(dist, ids, k: int, rows_local: int):
+    """Inside a ``(data, model)`` shard_map body: exchange each shard's
+    local top-k candidates and return the REPLICATED global top-``k``
+    ``(dist [Q,k] ascending, global ids [Q,k])``. Only k (score, id)
+    pairs per (shard, query) cross the interconnect; shard-major concat
+    keeps ties resolving to the smallest global id. Local ids translate
+    to global via the shard's contiguous row offset."""
+    axes = (DATA_AXIS, MODEL_AXIS)
+    n_shards = jax.lax.axis_size(DATA_AXIS) * jax.lax.axis_size(MODEL_AXIS)
+    local_k = dist.shape[1]
+
+    scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
+    gids = jnp.where(ids >= 0, ids + shard_index() * rows_local, -1)
+
+    # [S, Q, local_k] candidate exchange — k·S values per query, not rows.
+    all_scores = jax.lax.all_gather(scores, axes)
+    all_gids = jax.lax.all_gather(gids, axes)
+
+    q = dist.shape[0]
+    width = n_shards * local_k
+    all_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, width)
+    all_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(q, width)
+
+    kk = min(k, width)  # k can exceed the merged candidate pool
+    top_scores, pos = jax.lax.top_k(all_scores, kk)
+    top_gids = jnp.take_along_axis(all_gids, pos, axis=1)
+    if kk < k:
+        pad = k - kk
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((q, pad), distance_ops.NEG_INF)], axis=1
+        )
+        top_gids = jnp.concatenate([top_gids, jnp.full((q, pad), -1, jnp.int32)], axis=1)
+
+    out_dist = jnp.where(top_scores == distance_ops.NEG_INF, jnp.inf, -top_scores)
+    out_ids = jnp.where(top_scores == distance_ops.NEG_INF, -1, top_gids)
+    return out_dist, out_ids
+
+
+def gather_rowsharded(column_local, gids, valid):
+    """Inside a shard_map body: gather ``column_local[gid]`` for
+    REPLICATED global row ids from a row-sharded 1-D column. Each shard
+    contributes the values it owns (contiguous range; zeros elsewhere),
+    a ``psum`` assembles the replicated result — one collective over
+    the candidate set, never the column. Invalid slots return 0."""
+    axes = (DATA_AXIS, MODEL_AXIS)
+    rows_local = column_local.shape[0]
+    local_pos = gids - shard_index() * rows_local
+    owned = valid & (local_pos >= 0) & (local_pos < rows_local)
+    safe = jnp.clip(local_pos, 0, rows_local - 1)
+    contrib = jnp.where(owned, jnp.take(column_local, safe), 0)
+    return jax.lax.psum(contrib, axes)
 
 
 def build_sharded_search(

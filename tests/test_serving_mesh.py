@@ -48,6 +48,17 @@ def root(tmp_path_factory):
     )
     coder.make(root, "c", "t", "vector", CONFIG, seed=0)
     index.make(root, "c", "t", "vector")
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(np.arange(ROWS)),  # joins t.id
+                "grp": pa.array(rng.integers(0, 7, ROWS)),
+                "val": pa.array(rng.standard_normal(ROWS).astype(np.float64)),
+            }
+        ).to_reader(),
+    )
     return root
 
 
@@ -147,6 +158,57 @@ def test_sharded_batched_probed(caches, rng):
     solo = [ex.execute_search(single, r) for r in reqs]
     for got, want in zip(batched, solo):
         _assert_equivalent(got, want)
+
+
+@pytest.mark.parametrize(
+    "aggspec",
+    [
+        None,  # enrichment join
+        {"group_by": "grp", "agg": "count", "max_groups": 16},
+        {"group_by": "grp", "agg": "sum", "value": "val", "max_groups": 16},
+        {"group_by": "grp", "agg": "min", "value": "__DISTANCE__", "max_groups": 16},
+    ],
+    ids=["enrich", "count", "sum-val", "min-dist"],
+)
+def test_sharded_fused_analytics(caches, rng, aggspec):
+    """Fused search→join[→aggregate] through the mesh must match the
+    single-device pipeline (fact side sharded, dimension side
+    replicated)."""
+    from fenix_tpu.engine import analytics
+
+    single, meshed = caches
+    target = rng.standard_normal((3, DIM)).astype(np.float32)
+    join = analytics.JoinSpec(source="attrs", right_on="key", left_on="id")
+    agg = analytics.AggregateSpec.from_dict(aggspec) if aggspec else None
+
+    a = analytics.execute_search_join(
+        single, _req(target=target, maxval=8), join, agg
+    )
+    b = analytics.execute_search_join(
+        meshed, _req(target=target, maxval=8), join, agg
+    )
+    if agg is None:
+        _assert_equivalent(a, b)
+    else:
+        assert a.column("__GROUP__") == b.column("__GROUP__")
+        np.testing.assert_allclose(
+            np.asarray(a.column("__AGG__")),
+            np.asarray(b.column("__AGG__")),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+
+def test_sharded_fused_analytics_filtered(caches, rng):
+    from fenix_tpu.engine import analytics
+
+    single, meshed = caches
+    target = rng.standard_normal((2, DIM)).astype(np.float32)
+    join = analytics.JoinSpec(source="attrs", right_on="key", left_on="id")
+    req_kw = dict(maxval=6, filter=expr.field("tag") < 3)
+    a = analytics.execute_search_join(single, _req(target=target, **req_kw), join)
+    b = analytics.execute_search_join(meshed, _req(target=target, **req_kw), join)
+    _assert_equivalent(a, b)
 
 
 def test_mesh_off_env(root, monkeypatch):
