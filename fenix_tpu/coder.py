@@ -91,17 +91,42 @@ def make(
     cells_ops.check_cell_space(k, n)
 
     # Whole training is one fused device computation (ops/kmeans.train):
-    # random-row init + num_epochs × permuted Lloyd steps, single dispatch.
-    corpus = jnp.asarray(matrix, dtype=jnp.float32)
-    codebooks = kmeans.train(
-        corpus,
-        np.uint32(seed if seed is not None else np.random.default_rng().integers(1 << 31)),
-        num_codebooks=n,
-        codebook_size=k,
-        batch_size=b,
-        num_epochs=config["num_epochs"],
-        metric=metric,
+    # random-row init + num_epochs × permuted Lloyd steps, single
+    # dispatch. Under a serving mesh the corpus rows shard and Lloyd
+    # statistics psum (kmeans.train_sharded) — training scales with the
+    # same data placement the search path uses.
+    from fenix_tpu.parallel.mesh import serving_mesh
+
+    seed_u32 = np.uint32(
+        seed if seed is not None else np.random.default_rng().integers(1 << 31)
     )
+    mesh = serving_mesh()
+    if mesh is not None:
+        from fenix_tpu.parallel.search import shard_corpus
+
+        corpus_dev, _ = shard_corpus(mesh, matrix.astype(np.float32, copy=False))
+        codebooks = kmeans.train_sharded(
+            mesh,
+            corpus_dev,
+            num_rows,
+            seed_u32,
+            num_codebooks=n,
+            codebook_size=k,
+            batch_size=b,
+            num_epochs=config["num_epochs"],
+            metric=metric,
+        )
+    else:
+        corpus = jnp.asarray(matrix, dtype=jnp.float32)
+        codebooks = kmeans.train(
+            corpus,
+            seed_u32,
+            num_codebooks=n,
+            codebook_size=k,
+            batch_size=b,
+            num_epochs=config["num_epochs"],
+            metric=metric,
+        )
 
     path = path_of(root, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)

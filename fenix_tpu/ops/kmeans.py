@@ -109,6 +109,121 @@ def train(
     return codebooks
 
 
+def train_sharded(
+    mesh: jax.sharding.Mesh,
+    corpus: jax.Array,  # [N_pad, D] row-sharded over every mesh axis
+    rows: int,  # valid rows (padding zeros sit at the global tail)
+    seed,
+    *,
+    num_codebooks: int,
+    codebook_size: int,
+    batch_size: int,
+    num_epochs: int,
+    metric: str,
+) -> jax.Array:
+    """Mesh-sharded multi-codebook training as ONE device computation.
+
+    Same structure as :func:`train` (random-row init, epochs of scanned
+    Lloyd steps) but data-parallel over corpus rows: every shard samples
+    batches from ITS OWN rows and contributes local assignment
+    statistics; the segment sums/counts ``psum`` over the mesh, so each
+    codebook update is numerically the single-device update on the
+    union batch. Codebooks replicate.
+
+    Documented divergence from ``train`` (and reference coder.py:106-118):
+    batches sample per-shard WITH replacement instead of one global
+    permutation — a global permutation would gather rows across the
+    interconnect every step; per-shard sampling keeps training
+    data-local, and the update math is unchanged. Deterministic per
+    (seed, mesh size).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    metric_c = canonical_metric(metric)
+    axes = mesh.axis_names
+    assert len(axes) == 2, f"expected a (data, model) mesh, got axes {axes}"
+    n_shards = int(mesh.devices.size)
+    n_pad, dim = corpus.shape
+    rows_local = n_pad // n_shards
+    b_local = -(-batch_size // n_shards)  # ≥ batch_size rows per step total
+    steps = max(rows // (num_codebooks * batch_size), 1)
+
+    def lloyd_psum(centroids, batch, weight):
+        if metric_c == "cosine":
+            centroids = normalize(centroids)
+            batch = normalize(batch)
+        k = centroids.shape[0]
+        dist = pairwise_distance(batch, centroids, metric_c)
+        assign = jnp.argmin(dist, axis=-1)
+        w = jnp.full((batch.shape[0],), weight, jnp.float32)
+        sums = jax.ops.segment_sum(batch * w[:, None], assign, num_segments=k)
+        counts = jax.ops.segment_sum(w, assign, num_segments=k)
+        sums = jax.lax.psum(sums, axes)
+        counts = jax.lax.psum(counts, axes)
+        centroids = (centroids + sums) / (1.0 + counts[:, None])
+        if metric_c == "cosine":
+            centroids = normalize(centroids)
+        return centroids
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axes, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(corpus_l, seed_arr):
+        shard = jax.lax.axis_index(axes[0]) * jax.lax.axis_size(axes[1]) + (
+            jax.lax.axis_index(axes[1])
+        )
+        start = shard * rows_local
+        valid_l = jnp.clip(rows - start, 0, rows_local)
+        has_rows = (valid_l > 0).astype(jnp.float32)
+
+        key = jax.random.PRNGKey(seed_arr[0])
+        key, init_key, sample_key = jax.random.split(key, 3)
+
+        # init: the SAME global random rows on every shard (unfolded
+        # key), assembled by ownership + psum — matches train()'s
+        # replace=False row init
+        init_rows = jax.random.choice(
+            init_key, rows, (codebook_size * num_codebooks,), replace=False
+        )
+        lp = init_rows - start
+        owned = (lp >= 0) & (lp < rows_local)
+        contrib = jnp.where(
+            owned[:, None], jnp.take(corpus_l, jnp.clip(lp, 0, rows_local - 1), axis=0), 0.0
+        )
+        codebooks = jax.lax.psum(contrib, axes).reshape(
+            num_codebooks, codebook_size, dim
+        )
+
+        # sampling: distinct stream per shard, over local valid rows
+        local_key = jax.random.fold_in(sample_key, shard)
+
+        def epoch(cbs, ekey):
+            def step(cbs, skey):
+                idx = jax.random.randint(
+                    skey, (num_codebooks, b_local), 0, jnp.maximum(valid_l, 1)
+                )
+                sample = jnp.take(corpus_l, idx.reshape(-1), axis=0).reshape(
+                    num_codebooks, b_local, dim
+                )
+                cbs = jax.vmap(lloyd_psum, in_axes=(0, 0, None))(cbs, sample, has_rows)
+                return cbs, None
+
+            cbs, _ = jax.lax.scan(step, cbs, jax.random.split(ekey, steps))
+            return cbs, None
+
+        codebooks, _ = jax.lax.scan(
+            epoch, codebooks, jax.random.split(local_key, num_epochs)
+        )
+        return codebooks
+
+    return run(corpus, jnp.asarray([seed], dtype=jnp.uint32))
+
+
 def sharded_lloyd_step(mesh: jax.sharding.Mesh, data_axis: str, model_axis: str | None, metric: str):
     """Build a pjit'd Lloyd step over a device mesh.
 

@@ -149,3 +149,37 @@ def test_sharded_search_precision_scan_modes(mesh8, rng, precision):
         np.testing.assert_allclose(
             np.asarray(dist)[i], exact[i][got[i]], rtol=1e-4, atol=1e-5
         )
+
+
+def test_train_sharded_quality_and_determinism(mesh8, rng):
+    """Mesh-sharded training (psum'd Lloyd statistics, per-shard
+    sampling): deterministic per seed, finite, and quantizes the data
+    about as well as the single-device fused train."""
+    import jax.numpy as jnp
+
+    from fenix_tpu.ops import kmeans
+    from fenix_tpu.parallel.search import shard_corpus
+
+    n, d = 4096, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    data[2048:] += 5.0  # two obvious clusters
+    corpus_dev, _ = shard_corpus(mesh8, data, block=128)
+    kw = dict(
+        num_codebooks=2, codebook_size=4, batch_size=256, num_epochs=3, metric="l2"
+    )
+
+    cb1 = np.asarray(kmeans.train_sharded(mesh8, corpus_dev, n, np.uint32(7), **kw))
+    cb2 = np.asarray(kmeans.train_sharded(mesh8, corpus_dev, n, np.uint32(7), **kw))
+    assert cb1.shape == (2, 4, d) and np.isfinite(cb1).all()
+    np.testing.assert_array_equal(cb1, cb2)
+
+    single = np.asarray(kmeans.train(jnp.asarray(data), np.uint32(7), **kw))
+
+    def quantization_error(cb: np.ndarray) -> float:
+        total = 0.0
+        for j in range(cb.shape[0]):
+            dist = ((data[:, None, :] - cb[j][None]) ** 2).sum(-1)
+            total += float(dist.min(axis=1).mean())
+        return total
+
+    assert quantization_error(cb1) < 1.5 * quantization_error(single) + 1e-6
