@@ -122,6 +122,13 @@ def _sharded_mask(mesh, mask_np: np.ndarray):
     return jax.device_put(mask_np, row_sharding(mesh, 1))
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_ivf_fn(mesh, k: int, metric: str):
+    from fenix_tpu.parallel import search as psearch
+
+    return psearch.build_serving_ivf_clustered(mesh, k=k, metric=metric)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _search_probed_packed(corpus, queries, aux_mul, aux_add, coded, cells, k, metric):
     d, i = topk2.topk_two_phase_probed(
@@ -341,18 +348,73 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             )
 
         if cache.mesh is not None:
-            # Mesh-sharded probed search: row-sharded cell ids travel
-            # with the corpus shards, each shard scans only matching
-            # rows, k candidates per (shard, query) merge over ICI.
-            # (The clustered-gather layout is a single-device
-            # optimization; per-shard clustering is future work.)
-            coded = cache.coded_ids(req.coding, req.source, req.column, sharded=True)
-            aux_mul, aux_add = cache.sharded_aux(req.source, req.column, metric)
-            if req.filter is not None:
-                aux_add = _overlay_mask(aux_add, _sharded_mask(cache.mesh, mask_np))
-            packed = _sharded_fn(cache.mesh, k_pad, metric, "fp32", True)(
-                corpus.data, queries, aux_mul, aux_add, coded.data, cells,
-            )
+            # Mesh-sharded probed search. Preferred route: PER-SHARD
+            # clustered layouts — every shard gathers only its own
+            # probed buckets (cost ∝ locally-probed rows) and the
+            # kernel's original-global-id candidates merge over ICI.
+            # Work-based fallback to the masked local scan, mirroring
+            # the single-device router.
+            n_shards = int(cache.mesh.devices.size)
+            n_books, k_book, _ = coding_data["tensor"].shape
+            use_clustered = int(k_book) ** int(n_books) <= _CLUSTERED_MAX_CELLS
+            bucket_stack = None
+            if use_clustered:
+                perm_local, offsets, _ = cache.sharded_clustered_meta(
+                    req.coding, req.source, req.column
+                )
+                n_pad_s = perm_local.shape[0]
+                per = n_pad_s // n_shards
+                bucket = topk2.bucket_for(q_pad, per)
+                per_shard = [
+                    _ivf_bucket_lists(cells, offsets[s], bucket, per // bucket)
+                    for s in range(n_shards)
+                ]
+                width = max(b.shape[1] for b in per_shard)
+                bucket_stack = np.stack(
+                    [
+                        np.pad(
+                            b, ((0, 0), (0, width - b.shape[1])), constant_values=-1
+                        )
+                        for b in per_shard
+                    ]
+                )
+                # route on PER-SHARD work: gathering more than ~one
+                # local corpus pass loses to the masked scan
+                use_clustered = q_pad * width * bucket <= per
+
+            if use_clustered:
+                corpus_s, coded_s, orig_ids = cache.sharded_clustered(
+                    req.coding, req.source, req.column
+                )
+                aux_mul_s, aux_add_s = cache.sharded_clustered_aux(
+                    req.coding, req.source, req.column, metric
+                )
+                if req.filter is not None:
+                    # permute the request mask into per-shard sorted order
+                    perm_global = (
+                        np.arange(n_pad_s) // per
+                    ) * per + perm_local
+                    aux_add_s = _overlay_mask(
+                        aux_add_s, _sharded_mask(cache.mesh, mask_np[perm_global])
+                    )
+                packed = _sharded_ivf_fn(cache.mesh, k_pad, metric)(
+                    corpus_s.data,
+                    queries,
+                    aux_mul_s,
+                    aux_add_s,
+                    coded_s.data,
+                    orig_ids.data,
+                    cells,
+                    jnp.asarray(bucket_stack),
+                )
+            else:
+                coded = cache.coded_ids(req.coding, req.source, req.column, sharded=True)
+                aux_mul, aux_add = cache.sharded_aux(req.source, req.column, metric)
+                if req.filter is not None:
+                    aux_add = _overlay_mask(aux_add, _sharded_mask(cache.mesh, mask_np))
+                packed = _sharded_fn(cache.mesh, k_pad, metric, "fp32", True)(
+                    corpus.data, queries, aux_mul, aux_add, coded.data, cells,
+                )
             dists, ids = topk2.unpack_result(packed)
             return gather_results(
                 data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype

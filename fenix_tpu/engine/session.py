@@ -359,6 +359,113 @@ class DeviceCache:
 
         return self._memo(self._device, (key, column, "sharded_aux", canonical), stamp, build)
 
+    def sharded_clustered_meta(self, coding: str, source: str | Sequence[str], column: str):
+        """Host side of the PER-SHARD clustered IVF layout.
+
+        Each shard's contiguous row range is independently sorted by
+        cell id (padding last), so probed cells occupy contiguous LOCAL
+        ranges per shard. Returns ``(perm_local [N_pad] int32 — local
+        sort index per slot, offsets [S, n_cells+1] int64 — per-shard
+        cell offset tables, orig_global [N_pad] int32 — original global
+        row id per sorted slot, −1 padding)``."""
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            coded = self.coded_ids(coding, source, column, sharded=True)
+            codes = np.full(coded.rows_padded, -1, dtype=np.int64)
+            codes[: coded.rows] = self._host_codes(coding, key, column)
+            coding_meta = self.coding(coding)
+            n_books, k_book, _ = coding_meta["tensor"].shape
+            n_cells = int(k_book) ** int(n_books)
+
+            n_shards = int(self.mesh.devices.size)
+            n_pad = codes.shape[0]
+            per = n_pad // n_shards
+            intmax = np.iinfo(np.int64).max
+
+            perm_local = np.empty(n_pad, np.int32)
+            orig_global = np.empty(n_pad, np.int32)
+            offsets = np.empty((n_shards, n_cells + 1), np.int64)
+            for s in range(n_shards):
+                sl = slice(s * per, (s + 1) * per)
+                keys = np.where(codes[sl] >= 0, codes[sl], intmax)
+                p = np.argsort(keys, kind="stable").astype(np.int32)
+                perm_local[sl] = p
+                sorted_keys = keys[p]
+                offsets[s] = np.searchsorted(sorted_keys, np.arange(n_cells + 1))
+                orig_global[sl] = np.where(
+                    sorted_keys != intmax, s * per + p, -1
+                ).astype(np.int32)
+            return perm_local, offsets, orig_global
+
+        return self._memo(
+            self._device, (key, column, "sharded_clustered_meta", coding), stamp, build
+        )
+
+    def sharded_clustered(self, coding: str, source: str | Sequence[str], column: str):
+        """Device side of the per-shard clustered layout:
+        ``(corpus_sorted, coded_sorted, orig_ids)`` row-sharded
+        DeviceColumns. The permutation gathers ON DEVICE, shard-locally
+        (parallel.search.permute_rows_sharded) — no host copy."""
+        import jax
+
+        from fenix_tpu.parallel import search as psearch
+
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            full = self.sharded_matrix(source, column)
+            coded = self.coded_ids(coding, source, column, sharded=True)
+            perm_local, _, orig_global = self.sharded_clustered_meta(
+                coding, source, column
+            )
+            perm_dev = jax.device_put(perm_local, self._row_sharding(1))
+            return (
+                ingest.DeviceColumn(
+                    data=psearch.permute_rows_sharded(self.mesh, full.data, perm_dev),
+                    rows=full.rows,
+                ),
+                ingest.DeviceColumn(
+                    data=psearch.permute_rows_sharded(self.mesh, coded.data, perm_dev),
+                    rows=full.rows,
+                ),
+                ingest.DeviceColumn(
+                    data=jax.device_put(orig_global, self._row_sharding(1)),
+                    rows=full.rows,
+                ),
+            )
+
+        return self._memo(
+            self._device, (key, column, "sharded_clustered", coding), stamp, build
+        )
+
+    def sharded_clustered_aux(
+        self, coding: str, source: str | Sequence[str], column: str, metric: str
+    ):
+        """(aux_mul, aux_add) in the per-shard sorted order."""
+        from fenix_tpu.ops import distance as distance_ops
+        from fenix_tpu.parallel import search as psearch
+
+        canonical = distance_ops.canonical_metric(metric)
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            corpus_sorted, _, orig = self.sharded_clustered(coding, source, column)
+            return psearch.shard_aux(corpus_sorted.data, orig.data >= 0, canonical)
+
+        return self._memo(
+            self._device,
+            (key, column, "sharded_clustered_aux", coding, canonical),
+            stamp,
+            build,
+        )
+
     def metric_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Cached per-row (aux_mul, aux_add) for the fused two-phase
         score (fenix_tpu.ops.topk2.prepare_aux) with padding rows

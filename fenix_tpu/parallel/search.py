@@ -103,16 +103,26 @@ def shard_index() -> "jax.Array":
 def merge_local_topk(dist, ids, k: int, rows_local: int):
     """Inside a ``(data, model)`` shard_map body: exchange each shard's
     local top-k candidates and return the REPLICATED global top-``k``
-    ``(dist [Q,k] ascending, global ids [Q,k])``. Only k (score, id)
-    pairs per (shard, query) cross the interconnect; shard-major concat
-    keeps ties resolving to the smallest global id. Local ids translate
+    ``(dist [Q,k] ascending, global ids [Q,k])``. Local ids translate
     to global via the shard's contiguous row offset."""
+    gids = jnp.where(ids >= 0, ids + shard_index() * rows_local, -1)
+    return merge_candidates(dist, gids, k)
+
+
+def merge_candidates(dist, gids, k: int):
+    """Candidate merge for ids that are ALREADY global (e.g. the
+    clustered-IVF kernel emits original row ids). Only k (score, id)
+    pairs per (shard, query) cross the interconnect; shard-major concat
+    keeps ties resolving to the smallest global id — shards own
+    ascending contiguous id ranges and each shard's candidates are
+    (dist, id)-ordered, so the first occurrence of a tied score carries
+    the smallest id."""
     axes = (DATA_AXIS, MODEL_AXIS)
     n_shards = jax.lax.axis_size(DATA_AXIS) * jax.lax.axis_size(MODEL_AXIS)
     local_k = dist.shape[1]
 
     scores = jnp.where(jnp.isinf(dist), distance_ops.NEG_INF, -dist)
-    gids = jnp.where(ids >= 0, ids + shard_index() * rows_local, -1)
+    gids = jnp.where(scores == distance_ops.NEG_INF, -1, gids)
 
     # [S, Q, local_k] candidate exchange — k·S values per query, not rows.
     all_scores = jax.lax.all_gather(scores, axes)
@@ -204,6 +214,61 @@ def build_serving_search(
         return topk2.pack_result(*raw(corpus, queries, valid, *rest))
 
     return packed_search
+
+
+def build_serving_ivf_clustered(mesh: Mesh, k: int, metric: str):
+    """Sharded IVF over PER-SHARD clustered layouts: each shard's rows
+    are locally sorted by cell id, so a query's probed cells occupy
+    contiguous local ranges; every shard gathers only its own probed
+    buckets (cost ∝ locally-probed rows, never a local corpus pass) and
+    the kernels' ORIGINAL-GLOBAL-id candidates merge directly.
+
+    ``fn(corpus_s, queries, aux_mul_s, aux_add_s, coded_s, orig_ids_s,
+    cells, bucket_lists) -> packed [2, Q, k]`` — corpus/aux/coded/orig
+    row-sharded in per-shard sorted order; ``cells`` replicated [Q, P];
+    ``bucket_lists`` [S, Q, B] with shard s's bucket indices (local
+    bucket space) in row s.
+    """
+    axes = (DATA_AXIS, MODEL_AXIS)
+    in_specs = (
+        P(axes, None), P(), P(axes), P(axes), P(axes), P(axes),
+        P(), P(axes, None, None),
+    )
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+    )
+    def ivf_search(
+        corpus_l, queries, aux_mul_l, aux_add_l, coded_l, orig_l, cells, bl_l
+    ):
+        rows_local = corpus_l.shape[0]
+        dist, gids = topk2.topk_ivf_clustered(
+            corpus_l, queries, aux_mul_l, aux_add_l, coded_l, orig_l,
+            cells, bl_l[0], k=min(k, rows_local), metric=metric,
+        )
+        return topk2.pack_result(*merge_candidates(dist, gids, k))
+
+    return ivf_search
+
+
+def permute_rows_sharded(mesh: Mesh, x, perm_local):
+    """Shard-local row permutation: ``out[s·L + i] = x[s·L + perm[s·L + i]]``
+    where ``perm_local`` holds LOCAL indices. Keeps the gather on
+    device — building a clustered layout never copies the corpus
+    through the host."""
+    spec = P((DATA_AXIS, MODEL_AXIS), *([None] * (x.ndim - 1)))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, P((DATA_AXIS, MODEL_AXIS))),
+        out_specs=spec,
+    )
+    def permute(x_l, p_l):
+        return jnp.take(x_l, p_l, axis=0)
+
+    return jax.jit(permute)(x, perm_local)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

@@ -225,3 +225,49 @@ def test_mesh_off_env(root, monkeypatch):
     cache = session.DeviceCache(root)
     assert cache.mesh is not None and cache.mesh.devices.size == 2
     monkeypatch.setattr(mesh_mod, "_SERVING_MESH", "unset")
+
+
+def test_sharded_clustered_ivf_route(tmp_path, rng):
+    """At scale (selective probes over many rows) the mesh-probed path
+    must take the PER-SHARD clustered gather route and return exactly
+    the single-device clustered result."""
+    root = str(tmp_path)
+    n, d = 65_536, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs += (np.arange(n)[:, None] % 16) * 2.0  # cell structure
+    table.make(
+        root,
+        "big",
+        pa.table(
+            {
+                "id": pa.array(np.arange(n)),
+                "tag": pa.array(np.arange(n) % 5),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    cfg: coder.Config = {
+        "metric": "l2", "codebook_size": 4, "num_codebooks": 2,
+        "batch_size": 1024, "num_epochs": 1,
+    }
+    coder.make(root, "cc", "big", "vector", cfg, seed=0)
+    index.make(root, "cc", "big", "vector")
+
+    single = session.DeviceCache(root, mesh=None)
+    meshed = session.DeviceCache(root)
+
+    for filt in (None, expr.field("tag") == 2):
+        req_kw = dict(
+            source="big", column="vector", metric="l2",
+            coding="cc", probes=2, maxval=8, filter=filt,
+        )
+        target = rng.standard_normal(d).astype(np.float32)
+        a = ex.execute_search(single, ex.SearchRequest(target=target, **req_kw))
+        b = ex.execute_search(meshed, ex.SearchRequest(target=target, **req_kw))
+        _assert_equivalent(a, b)
+
+    # the clustered route was actually taken (device cache built the
+    # per-shard sorted layout), not the masked-scan fallback
+    assert any(
+        isinstance(key, tuple) and "sharded_clustered" in key for key in meshed._device
+    ), sorted(str(k) for k in meshed._device)
