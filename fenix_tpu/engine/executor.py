@@ -129,6 +129,94 @@ def _sharded_ivf_fn(mesh, k: int, metric: str):
     return psearch.build_serving_ivf_clustered(mesh, k=k, metric=metric)
 
 
+class _StaleRevision(Exception):
+    """A concurrent catalog mutation landed mid-request: the device
+    layouts read along the way span table revisions. Retried."""
+
+
+def _revision_stamp(cache, source, column: str, coding: str | None) -> tuple:
+    import os
+
+    key = (source,) if isinstance(source, str) else tuple(source)
+    stamp = cache._mtimes(key)
+    if coding is not None:
+        stamp += tuple(
+            os.path.getmtime(p) for p in cache._coded_paths(coding, key, column)
+        )
+    return stamp
+
+
+def _clustered_eligible(coding_data) -> bool:
+    """Whether the coding's cell count permits a clustered offset table
+    (single router rule for the solo/batched, mesh/single paths)."""
+    n_books, k_book, _ = coding_data["tensor"].shape
+    return int(k_book) ** int(n_books) <= _CLUSTERED_MAX_CELLS
+
+
+def _mesh_probed_packed(
+    cache, coding: str, source, column: str, coding_data, queries, cells,
+    q_pad: int, k_pad: int, metric: str, mask_np: np.ndarray | None,
+):
+    """Mesh-sharded probed dispatch shared by the solo and batched
+    paths. Preferred route: PER-SHARD clustered layouts — every shard
+    gathers only its own probed buckets (cost ∝ locally-probed rows)
+    and the kernel's original-global-id candidates merge over ICI.
+    Work-based fallback to the masked local scan, mirroring the
+    single-device router."""
+    mesh = cache.mesh
+    n_shards = int(mesh.devices.size)
+    use_clustered = _clustered_eligible(coding_data)
+    bucket_stack = None
+    if use_clustered:
+        perm_local, offsets, _ = cache.sharded_clustered_meta(coding, source, column)
+        n_pad_s = perm_local.shape[0]
+        per = n_pad_s // n_shards
+        bucket = topk2.bucket_for(q_pad, per)
+        per_shard = [
+            _ivf_bucket_lists(cells, offsets[s], bucket, per // bucket)
+            for s in range(n_shards)
+        ]
+        width = max(b.shape[1] for b in per_shard)
+        bucket_stack = np.stack(
+            [
+                np.pad(b, ((0, 0), (0, width - b.shape[1])), constant_values=-1)
+                for b in per_shard
+            ]
+        )
+        # route on PER-SHARD work: gathering more than ~one local
+        # corpus pass loses to the masked scan
+        use_clustered = q_pad * width * bucket <= per
+
+    if use_clustered:
+        if mask_np is not None and mask_np.shape[0] != n_pad_s:
+            raise _StaleRevision  # snapshot and layout span revisions
+        corpus_s, coded_s, orig_ids = cache.sharded_clustered(coding, source, column)
+        aux_mul_s, aux_add_s = cache.sharded_clustered_aux(
+            coding, source, column, metric
+        )
+        if mask_np is not None:
+            # permute the request mask into per-shard sorted order
+            perm_global = (np.arange(n_pad_s) // per) * per + perm_local
+            aux_add_s = _overlay_mask(
+                aux_add_s, _sharded_mask(mesh, mask_np[perm_global])
+            )
+        return _sharded_ivf_fn(mesh, k_pad, metric)(
+            corpus_s.data, queries, aux_mul_s, aux_add_s,
+            coded_s.data, orig_ids.data, cells, jnp.asarray(bucket_stack),
+        )
+
+    coded = cache.coded_ids(coding, source, column, sharded=True)
+    aux_mul, aux_add = cache.sharded_aux(source, column, metric)
+    if mask_np is not None:
+        if mask_np.shape[0] != coded.rows_padded:
+            raise _StaleRevision
+        aux_add = _overlay_mask(aux_add, _sharded_mask(mesh, mask_np))
+    corpus_sh = cache.sharded_matrix(source, column)
+    return _sharded_fn(mesh, k_pad, metric, "fp32", True)(
+        corpus_sh.data, queries, aux_mul, aux_add, coded.data, cells,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _search_probed_packed(corpus, queries, aux_mul, aux_add, coded, cells, k, metric):
     d, i = topk2.topk_two_phase_probed(
@@ -252,9 +340,24 @@ def normalize_target(target: Any, dim: int) -> np.ndarray:
 
 
 def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
-    """Run a search request against device-resident columns."""
+    """Run a search request against device-resident columns, retrying
+    when a concurrent catalog mutation lands mid-request (the coding
+    paths read snapshot + clustered meta/layout/aux under independent
+    mtime stamps; _StaleRevision marks a detected cross-revision mix)."""
+    for _ in range(4):
+        try:
+            return _execute_search_once(cache, req)
+        except _StaleRevision:
+            continue
+    raise RuntimeError(f"table {req.source!r} kept changing during search")
+
+
+def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     # --- host-side table (for result gather and schema parity),
     # snapshot-consistent with the device-resident matrix -----------------
+    stamp0 = _revision_stamp(
+        cache, req.source, req.column, req.coding if req.probes else None
+    )
     data, corpus = cache.snapshot(req.source, req.column, coding=req.coding)
 
     column_type = data.schema.field(req.column).type
@@ -348,84 +451,23 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             )
 
         if cache.mesh is not None:
-            # Mesh-sharded probed search. Preferred route: PER-SHARD
-            # clustered layouts — every shard gathers only its own
-            # probed buckets (cost ∝ locally-probed rows) and the
-            # kernel's original-global-id candidates merge over ICI.
-            # Work-based fallback to the masked local scan, mirroring
-            # the single-device router.
-            n_shards = int(cache.mesh.devices.size)
-            n_books, k_book, _ = coding_data["tensor"].shape
-            use_clustered = int(k_book) ** int(n_books) <= _CLUSTERED_MAX_CELLS
-            bucket_stack = None
-            if use_clustered:
-                perm_local, offsets, _ = cache.sharded_clustered_meta(
-                    req.coding, req.source, req.column
-                )
-                n_pad_s = perm_local.shape[0]
-                per = n_pad_s // n_shards
-                bucket = topk2.bucket_for(q_pad, per)
-                per_shard = [
-                    _ivf_bucket_lists(cells, offsets[s], bucket, per // bucket)
-                    for s in range(n_shards)
-                ]
-                width = max(b.shape[1] for b in per_shard)
-                bucket_stack = np.stack(
-                    [
-                        np.pad(
-                            b, ((0, 0), (0, width - b.shape[1])), constant_values=-1
-                        )
-                        for b in per_shard
-                    ]
-                )
-                # route on PER-SHARD work: gathering more than ~one
-                # local corpus pass loses to the masked scan
-                use_clustered = q_pad * width * bucket <= per
-
-            if use_clustered:
-                corpus_s, coded_s, orig_ids = cache.sharded_clustered(
-                    req.coding, req.source, req.column
-                )
-                aux_mul_s, aux_add_s = cache.sharded_clustered_aux(
-                    req.coding, req.source, req.column, metric
-                )
-                if req.filter is not None:
-                    # permute the request mask into per-shard sorted order
-                    perm_global = (
-                        np.arange(n_pad_s) // per
-                    ) * per + perm_local
-                    aux_add_s = _overlay_mask(
-                        aux_add_s, _sharded_mask(cache.mesh, mask_np[perm_global])
-                    )
-                packed = _sharded_ivf_fn(cache.mesh, k_pad, metric)(
-                    corpus_s.data,
-                    queries,
-                    aux_mul_s,
-                    aux_add_s,
-                    coded_s.data,
-                    orig_ids.data,
-                    cells,
-                    jnp.asarray(bucket_stack),
-                )
-            else:
-                coded = cache.coded_ids(req.coding, req.source, req.column, sharded=True)
-                aux_mul, aux_add = cache.sharded_aux(req.source, req.column, metric)
-                if req.filter is not None:
-                    aux_add = _overlay_mask(aux_add, _sharded_mask(cache.mesh, mask_np))
-                packed = _sharded_fn(cache.mesh, k_pad, metric, "fp32", True)(
-                    corpus.data, queries, aux_mul, aux_add, coded.data, cells,
-                )
+            packed = _mesh_probed_packed(
+                cache, req.coding, req.source, req.column, coding_data,
+                queries, cells, q_pad, k_pad, metric, mask_np,
+            )
+            if _revision_stamp(cache, req.source, req.column, req.coding) != stamp0:
+                raise _StaleRevision
             dists, ids = topk2.unpack_result(packed)
             return gather_results(
                 data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
             )
 
-        n_books, k_book, _ = coding_data["tensor"].shape
-        n_cells = int(k_book) ** int(n_books)
-        use_clustered = n_cells <= _CLUSTERED_MAX_CELLS
+        use_clustered = _clustered_eligible(coding_data)
         bucket_lists = None
         if use_clustered:
             perm, offsets = cache.clustered_meta(req.coding, req.source, req.column)
+            if mask_np is not None and perm.shape[0] != n_pad:
+                raise _StaleRevision  # snapshot and layout span revisions
             bucket = topk2.bucket_for(q_pad, n_pad)
             bucket_lists = _ivf_bucket_lists(cells, offsets, bucket, n_pad // bucket)
             # Route on total work: the clustered gather moves
@@ -466,6 +508,8 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             k=k_pad,
             metric=metric,
         )
+        if _revision_stamp(cache, req.source, req.column, req.coding) != stamp0:
+            raise _StaleRevision
         # kernel returns ORIGINAL ids already ordered by (dist, id)
         dists, ids = topk2.unpack_result(packed)
         return gather_results(
@@ -557,7 +601,21 @@ def execute_search_batched(
     device→host fetch and materializes the result tables. This lets the
     batcher dispatch the NEXT batch while the previous one's results
     ride back through the tunnel (~24 ms readback latency each)."""
+    for _ in range(4):
+        try:
+            return _execute_search_batched_once(cache, reqs, defer)
+        except _StaleRevision:
+            continue
+    raise RuntimeError(f"table {reqs[0].source!r} kept changing during search")
+
+
+def _execute_search_batched_once(
+    cache: DeviceCache, reqs: Sequence[SearchRequest], defer: bool
+) -> "list[pa.Table] | Callable[[], list[pa.Table]]":
     r0 = reqs[0]
+    stamp0 = _revision_stamp(
+        cache, r0.source, r0.column, r0.coding if r0.probes else None
+    )
     data, corpus = cache.snapshot(r0.source, r0.column, coding=r0.coding)
     column_type = data.schema.field(r0.column).type
     value_dtype = column_type.value_type.to_pandas_dtype()
@@ -591,15 +649,15 @@ def execute_search_batched(
                 [cells, np.full((q_pad - total, cells.shape[1]), -1, cells.dtype)]
             )
         if cache.mesh is not None:
-            coded = cache.coded_ids(r0.coding, r0.source, r0.column, sharded=True)
-            aux_mul, aux_add = cache.sharded_aux(r0.source, r0.column, metric)
-            packed = _sharded_fn(cache.mesh, k_pad, metric, "fp32", True)(
-                corpus.data, queries, aux_mul, aux_add, coded.data, cells,
+            packed = _mesh_probed_packed(
+                cache, r0.coding, r0.source, r0.column, coding_data,
+                queries, cells, q_pad, k_pad, metric, mask_np=None,
             )
+            if _revision_stamp(cache, r0.source, r0.column, r0.coding) != stamp0:
+                raise _StaleRevision
         else:
             n_pad = corpus.rows_padded
-            n_books, k_book, _ = coding_data["tensor"].shape
-            use_clustered = int(k_book) ** int(n_books) <= _CLUSTERED_MAX_CELLS
+            use_clustered = _clustered_eligible(coding_data)
             bucket_lists = None
             if use_clustered:
                 perm, offsets = cache.clustered_meta(r0.coding, r0.source, r0.column)

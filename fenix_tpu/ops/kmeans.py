@@ -134,7 +134,13 @@ def train_sharded(
     batches sample per-shard WITH replacement instead of one global
     permutation — a global permutation would gather rows across the
     interconnect every step; per-shard sampling keeps training
-    data-local, and the update math is unchanged. Deterministic per
+    data-local, and the update math is unchanged. Each shard draws the
+    same ``ceil(batch_size/S)`` samples (static shapes) but weights its
+    statistics by the share of valid rows it holds, so the expected
+    per-row contribution is uniform across shards and the total batch
+    mass is ``batch_size`` even when padding leaves shards underfilled
+    (small corpora) or a shard holds a handful of rows (which would
+    otherwise be oversampled at full weight). Deterministic per
     (seed, mesh size).
     """
     from jax.sharding import PartitionSpec as P
@@ -145,7 +151,7 @@ def train_sharded(
     n_shards = int(mesh.devices.size)
     n_pad, dim = corpus.shape
     rows_local = n_pad // n_shards
-    b_local = -(-batch_size // n_shards)  # ≥ batch_size rows per step total
+    b_local = -(-batch_size // n_shards)  # samples drawn per shard per step
     steps = max(rows // (num_codebooks * batch_size), 1)
 
     def lloyd_psum(centroids, batch, weight):
@@ -179,7 +185,13 @@ def train_sharded(
         )
         start = shard * rows_local
         valid_l = jnp.clip(rows - start, 0, rows_local)
-        has_rows = (valid_l > 0).astype(jnp.float32)
+        # importance weight: this shard holds valid_l/rows of the data
+        # but contributes b_local of the batch's samples → scale its
+        # statistics so every row's expected mass is batch_size/rows
+        # (empty shards weigh 0; near-empty shards can't dominate)
+        sample_weight = (valid_l.astype(jnp.float32) / float(rows)) * (
+            float(batch_size) / float(b_local)
+        )
 
         key = jax.random.PRNGKey(seed_arr[0])
         key, init_key, sample_key = jax.random.split(key, 3)
@@ -210,7 +222,9 @@ def train_sharded(
                 sample = jnp.take(corpus_l, idx.reshape(-1), axis=0).reshape(
                     num_codebooks, b_local, dim
                 )
-                cbs = jax.vmap(lloyd_psum, in_axes=(0, 0, None))(cbs, sample, has_rows)
+                cbs = jax.vmap(lloyd_psum, in_axes=(0, 0, None))(
+                    cbs, sample, sample_weight
+                )
                 return cbs, None
 
             cbs, _ = jax.lax.scan(step, cbs, jax.random.split(ekey, steps))

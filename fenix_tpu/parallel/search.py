@@ -252,13 +252,14 @@ def build_serving_ivf_clustered(mesh: Mesh, k: int, metric: str):
     return ivf_search
 
 
-def permute_rows_sharded(mesh: Mesh, x, perm_local):
-    """Shard-local row permutation: ``out[s·L + i] = x[s·L + perm[s·L + i]]``
-    where ``perm_local`` holds LOCAL indices. Keeps the gather on
-    device — building a clustered layout never copies the corpus
-    through the host."""
-    spec = P((DATA_AXIS, MODEL_AXIS), *([None] * (x.ndim - 1)))
+@functools.lru_cache(maxsize=None)
+def _permute_fn(mesh: Mesh, ndim: int):
+    # memoized per (mesh, rank) so repeated layout builds key the jit
+    # cache by SHAPE instead of recompiling a fresh closure every call
+    # (remote compiles cost minutes in this environment)
+    spec = P((DATA_AXIS, MODEL_AXIS), *([None] * (ndim - 1)))
 
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -268,7 +269,15 @@ def permute_rows_sharded(mesh: Mesh, x, perm_local):
     def permute(x_l, p_l):
         return jnp.take(x_l, p_l, axis=0)
 
-    return jax.jit(permute)(x, perm_local)
+    return permute
+
+
+def permute_rows_sharded(mesh: Mesh, x, perm_local):
+    """Shard-local row permutation: ``out[s·L + i] = x[s·L + perm[s·L + i]]``
+    where ``perm_local`` holds LOCAL indices. Keeps the gather on
+    device — building a clustered layout never copies the corpus
+    through the host."""
+    return _permute_fn(mesh, x.ndim)(x, perm_local)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
