@@ -106,6 +106,21 @@ class Server(fl.FlightServerBase):
                             # Score ONLY the appended rows into every
                             # index — incremental ingest, O(rows appended).
                             index_mod.extend_for_source(self.root, name, new)
+                case "upsert":
+                    key = (
+                        descriptor.path[2].decode()
+                        if len(descriptor.path) > 2
+                        else "id"
+                    )
+                    new = reader.to_reader().read_all()
+                    replaced, inserted = index_mod.upsert_rows(
+                        self.root, name, new, key=key
+                    )
+                    writer.write(
+                        pa.py_buffer(
+                            _dumps({"replaced": replaced, "inserted": inserted})
+                        )
+                    )
                 case _:
                     raise ValueError(f"unknown put mode {mode!r}")
 
@@ -342,6 +357,24 @@ class Flight:
             for batch in data:
                 writer.write_batch(batch)
         return self
+
+    def upsert_rows(
+        self, name: str, data: pa.RecordBatchReader, key: str = "id"
+    ) -> dict:
+        """Replace-or-insert by ``key`` (created if the table is
+        absent): rows whose key matches an incoming row are deleted,
+        then the incoming rows append — atomically with respect to
+        other catalog mutations, with indexes kept consistent. Returns
+        ``{"replaced": n, "inserted": m}``. Not retried (the counts are
+        not idempotent)."""
+        descriptor = fl.FlightDescriptor.for_path(name, "upsert", key)
+        writer, meta_reader = self.conn.do_put(descriptor, data.schema)
+        with writer:
+            for batch in data:
+                writer.write_batch(batch)
+            writer.done_writing()
+            buf = meta_reader.read()
+        return _loads(buf.to_pybytes()) if buf is not None else {}
 
     def delete_rows(self, source: str, filter: expr_mod.Expr) -> int:
         """Delete rows matching ``filter``; returns the count removed.

@@ -198,6 +198,34 @@ def delete_rows(root: str, source: str, filter: expr_mod.Expr) -> int:
         return int(delete.sum())
 
 
+def upsert_rows(
+    root: str, source: str, data: pa.Table, key: str = "id"
+) -> tuple[int, int]:
+    """Replace-or-insert by ``key``: delete existing rows whose key
+    appears in ``data``, then append ``data`` — ONE catalog-lock scope,
+    so concurrent readers see either the old or the new revision of
+    every key and indexes stay consistent throughout (deletion filters
+    them by the row mask; the append scores only the new rows).
+    Returns ``(replaced, inserted)``: keys that existed and were
+    replaced vs net-new keys. Rows duplicated WITHIN ``data`` are
+    appended as-is — deduplication is the caller's contract.
+    """
+    from fenix_tpu.io.locks import catalog_lock
+
+    with catalog_lock(root):
+        path = table.path_of(root, source)
+        replaced = 0
+        if os.path.exists(path):
+            keys = data.column(key).to_pylist()
+            replaced = delete_rows(root, source, expr_mod.field(key).isin(keys))
+            table.append(root, source, data)
+            extend_for_source(root, source, data)
+        else:
+            table.append(root, source, data)
+            drop_for_source(root, source)  # orphans of a dropped table
+        return replaced, data.num_rows - replaced
+
+
 def drop_all(root: str, name: str) -> None:
     """Drop every index built from coder ``name`` (fixes the reference's
     unreachable path-parse in flight.py:95-100).

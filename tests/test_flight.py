@@ -465,6 +465,50 @@ def test_concurrent_appends_lose_no_rows(flight, rng):
     flight.drop_table("test/conc")
 
 
+def test_upsert_rows(flight, rng):
+    """Replace-or-insert by key: matched keys get the new vectors,
+    unmatched keys append; the index follows both."""
+    src = pa.Table.from_batches(generate_batches(seed=12), SCHEMA)
+    flight.make_table("test/ups", src.to_reader())
+    flight.make_index(
+        name="test/upscoder", source="test/ups", column="vector", config=CONFIG
+    )
+
+    x = rng.standard_normal((4, VECTOR_SIZE)).astype(np.float32) + 200.0
+    payload = pa.table(
+        {
+            "id": pa.array(np.array([10, 11, NUM_VECTORS, NUM_VECTORS + 1])),
+            "vector": pa.FixedSizeListArray.from_arrays(
+                pa.array(x.flatten()), list_size=VECTOR_SIZE
+            ),
+        }
+    )
+    res = flight.upsert_rows("test/ups", payload.to_reader())
+    assert res == {"replaced": 2, "inserted": 2}
+
+    got = flight.read_table("test/ups").read_all()
+    assert got.num_rows == NUM_VECTORS + 2
+    ids = np.asarray(got.column("id"))
+    assert len(np.unique(ids)) == got.num_rows
+
+    # replaced key now carries the NEW vector (exact nearest = itself)
+    hit = flight.search(
+        target=x[0], source="test/ups", column="vector", metric="l2", maxval=1
+    )
+    assert np.asarray(hit.column("id"))[0] == 10
+    assert float(np.asarray(hit.column("__DISTANCE__"))[0]) < 1e-3
+
+    # index stayed row-aligned and probed search sees the new rows
+    probed = flight.search(
+        target=x[2], source="test/ups", column="vector", metric="l2",
+        coding="test/upscoder", maxval=1, probes=16,
+    )
+    assert np.asarray(probed.column("id"))[0] == NUM_VECTORS
+
+    flight.drop_index("test/upscoder")
+    flight.drop_table("test/ups")
+
+
 def test_desynced_index_self_heals(server, flight, rng):
     """A crash between the table and index publishes leaves a row-count
     mismatch; the next coded access must resync the index instead of
