@@ -38,6 +38,23 @@ _PC_COMPARE = {
     ">": pc.greater,
     ">=": pc.greater_equal,
 }
+# arithmetic over columns (reference users had full pc.Expression
+# algebra via pickle; these cover the common numeric predicates like
+# (a - b).abs() < eps or a % 10 == 3)
+_PC_ARITH = {
+    "+": pc.add,
+    "-": pc.subtract,
+    "*": pc.multiply,
+    "/": pc.divide,
+    "abs": pc.abs,
+}
+# string predicates (host/Arrow only — string columns are not
+# device-resident; the executor pushes filters from the HOST mask)
+_PC_STRING = {
+    "contains": pc.match_substring,
+    "starts_with": pc.starts_with,
+    "ends_with": pc.ends_with,
+}
 
 
 class Expr:
@@ -84,6 +101,50 @@ class Expr:
 
     def is_null(self) -> "Expr":
         return Expr("is_null", (self,))
+
+    # -- arithmetic ---------------------------------------------------------
+
+    def __add__(self, other: Any) -> "Expr":
+        return self._binop("+", other)
+
+    def __radd__(self, other: Any) -> "Expr":
+        return _wrap(other)._binop("+", self)
+
+    def __sub__(self, other: Any) -> "Expr":
+        return self._binop("-", other)
+
+    def __rsub__(self, other: Any) -> "Expr":
+        return _wrap(other)._binop("-", self)
+
+    def __mul__(self, other: Any) -> "Expr":
+        return self._binop("*", other)
+
+    def __rmul__(self, other: Any) -> "Expr":
+        return _wrap(other)._binop("*", self)
+
+    def __truediv__(self, other: Any) -> "Expr":
+        return self._binop("/", other)
+
+    def __mod__(self, other: Any) -> "Expr":
+        return self._binop("%", other)
+
+    def abs(self) -> "Expr":
+        return Expr("abs", (self,))
+
+    def between(self, low: Any, high: Any) -> "Expr":
+        """Inclusive range: ``low <= self <= high``."""
+        return (self >= low) & (self <= high)
+
+    # -- string predicates (host-evaluated) ----------------------------------
+
+    def contains(self, pattern: str) -> "Expr":
+        return Expr("contains", (self, pattern))
+
+    def starts_with(self, prefix: str) -> "Expr":
+        return Expr("starts_with", (self, prefix))
+
+    def ends_with(self, suffix: str) -> "Expr":
+        return Expr("ends_with", (self, suffix))
 
     def __hash__(self) -> int:
         return hash(self.to_json())
@@ -157,6 +218,14 @@ class Expr:
             return low(self.args[0]).isin(self.args[1])
         if self.op == "is_null":
             return low(self.args[0]).is_null()
+        if self.op in _PC_ARITH:
+            return _PC_ARITH[self.op](*(low(a) for a in self.args))
+        if self.op == "%":
+            raise NotImplementedError(
+                "modulo has no pyarrow Expression lowering; evaluate via mask()"
+            )
+        if self.op in _PC_STRING:
+            return _PC_STRING[self.op](low(self.args[0]), self.args[1])
         raise ValueError(f"unknown op: {self.op}")
 
     # -- evaluation: host (Arrow C++ kernels) → numpy bool mask -----------
@@ -197,6 +266,24 @@ class Expr:
             return pc.is_in(ev(self.args[0]), value_set=pa.array(self.args[1]))
         if self.op == "is_null":
             return pc.is_null(ev(self.args[0]))
+        if self.op in _PC_ARITH:
+            return _PC_ARITH[self.op](*(ev(a) for a in self.args))
+        if self.op == "%":
+            # Python-mod semantics (matches jnp.mod on device); Arrow
+            # has no modulo kernel
+            def as_np(x: Any) -> Any:
+                if isinstance(x, pa.ChunkedArray):
+                    x = x.combine_chunks()
+                if isinstance(x, pa.Array):
+                    return x.to_numpy(zero_copy_only=False)
+                if isinstance(x, pa.Scalar):
+                    return x.as_py()
+                return x
+
+            a, b = (as_np(ev(arg)) for arg in self.args)
+            return pa.array(np.mod(a, b))
+        if self.op in _PC_STRING:
+            return _PC_STRING[self.op](ev(self.args[0]), self.args[1])
         raise ValueError(f"unknown op: {self.op}")
 
     # -- evaluation: device (jax.numpy) → bool mask ------------------------
@@ -261,6 +348,18 @@ class Expr:
             col = ev(self.args[0])
             values = jnp.asarray(self.args[1], dtype=col.dtype)
             return (col[:, None] == values[None, :]).any(axis=-1)
+        if self.op in _PC_ARITH or self.op == "%":
+            lhs = ev(self.args[0])
+            if self.op == "abs":
+                return jnp.abs(lhs)
+            rhs = ev(self.args[1])
+            return {
+                "+": jnp.add,
+                "-": jnp.subtract,
+                "*": jnp.multiply,
+                "/": jnp.divide,
+                "%": jnp.mod,
+            }[self.op](lhs, rhs)
         raise ValueError(f"op {self.op} not supported on device")
 
 

@@ -126,3 +126,58 @@ def test_prefetch_to_device(tmp_path):
     import jax
 
     assert all(isinstance(x, jax.Array) for x in out)
+
+
+def test_expr_arithmetic_and_strings():
+    """Arithmetic and string predicates (the reference exposed full
+    pc.Expression algebra via pickle; these cover its common uses)."""
+    import pyarrow as pa
+
+    from fenix_tpu import expr
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 10, -7]),
+            "b": pa.array([1, 1, 2, 5, 2]),
+            "name": pa.array(["alpha", "beta", "alphabet", "Gamma", "beta2"]),
+        }
+    )
+
+    cases = [
+        ((expr.field("a") + expr.field("b")) > 4, [False, False, True, True, False]),
+        ((expr.field("a") - 1).abs() <= 1, [True, True, False, False, False]),
+        (expr.field("a") * expr.field("b") == 20, [False, False, False, False, False]),
+        (expr.field("a") % 2 == 0, [False, True, False, True, False]),
+        (expr.field("a").between(2, 9), [False, True, True, False, False]),
+        (expr.field("name").contains("pha"), [True, False, True, False, False]),
+        (expr.field("name").starts_with("beta"), [False, True, False, False, True]),
+        (expr.field("name").ends_with("a"), [True, True, False, True, False]),
+        ((1 + expr.field("a")) == 3, [False, True, False, False, False]),
+    ]
+    for e, want in cases:
+        # wire round-trip then host evaluation
+        got = expr.Expr.from_json(e.to_json()).mask(t)
+        assert got.tolist() == want, (e, got.tolist(), want)
+
+    # Python-mod semantics on negatives (matches device jnp.mod)
+    assert (expr.field("a") % 3 == 2).mask(t).tolist() == [
+        False, True, False, False, True,  # -7 % 3 == 2 in Python
+    ]
+
+
+def test_expr_arithmetic_device_parity():
+    import jax.numpy as jnp
+    import pyarrow as pa
+
+    from fenix_tpu import expr
+
+    t = pa.table({"a": pa.array([1, 5, -7, 12]), "b": pa.array([2, 2, 3, 5])})
+    cols = {"a": jnp.asarray([1, 5, -7, 12]), "b": jnp.asarray([2, 2, 3, 5])}
+    for e in [
+        (expr.field("a") + expr.field("b")) % 3 == 1,
+        (expr.field("a") - expr.field("b")).abs() > 2,
+        (expr.field("a") * 2).between(0, 11),
+    ]:
+        host = e.mask(t)
+        dev = np.asarray(expr.Expr.from_json(e.to_json()).device_mask(cols))
+        assert host.tolist() == dev.tolist(), e
