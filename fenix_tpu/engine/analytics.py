@@ -381,7 +381,7 @@ def _execute_fused(
 
     src = (req.source,) if isinstance(req.source, str) else tuple(req.source)
     for _ in range(5):
-        stamp = tuple(os.path.getmtime(table_mod.path_of(cache.root, s)) for s in src)
+        stamp = tuple(table_mod.stamp(cache.root, s) for s in src)
         data, corpus = cache.snapshot(req.source, req.column, sharded=sharded)
         left_col = cache.scalar(req.source, join.left_on, sharded=sharded)
         aux_mul, aux_add = (
@@ -389,9 +389,7 @@ def _execute_fused(
             if sharded
             else cache.metric_aux(req.source, req.column, metric_canonical)
         )
-        if stamp == tuple(
-            os.path.getmtime(table_mod.path_of(cache.root, s)) for s in src
-        ):
+        if stamp == tuple(table_mod.stamp(cache.root, s) for s in src):
             break
     else:
         raise RuntimeError(f"table {req.source!r} kept changing during snapshot")

@@ -53,8 +53,9 @@ class DeviceCache:
 
     # -- host tables ------------------------------------------------------
 
-    def _mtimes(self, sources: tuple[str, ...]) -> tuple[float, ...]:
-        return tuple(os.path.getmtime(table.path_of(self.root, s)) for s in sources)
+    def _mtimes(self, sources: tuple[str, ...]) -> tuple:
+        # revision tokens: base mtime + live delta parts (table.stamp)
+        return tuple(table.stamp(self.root, s) for s in sources)
 
     def _memo(self, store: dict, ckey, stamp, build):
         """Double-checked locked memoization keyed by file mtimes."""

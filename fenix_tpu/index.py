@@ -191,7 +191,7 @@ def delete_rows(root: str, source: str, filter: expr_mod.Expr) -> int:
                     "re-run sync_index before deleting"
                 )
 
-        arrow.make(table.path_of(root, source), data.filter(keep).to_reader())
+        table.rewrite(root, source, data.filter(keep).to_reader())
         for name, column in indexes:
             idx_path = path_of(root, name, source, column)
             arrow.make(idx_path, arrow.load(idx_path).filter(keep).to_reader())

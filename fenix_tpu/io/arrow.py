@@ -21,7 +21,7 @@ def load(path: str) -> pa.Table:
 
 def make(path: str, data: pa.RecordBatchReader) -> pa.Table:
     """Stream batches to ``path`` then reopen memory-mapped."""
-    assert path.endswith(".arrow")
+    assert path.endswith((".arrow", ".part"))  # .part: table delta files
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
 

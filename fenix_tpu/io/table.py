@@ -3,11 +3,31 @@
 Role parity: /root/reference/src/fenix/io/table/table.py:12-56 — tables
 live at ``<root>/sources/<name>.arrow``; multi-name loads concatenate;
 ``join`` concatenates along rows (axis=0) or zips columns (axis=1).
+
+Beyond the reference: **O(appended) ingest**. ``append`` writes a delta
+part file under ``<name>.arrow.parts/`` instead of rewriting the whole
+table (the reference's ``do_put`` always rewrites); ``load``
+concatenates base + parts in append order. Parts fold back into the
+base when they outgrow it (``compact``); rewrites (overwrite, delete,
+upsert) always leave a single compacted base file, so at-rest artifacts
+stay mutually readable with the reference's plain Arrow IPC layout
+whenever no uncompacted appends are pending.
+
+Crash safety: every file publishes via atomic rename. Compaction (and
+any full rewrite while parts are pending) first publishes a
+``.compacting`` marker naming the folded parts and the OLD base's
+``st_mtime_ns``, then the new base, then unlinks the parts and the
+marker. Readers that encounter a marker take the per-root catalog lock
+(steady-state reads never do): with the lock held either the writer
+finished (marker gone) or it crashed — and the recorded mtime tells
+whether the new base landed (parts folded → drop them) or not (parts
+still live).
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 from typing import Iterator, Literal, Sequence
 
@@ -16,6 +36,11 @@ import pyarrow as pa
 from fenix_tpu.io import arrow
 
 LOCATION: str = "sources"
+
+# fold parts into the base once they hold more rows than this fraction
+# of the base (or more than _PART_LIMIT files, whichever first)
+_COMPACT_FRACTION: float = 0.25
+_PART_LIMIT: int = 16
 
 
 def safe_join(root: str, location: str, *parts: str) -> str:
@@ -39,43 +64,173 @@ def path_of(root: str, name: str) -> str:
     return safe_join(root, LOCATION, name + ".arrow")
 
 
+def _parts_dir(root: str, name: str) -> str:
+    return path_of(root, name) + ".parts"
+
+
+def _marker_path(root: str, name: str) -> str:
+    return path_of(root, name) + ".compacting"
+
+
+def _part_paths(root: str, name: str) -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(glob.escape(_parts_dir(root, name)), "*.part"))
+    )
+
+
+def _live_parts(root: str, name: str) -> list[str]:
+    """Part files in append order. A ``.compacting`` marker means a
+    fold is in flight (another thread holds the lock) or a previous one
+    crashed; resolve under the lock via the marker's recorded old-base
+    mtime — see module docstring."""
+    marker = _marker_path(root, name)
+    if not os.path.exists(marker):
+        return _part_paths(root, name)
+
+    from fenix_tpu.io.locks import catalog_lock
+
+    with catalog_lock(root):
+        paths = _part_paths(root, name)
+        if not os.path.exists(marker):  # writer finished while we waited
+            return paths
+        with open(marker) as fh:
+            info = json.load(fh)
+        folded = set(info["parts"])
+        if os.stat(path_of(root, name)).st_mtime_ns == info["base_mtime_ns"]:
+            # crash BEFORE the new base landed: parts are still live
+            os.unlink(marker)
+            return paths
+        # crash AFTER the new base landed: finish the fold
+        for p in paths:
+            if os.path.basename(p) in folded:
+                os.unlink(p)
+        os.unlink(marker)
+        return [p for p in paths if os.path.basename(p) not in folded]
+
+
+def stamp(root: str, name: str) -> tuple:
+    """Revision token for cache invalidation: base mtime plus the
+    (name, mtime) of every live part. Raises FileNotFoundError like a
+    plain getmtime when the table does not exist."""
+    base = os.path.getmtime(path_of(root, name))
+    parts = tuple(
+        (os.path.basename(p), os.path.getmtime(p)) for p in _live_parts(root, name)
+    )
+    return (base, parts)
+
+
 def load(root: str, name: str | Sequence[str]) -> pa.Table:
     if isinstance(name, str):
-        return arrow.load(path_of(root, name))
+        base = arrow.load(path_of(root, name))
+        parts = _live_parts(root, name)
+        if not parts:
+            return base
+        return pa.concat_tables([base, *[arrow.load(p) for p in parts]])
 
     assert isinstance(name, Sequence)
     return join(*[load(root, n) for n in name])
 
 
 def make(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
-    return arrow.make(path_of(root, name), data)
+    """Create-or-overwrite with a single compacted base file."""
+    return rewrite(root, name, data)
+
+
+def rewrite(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
+    """Replace the table's FULL contents (overwrite/delete/upsert): the
+    new base carries everything, so all current parts are obsolete —
+    marker-protected like compaction. Streams straight through when no
+    parts are pending (the common overwrite)."""
+    base_path = path_of(root, name)
+    if not os.path.exists(base_path):
+        return arrow.make(base_path, data)
+
+    from fenix_tpu.io.locks import catalog_lock
+
+    with catalog_lock(root):
+        parts = _live_parts(root, name)
+        if not parts:
+            return arrow.make(base_path, data)
+        _publish_marker(root, name, parts)
+        out = arrow.make(base_path, data)
+        for p in parts:
+            os.unlink(p)
+        os.unlink(_marker_path(root, name))
+        return out
+
+
+def _publish_marker(root: str, name: str, parts: list[str]) -> None:
+    marker = _marker_path(root, name)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "parts": [os.path.basename(p) for p in parts],
+                "base_mtime_ns": os.stat(path_of(root, name)).st_mtime_ns,
+            },
+            fh,
+        )
+    os.replace(tmp, marker)
 
 
 def append(root: str, name: str, data: pa.Table) -> pa.Table:
-    """Append rows to an existing table (create it if absent).
-
-    Beyond the reference (its ``do_put`` only overwrites,
-    /root/reference/src/fenix/flight.py:34-44): the combined table is
-    rewritten through the same atomic publish as ``make``, so readers
-    see either the old or the new revision, never a torn file. The
-    read-modify-write itself serializes on the per-root catalog lock —
-    concurrent appends would otherwise lose rows (last ``os.replace``
-    wins).
+    """Append rows in O(rows appended): write ONE new part file (atomic
+    publish), never rewriting the base. Folds parts into the base when
+    they outgrow it. The read-modify-write of the part counter and the
+    compaction both serialize on the per-root catalog lock —
+    concurrent appends would otherwise collide on part names.
     """
     from fenix_tpu.io.locks import catalog_lock
 
     with catalog_lock(root):
-        path = path_of(root, name)
-        if not os.path.exists(path):
-            return arrow.make(path, data.to_reader())
+        base_path = path_of(root, name)
+        if not os.path.exists(base_path):
+            return arrow.make(base_path, data.to_reader())
 
-        old = arrow.load(path)
-        if old.schema != data.schema:
+        base = arrow.load(base_path)
+        if base.schema != data.schema:
             raise ValueError(
                 f"append schema mismatch for table {name!r}:\n"
-                f"existing: {old.schema}\nappended: {data.schema}"
+                f"existing: {base.schema}\nappended: {data.schema}"
             )
-        return arrow.make(path, pa.concat_tables([old, data]).to_reader())
+        if data.num_rows == 0:
+            return load(root, name)  # an empty part carries nothing
+
+        parts = _live_parts(root, name)
+        next_id = (
+            int(os.path.basename(parts[-1]).removesuffix(".part")) + 1 if parts else 0
+        )
+        part_path = os.path.join(_parts_dir(root, name), f"{next_id:08d}.part")
+        arrow.make(part_path, data.to_reader())
+        parts.append(part_path)
+
+        part_rows = sum(arrow.load(p).num_rows for p in parts)
+        if len(parts) > _PART_LIMIT or part_rows > max(
+            int(base.num_rows * _COMPACT_FRACTION), 1024
+        ):
+            return compact(root, name)
+        return pa.concat_tables([base, *[arrow.load(p) for p in parts]])
+
+
+def compact(root: str, name: str) -> pa.Table:
+    """Fold all parts into the base file (single plain Arrow IPC file —
+    the reference-readable at-rest form). Crash-safe: marker first,
+    then the combined base, then part unlinks."""
+    from fenix_tpu.io.locks import catalog_lock
+
+    with catalog_lock(root):
+        parts = _live_parts(root, name)
+        if not parts:
+            return arrow.load(path_of(root, name))
+        combined = pa.concat_tables(
+            [arrow.load(path_of(root, name)), *[arrow.load(p) for p in parts]]
+        )
+        _publish_marker(root, name, parts)
+        out = arrow.make(path_of(root, name), combined.to_reader())
+        for p in parts:
+            os.unlink(p)
+        os.unlink(_marker_path(root, name))
+        return out
 
 
 def join(*data: pa.Table, axis: Literal[0, 1] = 0) -> pa.Table:
@@ -94,10 +249,18 @@ def join(*data: pa.Table, axis: Literal[0, 1] = 0) -> pa.Table:
 def list(root: str) -> Iterator[str]:
     base = os.path.join(root, LOCATION)
     for path in sorted(glob.glob(os.path.join(base, "**", "*.arrow"), recursive=True)):
+        if os.path.isdir(path):  # <name>.arrow.parts directories
+            continue
         yield os.path.relpath(path, base).removesuffix(".arrow")
 
 
 def drop(root: str, name: str) -> None:
+    import shutil
+
     path = path_of(root, name)
     if os.path.exists(path):
         os.unlink(path)
+    shutil.rmtree(_parts_dir(root, name), ignore_errors=True)
+    marker = _marker_path(root, name)
+    if os.path.exists(marker):
+        os.unlink(marker)

@@ -181,3 +181,112 @@ def test_expr_arithmetic_device_parity():
         host = e.mask(t)
         dev = np.asarray(expr.Expr.from_json(e.to_json()).device_mask(cols))
         assert host.tolist() == dev.tolist(), e
+
+
+def test_append_writes_delta_parts(tmp_path):
+    """Appends are O(rows appended): a part file publishes, the base is
+    untouched; loads see base+parts in append order."""
+    import os
+
+    from fenix_tpu.io import table
+
+    root = str(tmp_path)
+    base = pa.table({"id": pa.array(np.arange(10_000))})
+    table.make(root, "t", base.to_reader())
+    base_stat = os.stat(table.path_of(root, "t")).st_mtime_ns
+
+    table.append(root, "t", pa.table({"id": pa.array([10_000, 10_001])}))
+    table.append(root, "t", pa.table({"id": pa.array([10_002])}))
+
+    assert os.stat(table.path_of(root, "t")).st_mtime_ns == base_stat
+    got = table.load(root, "t")
+    assert np.asarray(got.column("id")).tolist() == [*range(10_003)]
+    s1 = table.stamp(root, "t")
+    table.append(root, "t", pa.table({"id": pa.array([10_003])}))
+    assert table.stamp(root, "t") != s1  # cache invalidation token moves
+
+
+def test_append_compaction_folds_parts(tmp_path):
+    import glob
+    import os
+
+    from fenix_tpu.io import table
+
+    root = str(tmp_path)
+    table.make(root, "t", pa.table({"id": pa.array(np.arange(100))}).to_reader())
+    # small base → the >25% (min 1024 rows) threshold needs volume;
+    # the part-count limit (16) trips first
+    for i in range(20):
+        table.append(root, "t", pa.table({"id": pa.array([100 + i])}))
+    parts = glob.glob(os.path.join(table.path_of(root, "t") + ".parts", "*.part"))
+    assert len(parts) <= 16  # folded at least once
+    got = table.load(root, "t")
+    assert np.asarray(got.column("id")).tolist() == [*range(120)]
+
+    table.compact(root, "t")
+    assert not glob.glob(os.path.join(table.path_of(root, "t") + ".parts", "*.part"))
+    assert table.load(root, "t").num_rows == 120
+
+
+def test_compaction_crash_recovery(tmp_path):
+    """Marker + old base ⇒ parts still live; marker + new base ⇒ parts
+    already folded (dropped). Recovery keys on the recorded mtime."""
+    import json
+    import os
+    import shutil
+
+    from fenix_tpu.io import table
+
+    root = str(tmp_path)
+    table.make(root, "t", pa.table({"id": pa.array([0, 1, 2])}).to_reader())
+    table.append(root, "t", pa.table({"id": pa.array([3, 4])}))
+    part = os.path.join(table.path_of(root, "t") + ".parts", "00000000.part")
+    assert os.path.exists(part)
+
+    # crash BEFORE the new base landed: marker names the part, base
+    # mtime still matches the marker
+    marker = table.path_of(root, "t") + ".compacting"
+    with open(marker, "w") as fh:
+        json.dump(
+            {
+                "parts": ["00000000.part"],
+                "base_mtime_ns": os.stat(table.path_of(root, "t")).st_mtime_ns,
+            },
+            fh,
+        )
+    got = table.load(root, "t")
+    assert np.asarray(got.column("id")).tolist() == [0, 1, 2, 3, 4]
+    assert not os.path.exists(marker)  # resolved
+    assert os.path.exists(part)  # part survived
+
+    # crash AFTER the new base landed: rewrite the base to the combined
+    # table but leave the part + a marker pointing at the OLD mtime
+    old_mtime = os.stat(table.path_of(root, "t")).st_mtime_ns
+    from fenix_tpu.io import arrow as arrow_io
+
+    arrow_io.make(
+        table.path_of(root, "t"),
+        pa.table({"id": pa.array([0, 1, 2, 3, 4])}).to_reader(),
+    )
+    with open(marker, "w") as fh:
+        json.dump({"parts": ["00000000.part"], "base_mtime_ns": old_mtime}, fh)
+    got = table.load(root, "t")
+    assert np.asarray(got.column("id")).tolist() == [0, 1, 2, 3, 4]  # no dupes
+    assert not os.path.exists(part) and not os.path.exists(marker)
+
+    shutil.rmtree(root)
+
+
+def test_rewrite_clears_parts(tmp_path):
+    import glob
+    import os
+
+    from fenix_tpu.io import table
+
+    root = str(tmp_path)
+    table.make(root, "t", pa.table({"id": pa.array([0, 1])}).to_reader())
+    table.append(root, "t", pa.table({"id": pa.array([2])}))
+    table.make(root, "t", pa.table({"id": pa.array([9])}).to_reader())  # overwrite
+    assert not glob.glob(os.path.join(table.path_of(root, "t") + ".parts", "*.part"))
+    assert np.asarray(table.load(root, "t").column("id")).tolist() == [9]
+    assert [*table.list(root)] == ["t"]  # parts dir never lists as a table
