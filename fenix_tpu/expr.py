@@ -45,9 +45,11 @@ _PC_ARITH = {
     "+": pc.add,
     "-": pc.subtract,
     "*": pc.multiply,
-    "/": pc.divide,
     "abs": pc.abs,
 }
+# "/" and "%" are handled per lowering path: "/" is TRUE division
+# everywhere (pc.divide would integer-divide int columns and raise on
+# zero, diverging from the device jnp.divide), "%" is Python-mod.
 # string predicates (host/Arrow only — string columns are not
 # device-resident; the executor pushes filters from the HOST mask)
 _PC_STRING = {
@@ -125,8 +127,14 @@ class Expr:
     def __truediv__(self, other: Any) -> "Expr":
         return self._binop("/", other)
 
+    def __rtruediv__(self, other: Any) -> "Expr":
+        return _wrap(other)._binop("/", self)
+
     def __mod__(self, other: Any) -> "Expr":
         return self._binop("%", other)
+
+    def __rmod__(self, other: Any) -> "Expr":
+        return _wrap(other)._binop("%", self)
 
     def abs(self) -> "Expr":
         return Expr("abs", (self,))
@@ -220,6 +228,9 @@ class Expr:
             return low(self.args[0]).is_null()
         if self.op in _PC_ARITH:
             return _PC_ARITH[self.op](*(low(a) for a in self.args))
+        if self.op == "/":
+            lhs, rhs = (low(a) for a in self.args)
+            return pc.divide(lhs.cast(pa.float64()), rhs.cast(pa.float64()))
         if self.op == "%":
             raise NotImplementedError(
                 "modulo has no pyarrow Expression lowering; evaluate via mask()"
@@ -268,6 +279,11 @@ class Expr:
             return pc.is_null(ev(self.args[0]))
         if self.op in _PC_ARITH:
             return _PC_ARITH[self.op](*(ev(a) for a in self.args))
+        if self.op == "/":
+            lhs, rhs = (ev(a) for a in self.args)
+            return pc.divide(
+                pc.cast(lhs, pa.float64()), pc.cast(rhs, pa.float64())
+            )
         if self.op == "%":
             # Python-mod semantics (matches jnp.mod on device); Arrow
             # has no modulo kernel
@@ -348,7 +364,7 @@ class Expr:
             col = ev(self.args[0])
             values = jnp.asarray(self.args[1], dtype=col.dtype)
             return (col[:, None] == values[None, :]).any(axis=-1)
-        if self.op in _PC_ARITH or self.op == "%":
+        if self.op in _PC_ARITH or self.op in ("%", "/"):
             lhs = ev(self.args[0])
             if self.op == "abs":
                 return jnp.abs(lhs)

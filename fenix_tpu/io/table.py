@@ -96,7 +96,12 @@ def _live_parts(root: str, name: str) -> list[str]:
         with open(marker) as fh:
             info = json.load(fh)
         folded = set(info["parts"])
-        if os.stat(path_of(root, name)).st_mtime_ns == info["base_mtime_ns"]:
+        st = os.stat(path_of(root, name))
+        # "old base still present" only when BOTH identity fields match:
+        # st_ino alone could collide through immediate inode reuse,
+        # st_mtime_ns alone through coarse filesystem timer ticks; a
+        # simultaneous collision of both is not a realistic event
+        if (st.st_ino, st.st_mtime_ns) == (info["base_ino"], info["base_mtime_ns"]):
             # crash BEFORE the new base landed: parts are still live
             os.unlink(marker)
             return paths
@@ -120,15 +125,24 @@ def stamp(root: str, name: str) -> tuple:
 
 
 def load(root: str, name: str | Sequence[str]) -> pa.Table:
-    if isinstance(name, str):
+    if not isinstance(name, str):
+        assert isinstance(name, Sequence)
+        return join(*[load(root, n) for n in name])
+
+    # Revision-stable read: a compaction (new base) plus a fresh append
+    # (new 00000000.part) between reading the base and listing the
+    # parts would otherwise return a torn table. The stamp covers both;
+    # retry until it holds across the reads.
+    for _ in range(5):
+        token = stamp(root, name)
         base = arrow.load(path_of(root, name))
         parts = _live_parts(root, name)
+        if stamp(root, name) != token:
+            continue
         if not parts:
             return base
         return pa.concat_tables([base, *[arrow.load(p) for p in parts]])
-
-    assert isinstance(name, Sequence)
-    return join(*[load(root, n) for n in name])
+    raise RuntimeError(f"table {name!r} kept changing during load")
 
 
 def make(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
@@ -141,13 +155,14 @@ def rewrite(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
     new base carries everything, so all current parts are obsolete —
     marker-protected like compaction. Streams straight through when no
     parts are pending (the common overwrite)."""
-    base_path = path_of(root, name)
-    if not os.path.exists(base_path):
-        return arrow.make(base_path, data)
-
     from fenix_tpu.io.locks import catalog_lock
 
     with catalog_lock(root):
+        base_path = path_of(root, name)
+        if not os.path.exists(base_path):
+            _clear_leftovers(root, name)  # an interrupted drop's orphans
+            return arrow.make(base_path, data)
+
         parts = _live_parts(root, name)
         if not parts:
             return arrow.make(base_path, data)
@@ -159,14 +174,28 @@ def rewrite(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
         return out
 
 
+def _clear_leftovers(root: str, name: str) -> None:
+    """Remove parts/marker not belonging to any live base (a crashed
+    ``drop`` can strand them; they must never resurrect into a
+    recreated table of the same name)."""
+    import shutil
+
+    shutil.rmtree(_parts_dir(root, name), ignore_errors=True)
+    marker = _marker_path(root, name)
+    if os.path.exists(marker):
+        os.unlink(marker)
+
+
 def _publish_marker(root: str, name: str, parts: list[str]) -> None:
     marker = _marker_path(root, name)
     tmp = marker + ".tmp"
+    st = os.stat(path_of(root, name))
     with open(tmp, "w") as fh:
         json.dump(
             {
                 "parts": [os.path.basename(p) for p in parts],
-                "base_mtime_ns": os.stat(path_of(root, name)).st_mtime_ns,
+                "base_ino": st.st_ino,
+                "base_mtime_ns": st.st_mtime_ns,
             },
             fh,
         )
@@ -185,6 +214,7 @@ def append(root: str, name: str, data: pa.Table) -> pa.Table:
     with catalog_lock(root):
         base_path = path_of(root, name)
         if not os.path.exists(base_path):
+            _clear_leftovers(root, name)  # an interrupted drop's orphans
             return arrow.make(base_path, data.to_reader())
 
         base = arrow.load(base_path)
@@ -209,7 +239,7 @@ def append(root: str, name: str, data: pa.Table) -> pa.Table:
             int(base.num_rows * _COMPACT_FRACTION), 1024
         ):
             return compact(root, name)
-        return pa.concat_tables([base, *[arrow.load(p) for p in parts]])
+        return load(root, name)  # reentrant lock: same revision
 
 
 def compact(root: str, name: str) -> pa.Table:
@@ -248,19 +278,20 @@ def join(*data: pa.Table, axis: Literal[0, 1] = 0) -> pa.Table:
 
 def list(root: str) -> Iterator[str]:
     base = os.path.join(root, LOCATION)
+    # parts directories ('<name>.arrow.parts') don't match '*.arrow'
     for path in sorted(glob.glob(os.path.join(base, "**", "*.arrow"), recursive=True)):
-        if os.path.isdir(path):  # <name>.arrow.parts directories
-            continue
         yield os.path.relpath(path, base).removesuffix(".arrow")
 
 
 def drop(root: str, name: str) -> None:
-    import shutil
+    """Remove the table. Locked (a racing compact could otherwise
+    re-create the base after the unlink); base goes first so the table
+    stops listing immediately — a crash before the parts are removed
+    strands orphans, which the create paths clear (_clear_leftovers)."""
+    from fenix_tpu.io.locks import catalog_lock
 
-    path = path_of(root, name)
-    if os.path.exists(path):
-        os.unlink(path)
-    shutil.rmtree(_parts_dir(root, name), ignore_errors=True)
-    marker = _marker_path(root, name)
-    if os.path.exists(marker):
-        os.unlink(marker)
+    with catalog_lock(root):
+        path = path_of(root, name)
+        if os.path.exists(path):
+            os.unlink(path)
+        _clear_leftovers(root, name)

@@ -244,13 +244,15 @@ def test_compaction_crash_recovery(tmp_path):
     assert os.path.exists(part)
 
     # crash BEFORE the new base landed: marker names the part, base
-    # mtime still matches the marker
+    # identity still matches the marker
     marker = table.path_of(root, "t") + ".compacting"
+    st = os.stat(table.path_of(root, "t"))
     with open(marker, "w") as fh:
         json.dump(
             {
                 "parts": ["00000000.part"],
-                "base_mtime_ns": os.stat(table.path_of(root, "t")).st_mtime_ns,
+                "base_ino": st.st_ino,
+                "base_mtime_ns": st.st_mtime_ns,
             },
             fh,
         )
@@ -260,8 +262,8 @@ def test_compaction_crash_recovery(tmp_path):
     assert os.path.exists(part)  # part survived
 
     # crash AFTER the new base landed: rewrite the base to the combined
-    # table but leave the part + a marker pointing at the OLD mtime
-    old_mtime = os.stat(table.path_of(root, "t")).st_mtime_ns
+    # table but leave the part + a marker pointing at the OLD identity
+    old = os.stat(table.path_of(root, "t"))
     from fenix_tpu.io import arrow as arrow_io
 
     arrow_io.make(
@@ -269,7 +271,14 @@ def test_compaction_crash_recovery(tmp_path):
         pa.table({"id": pa.array([0, 1, 2, 3, 4])}).to_reader(),
     )
     with open(marker, "w") as fh:
-        json.dump({"parts": ["00000000.part"], "base_mtime_ns": old_mtime}, fh)
+        json.dump(
+            {
+                "parts": ["00000000.part"],
+                "base_ino": old.st_ino,
+                "base_mtime_ns": old.st_mtime_ns,
+            },
+            fh,
+        )
     got = table.load(root, "t")
     assert np.asarray(got.column("id")).tolist() == [0, 1, 2, 3, 4]  # no dupes
     assert not os.path.exists(part) and not os.path.exists(marker)
@@ -290,3 +299,53 @@ def test_rewrite_clears_parts(tmp_path):
     assert not glob.glob(os.path.join(table.path_of(root, "t") + ".parts", "*.part"))
     assert np.asarray(table.load(root, "t").column("id")).tolist() == [9]
     assert [*table.list(root)] == ["t"]  # parts dir never lists as a table
+
+
+def test_division_is_true_division_on_both_paths():
+    """Same JSON predicate must select the same rows on host and
+    device: '/' is true division (pc.divide would integer-divide)."""
+    import jax.numpy as jnp
+
+    from fenix_tpu import expr
+
+    t = pa.table({"a": pa.array([3, 7, 0]), "b": pa.array([2, 2, 5])})
+    cols = {"a": jnp.asarray([3, 7, 0]), "b": jnp.asarray([2, 2, 5])}
+    e = (expr.field("a") / expr.field("b")) > 1.4
+    host = e.mask(t).tolist()
+    dev = np.asarray(e.device_mask(cols)).tolist()
+    assert host == dev == [True, True, False]
+
+    # zero divisor: host must not raise (float semantics, like device)
+    e0 = (expr.field("b") / expr.field("a")) > 1e9
+    assert e0.mask(t).tolist()[2] is np.True_ or e0.mask(t).tolist()[2] is True
+
+    # reflected forms build (finding: __rtruediv__/__rmod__ were absent)
+    assert (100 / expr.field("a") > 2).to_json()
+    assert (10 % expr.field("b") == 0).to_json()
+
+
+def test_dropped_table_parts_never_resurrect(tmp_path):
+    """A crashed drop can strand parts; recreating the table (make or
+    append-create) must not inherit them."""
+    import os
+    import shutil
+
+    from fenix_tpu.io import table
+
+    root = str(tmp_path)
+    table.make(root, "t", pa.table({"id": pa.array([0, 1])}).to_reader())
+    table.append(root, "t", pa.table({"id": pa.array([2])}))
+    # simulate a drop that crashed after the base unlink
+    os.unlink(table.path_of(root, "t"))
+    assert os.path.exists(table.path_of(root, "t") + ".parts")
+
+    table.make(root, "t", pa.table({"id": pa.array([7])}).to_reader())
+    assert np.asarray(table.load(root, "t").column("id")).tolist() == [7]
+
+    shutil.rmtree(root)
+    os.makedirs(os.path.join(root))
+    table.make(root, "t", pa.table({"id": pa.array([0, 1])}).to_reader())
+    table.append(root, "t", pa.table({"id": pa.array([2])}))
+    os.unlink(table.path_of(root, "t"))
+    table.append(root, "t", pa.table({"id": pa.array([8])}))  # create path
+    assert np.asarray(table.load(root, "t").column("id")).tolist() == [8]
