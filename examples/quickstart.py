@@ -78,6 +78,58 @@ def main() -> None:
     )
     print("IVF top-5 ids:", approx.column("id").to_pylist())
 
+    # ---- mutate the catalog (indexes stay consistent) -------------------
+    fresh = rng.standard_normal((100, d)).astype(np.float32) + 8.0
+    client.append_table(
+        "demo/items",
+        pa.table(
+            {
+                "id": pa.array(np.arange(n, n + 100)),
+                "category": pa.array(np.full(100, 99)),
+                "vector": ingest.numpy_to_fixed_size_list(fresh, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    counts = client.upsert_rows(
+        "demo/items",
+        pa.table(
+            {
+                "id": pa.array([0, n + 100]),
+                "category": pa.array([99, 99]),
+                "vector": ingest.numpy_to_fixed_size_list(
+                    fresh[:2] * 0.5, pa.float32()
+                ),
+            }
+        ).to_reader(),
+    )
+    print("upsert:", counts)
+    deleted = client.delete_rows("demo/items", expr.field("category") == 99)
+    print("deleted:", deleted, "rows (category 99)")
+
+    # ---- fused search -> join -> aggregate ------------------------------
+    client.make_table(
+        "demo/attrs",
+        pa.table(
+            {
+                "key": pa.array(np.arange(n)),
+                "grp": pa.array(rng.integers(0, 4, n)),
+            }
+        ).to_reader(),
+    )
+    groups = client.search(
+        query,
+        source="demo/items",
+        column="vector",
+        metric="cosine",
+        maxval=32,
+        join={"source": "demo/attrs", "right_on": "key"},
+        aggregate={"group_by": "grp", "agg": "count", "max_groups": 8},
+    )
+    print("matches per group:", dict(zip(
+        groups.column("__GROUP__").to_pylist(),
+        groups.column("__AGG__").to_pylist(),
+    )))
+
     print("server stats:", {k: v for k, v in client.stats().items() if k.endswith("count")})
     server.shutdown()
 
