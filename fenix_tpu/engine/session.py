@@ -30,6 +30,34 @@ def _source_key(source: str | Sequence[str]) -> tuple[str, ...]:
     return (source,) if isinstance(source, str) else tuple(source)
 
 
+def _grow_jit(old, delta, start, new_pad: int):
+    import jax
+    import jax.numpy as jnp
+
+    buf = (
+        old
+        if new_pad == old.shape[0]
+        else jnp.zeros((new_pad, old.shape[1]), old.dtype).at[: old.shape[0]].set(old)
+    )
+    return jax.lax.dynamic_update_slice(buf, delta, (start, 0))
+
+
+_GROW_COMPILED = None
+
+
+def _grow_update(old, delta, old_rows: int, new_pad: int):
+    """On-device buffer extension (ONE module-level jit keyed by the
+    quantized shapes; no donation — in-flight searches may still hold
+    the old array)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _GROW_COMPILED
+    if _GROW_COMPILED is None:  # jax imports lazily in this module
+        _GROW_COMPILED = jax.jit(_grow_jit, static_argnames=("new_pad",))
+    return _GROW_COMPILED(old, delta, jnp.int32(old_rows), new_pad=new_pad)
+
+
 class DeviceCache:
     """Per-root cache of host tables and device-resident columns."""
 
@@ -44,6 +72,9 @@ class DeviceCache:
         self._mesh = mesh
         self._host: dict = {}
         self._device: dict = {}
+        # count of append-only refreshes served by the incremental
+        # device-buffer extension (observability + tests)
+        self.incremental_refreshes: int = 0
         # The Flight server dispatches handlers from a thread pool; a
         # single lock serializes cache fills (first query per column) —
         # steady-state hits only read the dicts.
@@ -75,11 +106,11 @@ class DeviceCache:
         stamp = self._mtimes(key)
 
         def build() -> pa.Table:
-            # A newer table revision invalidates derived device columns.
-            # Mutate in place: concurrent _memo calls hold a reference to
-            # this dict, and a rebind would orphan their cache writes.
-            for stale in [k for k in self._device if k[0] == key]:
-                del self._device[stale]
+            # Derived device columns invalidate via their OWN stamps on
+            # next access (eager eviction here would also destroy the
+            # old matrix buffer the incremental append refresh extends
+            # from). Superseded buffers free when their entry is
+            # replaced on first post-mutation access.
             return table.load(self.root, key if len(key) > 1 else key[0])
 
         return self._memo(self._host, key, stamp, build)
@@ -159,15 +190,80 @@ class DeviceCache:
     # -- device columns ---------------------------------------------------
 
     def matrix(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
-        """Padded ``[N_pad, D]`` fp32 vector column in HBM."""
+        """Padded ``[N_pad, D]`` fp32 vector column in HBM.
+
+        Append-only table revisions refresh INCREMENTALLY: only the new
+        delta-part rows cross the host→device link and the buffer
+        extends on device — the corpus is not re-ingested. (Every other
+        device entry — aux, bf16/int8 scan copies, clustered layouts —
+        derives from this array ON device, so their rebuilds cost HBM
+        bandwidth, not transfer.) Deletes/overwrites/compactions rebuild
+        from the host as before."""
         key = _source_key(source)
         stamp = self._mtimes(key)
+        ckey = (key, column, "matrix")
+
+        hit = self._device.get(ckey)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+        if hit is not None and len(key) == 1:
+            grown = self._grow_matrix(key[0], column, hit[0][0], hit[1], stamp[0])
+            if grown is not None:
+                with self._lock:
+                    cur = self._device.get(ckey)
+                    if cur is not None and cur[0] == stamp:
+                        return cur[1]  # another thread refreshed first
+                    self._device[ckey] = (stamp, grown)
+                self.incremental_refreshes += 1
+                return grown
 
         def build() -> ingest.DeviceColumn:
             data = self.host_table(source)
             return ingest.to_device_matrix(data.column(column), block=self.block)
 
-        return self._memo(self._device, (key, column, "matrix"), stamp, build)
+        return self._memo(self._device, ckey, stamp, build)
+
+    def _grow_matrix(
+        self,
+        source: str,
+        column: str,
+        old_stamp,
+        old: ingest.DeviceColumn,
+        new_stamp,
+    ) -> "ingest.DeviceColumn | None":
+        """Extend a cached device matrix by the rows of newly appended
+        delta parts; None when the revision change is not append-only
+        (caller falls back to a full rebuild)."""
+        import jax.numpy as jnp
+
+        delta_names = table.append_delta(old_stamp, new_stamp)
+        if not delta_names:
+            return None
+        try:
+            parts = table.load_parts(self.root, source, delta_names)
+        except FileNotFoundError:
+            return None  # another mutation raced; rebuild
+        delta = ingest.fixed_size_list_to_numpy(parts.column(column)).astype(
+            np.float32, copy=False
+        )
+        new_rows = old.rows + delta.shape[0]
+        # quantize the delta height so repeated small appends reuse one
+        # compiled update (compiles cost minutes in this environment);
+        # the zero tail it writes IS the expected padding
+        delta_pad = ingest.round_up(delta.shape[0], 256)
+        new_pad = max(
+            ingest.round_up(new_rows, self.block),
+            ingest.round_up(old.rows + delta_pad, self.block),
+            old.rows_padded,
+        )
+        if delta_pad != delta.shape[0]:
+            delta = np.concatenate(
+                [delta, np.zeros((delta_pad - delta.shape[0], delta.shape[1]), delta.dtype)]
+            )
+        return ingest.DeviceColumn(
+            data=_grow_update(old.data, jnp.asarray(delta), old.rows, new_pad),
+            rows=new_rows,
+        )
 
     def coded_ids(
         self,

@@ -124,6 +124,27 @@ def stamp(root: str, name: str) -> tuple:
     return (base, parts)
 
 
+def append_delta(old_stamp: tuple, new_stamp: tuple) -> "list[str] | None":
+    """If ``new_stamp`` is an APPEND-ONLY extension of ``old_stamp``
+    (same base revision, old parts an unchanged prefix of the new),
+    return the names of the newly appended parts; else None. Lets the
+    device cache upload only the appended rows instead of re-ingesting
+    the corpus."""
+    old_base, old_parts = old_stamp
+    new_base, new_parts = new_stamp
+    if old_base != new_base or new_parts[: len(old_parts)] != old_parts:
+        return None
+    return [name for name, _ in new_parts[len(old_parts):]]
+
+
+def load_parts(root: str, name: str, part_names: Sequence[str]) -> pa.Table:
+    """Load specific delta parts (by file name, append order)."""
+    parts_dir = _parts_dir(root, name)
+    return pa.concat_tables(
+        [arrow.load(os.path.join(parts_dir, p)) for p in part_names]
+    )
+
+
 def load(root: str, name: str | Sequence[str]) -> pa.Table:
     if not isinstance(name, str):
         assert isinstance(name, Sequence)

@@ -1,0 +1,90 @@
+"""Incremental device-cache refresh: append-only table revisions extend
+the HBM matrix in place (only the delta rows cross host→device); any
+other mutation falls back to a full rebuild. Results must always equal
+a cold cache."""
+
+import numpy as np
+import pyarrow as pa
+
+from fenix_tpu import expr
+from fenix_tpu.engine import executor as ex
+from fenix_tpu.engine import session
+from fenix_tpu.io import ingest, table
+
+DIM = 16
+
+
+def _tbl(ids: np.ndarray, vecs: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "vector": ingest.numpy_to_fixed_size_list(
+                vecs.astype(np.float32), pa.float32()
+            ),
+        }
+    )
+
+
+def _search(cache, target, maxval=3):
+    return ex.execute_search(
+        cache,
+        ex.SearchRequest(
+            source="t", column="vector", target=target, metric="l2", maxval=maxval
+        ),
+    )
+
+
+def test_append_refreshes_incrementally(tmp_path, rng):
+    root = str(tmp_path)
+    vecs = rng.standard_normal((1000, DIM)).astype(np.float32)
+    table.make(root, "t", _tbl(np.arange(1000), vecs).to_reader())
+
+    cache = session.DeviceCache(root, block=256, mesh=None)
+    _search(cache, vecs[3])  # warm the matrix
+    assert cache.incremental_refreshes == 0
+
+    extra = rng.standard_normal((40, DIM)).astype(np.float32) + 25.0
+    table.append(root, "t", _tbl(np.arange(1000, 1040), extra))
+    hit = _search(cache, extra[7], maxval=1)
+    assert int(np.asarray(hit.column("id"))[0]) == 1007
+    assert cache.incremental_refreshes == 1
+
+    # growth past the padded capacity allocates a bigger buffer on
+    # device, still incrementally
+    extra2 = rng.standard_normal((400, DIM)).astype(np.float32) - 25.0
+    table.append(root, "t", _tbl(np.arange(1040, 1440), extra2))
+    hit = _search(cache, extra2[5], maxval=1)
+    assert int(np.asarray(hit.column("id"))[0]) == 1045
+    assert cache.incremental_refreshes == 2
+
+    # equal to a cold cache on the same files, top-k band included
+    cold = session.DeviceCache(root, block=256, mesh=None)
+    q = rng.standard_normal(DIM).astype(np.float32)
+    assert _search(cache, q, maxval=10) == _search(cold, q, maxval=10)
+
+    # a delete is NOT append-only: full rebuild, counter unchanged
+    from fenix_tpu import index as index_mod
+
+    deleted = index_mod.delete_rows(root, "t", expr.field("id") >= 1400)
+    assert deleted == 40
+    out = _search(cache, extra2[5], maxval=1000)
+    assert out.num_rows == 1000
+    assert (np.asarray(out.column("id")) < 1400).all()
+    assert cache.incremental_refreshes == 2
+
+
+def test_incremental_refresh_matches_under_mesh_fallback(tmp_path, rng):
+    """Mesh caches rebuild sharded matrices fully (documented limit) but
+    stay correct after appends."""
+    root = str(tmp_path)
+    vecs = rng.standard_normal((512, DIM)).astype(np.float32)
+    table.make(root, "t", _tbl(np.arange(512), vecs).to_reader())
+    meshed = session.DeviceCache(root, block=64)
+    assert meshed.mesh is not None
+    _search(meshed, vecs[0])
+
+    extra = rng.standard_normal((16, DIM)).astype(np.float32) + 30.0
+    table.append(root, "t", _tbl(np.arange(512, 528), extra))
+    hit = _search(meshed, extra[3], maxval=1)
+    assert int(np.asarray(hit.column("id"))[0]) == 515
+    assert meshed.incremental_refreshes == 0
