@@ -208,6 +208,12 @@ class DeviceCache:
             return hit[1]
         if hit is not None and len(key) == 1:
             grown = self._grow_matrix(key[0], column, hit[0][0], hit[1], stamp[0])
+            # revalidate: a compaction between the stamp read and the
+            # part loads can fold AND REUSE part names (ids reset) —
+            # the grown buffer would then hold wrong rows under a stale
+            # stamp; rebuild instead
+            if grown is not None and self._mtimes(key) != stamp:
+                grown = None
             if grown is not None:
                 with self._lock:
                     cur = self._device.get(ckey)
