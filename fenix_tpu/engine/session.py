@@ -12,6 +12,7 @@ are invalidated by file mtime.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Sequence
 
 import numpy as np
@@ -43,6 +44,7 @@ def _grow_jit(old, delta, start, new_pad: int):
 
 
 _GROW_COMPILED = None
+_GROW_INIT_LOCK = threading.Lock()
 
 
 def _grow_update(old, delta, old_rows: int, new_pad: int):
@@ -54,7 +56,9 @@ def _grow_update(old, delta, old_rows: int, new_pad: int):
 
     global _GROW_COMPILED
     if _GROW_COMPILED is None:  # jax imports lazily in this module
-        _GROW_COMPILED = jax.jit(_grow_jit, static_argnames=("new_pad",))
+        with _GROW_INIT_LOCK:
+            if _GROW_COMPILED is None:
+                _GROW_COMPILED = jax.jit(_grow_jit, static_argnames=("new_pad",))
     return _GROW_COMPILED(old, delta, jnp.int32(old_rows), new_pad=new_pad)
 
 
@@ -106,11 +110,19 @@ class DeviceCache:
         stamp = self._mtimes(key)
 
         def build() -> pa.Table:
-            # Derived device columns invalidate via their OWN stamps on
-            # next access (eager eviction here would also destroy the
-            # old matrix buffer the incremental append refresh extends
-            # from). Superseded buffers free when their entry is
-            # replaced on first post-mutation access.
+            # A newer table revision frees the superseded derived
+            # device buffers eagerly (clustered layouts / scan copies
+            # can hold corpus-sized HBM; waiting for re-access would
+            # leak them for variants never used again) — EXCEPT the
+            # fp32 matrix entries, which the incremental append refresh
+            # extends from. Mutate in place: concurrent _memo calls
+            # hold a reference to this dict.
+            for stale in [
+                k
+                for k in self._device
+                if k[0] == key and not (len(k) == 3 and k[2] == "matrix")
+            ]:
+                del self._device[stale]
             return table.load(self.root, key if len(key) > 1 else key[0])
 
         return self._memo(self._host, key, stamp, build)
@@ -206,28 +218,26 @@ class DeviceCache:
         hit = self._device.get(ckey)
         if hit is not None and hit[0] == stamp:
             return hit[1]
-        if hit is not None and len(key) == 1:
-            grown = self._grow_matrix(key[0], column, hit[0][0], hit[1], stamp[0])
-            # revalidate: a compaction between the stamp read and the
-            # part loads can fold AND REUSE part names (ids reset) —
-            # the grown buffer would then hold wrong rows under a stale
-            # stamp; rebuild instead
-            if grown is not None and self._mtimes(key) != stamp:
-                grown = None
-            if grown is not None:
-                with self._lock:
-                    cur = self._device.get(ckey)
-                    if cur is not None and cur[0] == stamp:
-                        return cur[1]  # another thread refreshed first
+
+        with self._lock:  # serialize fills like _memo (one grow/build)
+            hit = self._device.get(ckey)
+            if hit is not None and hit[0] == stamp:
+                return hit[1]
+            if hit is not None and len(key) == 1:
+                grown = self._grow_matrix(key[0], column, hit[0][0], hit[1], stamp[0])
+                # revalidate: a compaction between the stamp read and
+                # the part loads can fold AND REUSE part names (ids
+                # reset) — the grown buffer would then hold wrong rows
+                # under a stale stamp; rebuild instead
+                if grown is not None and self._mtimes(key) == stamp:
                     self._device[ckey] = (stamp, grown)
-                self.incremental_refreshes += 1
-                return grown
+                    self.incremental_refreshes += 1
+                    return grown
 
-        def build() -> ingest.DeviceColumn:
             data = self.host_table(source)
-            return ingest.to_device_matrix(data.column(column), block=self.block)
-
-        return self._memo(self._device, ckey, stamp, build)
+            value = ingest.to_device_matrix(data.column(column), block=self.block)
+            self._device[ckey] = (stamp, value)
+            return value
 
     def _grow_matrix(
         self,
@@ -247,25 +257,30 @@ class DeviceCache:
             return None
         try:
             parts = table.load_parts(self.root, source, delta_names)
-        except FileNotFoundError:
-            return None  # another mutation raced; rebuild
-        delta = ingest.fixed_size_list_to_numpy(parts.column(column)).astype(
-            np.float32, copy=False
-        )
-        new_rows = old.rows + delta.shape[0]
-        # quantize the delta height so repeated small appends reuse one
-        # compiled update (compiles cost minutes in this environment);
-        # the zero tail it writes IS the expected padding
-        delta_pad = ingest.round_up(delta.shape[0], 256)
-        new_pad = max(
-            ingest.round_up(new_rows, self.block),
-            ingest.round_up(old.rows + delta_pad, self.block),
-            old.rows_padded,
-        )
-        if delta_pad != delta.shape[0]:
-            delta = np.concatenate(
-                [delta, np.zeros((delta_pad - delta.shape[0], delta.shape[1]), delta.dtype)]
+            delta = ingest.fixed_size_list_to_numpy(parts.column(column)).astype(
+                np.dtype(old.data.dtype), copy=False
             )
+        except (FileNotFoundError, KeyError, TypeError):
+            return None  # raced mutation / schema drift: full rebuild
+
+        new_rows = old.rows + delta.shape[0]
+        # a cold rebuild of the same data would pad to exactly this —
+        # never exceed it, or the grown shape diverges from rebuilds and
+        # every search kernel recompiles for the one-off shape
+        cold_pad = max(
+            ingest.round_up(new_rows, self.block), self.block, old.rows_padded
+        )
+        # quantize the delta height so repeated small appends reuse one
+        # compiled update (the zero tail it writes IS the expected
+        # padding), clamped into the cold-rebuild capacity when it fits
+        delta_pad = ingest.round_up(delta.shape[0], 256)
+        if old.rows + delta_pad > cold_pad:
+            delta_pad = cold_pad - old.rows
+        new_pad = cold_pad
+        if delta_pad != delta.shape[0]:
+            from fenix_tpu import native
+
+            delta = native.pack_rows(np.ascontiguousarray(delta), delta_pad)
         return ingest.DeviceColumn(
             data=_grow_update(old.data, jnp.asarray(delta), old.rows, new_pad),
             rows=new_rows,

@@ -114,14 +114,19 @@ def _live_parts(root: str, name: str) -> list[str]:
 
 
 def stamp(root: str, name: str) -> tuple:
-    """Revision token for cache invalidation: base mtime plus the
-    (name, mtime) of every live part. Raises FileNotFoundError like a
-    plain getmtime when the table does not exist."""
-    base = os.path.getmtime(path_of(root, name))
+    """Revision token for cache invalidation: the base's identity as
+    ``(st_ino, st_mtime_ns)`` — mtime alone can collide across a
+    same-timestamp-tick rewrite, and the incremental append refresh
+    trusts this token to mean "same base revision" (cf. the marker
+    recovery, which refuses bare mtime for the same reason) — plus the
+    ``(name, st_mtime_ns)`` of every live part. Raises
+    FileNotFoundError like a plain stat when the table does not
+    exist."""
+    st = os.stat(path_of(root, name))
     parts = tuple(
-        (os.path.basename(p), os.path.getmtime(p)) for p in _live_parts(root, name)
+        (os.path.basename(p), os.stat(p).st_mtime_ns) for p in _live_parts(root, name)
     )
-    return (base, parts)
+    return ((st.st_ino, st.st_mtime_ns), parts)
 
 
 def append_delta(old_stamp: tuple, new_stamp: tuple) -> "list[str] | None":
