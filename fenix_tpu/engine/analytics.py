@@ -382,7 +382,7 @@ def _execute_fused(
     src = (req.source,) if isinstance(req.source, str) else tuple(req.source)
     for _ in range(5):
         stamp = tuple(table_mod.stamp(cache.root, s) for s in src)
-        data, corpus = cache.snapshot(req.source, req.column, sharded=sharded)
+        data, corpus, _ = cache.snapshot(req.source, req.column, sharded=sharded)
         left_col = cache.scalar(req.source, join.left_on, sharded=sharded)
         aux_mul, aux_add = (
             cache.sharded_aux(req.source, req.column, metric_canonical)

@@ -134,16 +134,15 @@ class _StaleRevision(Exception):
     layouts read along the way span table revisions. Retried."""
 
 
-def _revision_stamp(cache, source, column: str, coding: str | None) -> tuple:
-    import os
-
-    key = (source,) if isinstance(source, str) else tuple(source)
-    stamp = cache._mtimes(key)
-    if coding is not None:
-        stamp += tuple(
-            os.path.getmtime(p) for p in cache._coded_paths(coding, key, column)
-        )
-    return stamp
+def _check_revision(cache, source, column: str, coding, snap_stamp: tuple) -> None:
+    """Raise _StaleRevision when a catalog mutation landed after the
+    snapshot: the device entries fetched for this dispatch (aux, scan
+    copies, coded ids, clustered layouts) memoize under their OWN
+    stamps, so a mid-request mutation could pair a newer entry with the
+    snapshot's host table. Checking the revision AFTER assembling the
+    inputs proves they all saw the snapshot's files."""
+    if cache.snapshot_stamp(source, column, coding) != snap_stamp:
+        raise _StaleRevision
 
 
 def _clustered_eligible(coding_data) -> bool:
@@ -355,10 +354,7 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
 def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     # --- host-side table (for result gather and schema parity),
     # snapshot-consistent with the device-resident matrix -----------------
-    stamp0 = _revision_stamp(
-        cache, req.source, req.column, req.coding if req.probes else None
-    )
-    data, corpus = cache.snapshot(req.source, req.column, coding=req.coding)
+    data, corpus, snap_stamp = cache.snapshot(req.source, req.column, coding=req.coding)
 
     column_type = data.schema.field(req.column).type
     value_dtype = column_type.value_type.to_pandas_dtype()
@@ -455,8 +451,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
                 cache, req.coding, req.source, req.column, coding_data,
                 queries, cells, q_pad, k_pad, metric, mask_np,
             )
-            if _revision_stamp(cache, req.source, req.column, req.coding) != stamp0:
-                raise _StaleRevision
+            _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
             dists, ids = topk2.unpack_result(packed)
             return gather_results(
                 data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
@@ -485,6 +480,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
                 corpus.data, queries, aux_mul, aux_add, coded.data, cells,
                 k=k_pad, metric=metric,
             )
+            _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
             dists, ids = topk2.unpack_result(packed)
             return gather_results(
                 data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
@@ -508,8 +504,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             k=k_pad,
             metric=metric,
         )
-        if _revision_stamp(cache, req.source, req.column, req.coding) != stamp0:
-            raise _StaleRevision
+        _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
         # kernel returns ORIGINAL ids already ordered by (dist, id)
         dists, ids = topk2.unpack_result(packed)
         return gather_results(
@@ -556,6 +551,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             corpus_scan_int8=corpus_scan_int8,
         )
 
+    _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
     dists, ids = topk2.unpack_result(packed)  # single roundtrip fetch
     return gather_results(data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype)
 
@@ -613,10 +609,7 @@ def _execute_search_batched_once(
     cache: DeviceCache, reqs: Sequence[SearchRequest], defer: bool
 ) -> "list[pa.Table] | Callable[[], list[pa.Table]]":
     r0 = reqs[0]
-    stamp0 = _revision_stamp(
-        cache, r0.source, r0.column, r0.coding if r0.probes else None
-    )
-    data, corpus = cache.snapshot(r0.source, r0.column, coding=r0.coding)
+    data, corpus, snap_stamp = cache.snapshot(r0.source, r0.column, coding=r0.coding)
     column_type = data.schema.field(r0.column).type
     value_dtype = column_type.value_type.to_pandas_dtype()
     dim = column_type.list_size
@@ -653,8 +646,6 @@ def _execute_search_batched_once(
                 cache, r0.coding, r0.source, r0.column, coding_data,
                 queries, cells, q_pad, k_pad, metric, mask_np=None,
             )
-            if _revision_stamp(cache, r0.source, r0.column, r0.coding) != stamp0:
-                raise _StaleRevision
         else:
             n_pad = corpus.rows_padded
             use_clustered = _clustered_eligible(coding_data)
@@ -723,6 +714,8 @@ def _execute_search_batched_once(
             corpus_scan=corpus_scan,
             corpus_scan_int8=corpus_scan_int8,
         )
+
+    _check_revision(cache, r0.source, r0.column, r0.coding, snap_stamp)
 
     def finish() -> list[pa.Table]:
         dists, ids = topk2.unpack_result(packed)  # blocks: device→host fetch

@@ -234,10 +234,20 @@ class DeviceCache:
                     self.incremental_refreshes += 1
                     return grown
 
-            data = self.host_table(source)
-            value = ingest.to_device_matrix(data.column(column), block=self.block)
-            self._device[ckey] = (stamp, value)
-            return value
+            # Full build with label↔content BINDING: the stamp stored
+            # with the entry must describe the revision the rows came
+            # from — an entry whose content is newer than its label
+            # makes the next grow re-append rows it already holds
+            # (plain _memo entries tolerate the mismatch because their
+            # consumers only ever rebuild). Loop until stable.
+            for _ in range(5):
+                s1 = self._mtimes(key)
+                data = table.load(self.root, key if len(key) > 1 else key[0])
+                value = ingest.to_device_matrix(data.column(column), block=self.block)
+                if self._mtimes(key) == s1:
+                    self._device[ckey] = (s1, value)
+                    return value
+            raise RuntimeError(f"table {source!r} kept changing during ingest")
 
     def _grow_matrix(
         self,
@@ -734,15 +744,20 @@ class DeviceCache:
 
         ``sharded`` defaults to mesh-presence; pass False for consumers
         whose device pipeline is single-device regardless (the fused
-        analytics kernels)."""
+        analytics kernels).
+
+        Returns ``(host table, device matrix, revision stamp)``. The
+        stamp is the token the pair was stable under; executors
+        re-check it (``snapshot_stamp``) after fetching the OTHER
+        device entries (aux, scan copies, coded ids) for a dispatch —
+        those memoize under their own stamps, so a mutation landing
+        between the snapshot and an aux fetch would otherwise pair a
+        newer aux (more valid rows) with an older host table and gather
+        out of bounds."""
         key = _source_key(source)
 
         def stamps() -> tuple:
-            base = self._mtimes(key)
-            if coding is None:
-                return base
-            paths = self._coded_paths(coding, key, column)
-            return base + tuple(os.path.getmtime(p) for p in paths)
+            return self.snapshot_stamp(source, column, coding)
 
         for _ in range(5):
             stamp = stamps()
@@ -759,8 +774,19 @@ class DeviceCache:
                 else self.matrix(source, column)
             )
             if stamps() == stamp:
-                return data, matrix
+                return data, matrix, stamp
         raise RuntimeError(f"table {source!r} kept changing during snapshot")
+
+    def snapshot_stamp(
+        self, source: str | Sequence[str], column: str, coding: str | None = None
+    ) -> tuple:
+        """The revision token :meth:`snapshot` stabilizes under."""
+        key = _source_key(source)
+        base = self._mtimes(key)
+        if coding is None:
+            return base
+        paths = self._coded_paths(coding, key, column)
+        return base + tuple(os.path.getmtime(p) for p in paths)
 
     def invalidate(self) -> None:
         with self._lock:

@@ -247,7 +247,11 @@ class Server(fl.FlightServerBase):
                 return iter([fl.Result(_dumps([*index_mod.list(self.root)]))])
 
             case "stats":
-                return iter([fl.Result(_dumps(METRICS.snapshot()))])
+                snap = METRICS.snapshot()
+                snap["cache.incremental_refreshes"] = float(
+                    self.cache.incremental_refreshes
+                )
+                return iter([fl.Result(_dumps(snap))])
 
             case "health":
                 return iter([fl.Result(b'{"status":"ok"}')])

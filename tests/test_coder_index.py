@@ -266,7 +266,7 @@ def test_clustered_ivf_matches_masked_scan(root, rng):
         got = ex.execute_search(cache, req)  # clustered route
 
         # reference: masked-scan kernel on the unsorted layout
-        data, corpus = cache.snapshot("test/table", "vector", coding="c/l2")
+        data, corpus, _ = cache.snapshot("test/table", "vector", coding="c/l2")
         coding_data = cache.coding("c/l2")
         queries = jnp.asarray(target)
         cells = ex._rank_cells(queries, coding_data, "l2", 6)
@@ -323,7 +323,7 @@ def test_multi_source_probed_clustered(root, rng):
     got = ex.execute_search(cache, req)
     assert got.num_rows == 12
 
-    data, corpus_dc = cache.snapshot(sources, "vector", coding="m/l2")
+    data, corpus_dc, _ = cache.snapshot(sources, "vector", coding="m/l2")
     coding_data = cache.coding("m/l2")
     cells = ex._rank_cells(target, coding_data, "l2", 5)
     coded = cache.coded_ids("m/l2", sources, "vector")

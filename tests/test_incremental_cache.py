@@ -88,3 +88,48 @@ def test_incremental_refresh_matches_under_mesh_fallback(tmp_path, rng):
     hit = _search(meshed, extra[3], maxval=1)
     assert int(np.asarray(hit.column("id"))[0]) == 515
     assert meshed.incremental_refreshes == 0
+
+
+def test_concurrent_appends_and_searches(tmp_path, rng):
+    """Writers and readers race through the engine: searches must never
+    fail or see torn tables while appends land."""
+    import concurrent.futures
+
+    root = str(tmp_path)
+    vecs = rng.standard_normal((2048, DIM)).astype(np.float32)
+    table.make(root, "t", _tbl(np.arange(2048), vecs).to_reader())
+    cache = session.DeviceCache(root, block=256, mesh=None)
+    _search(cache, vecs[0])  # warm
+
+    payloads = [
+        _tbl(
+            np.arange(2048 + i * 32, 2048 + (i + 1) * 32),
+            rng.standard_normal((32, DIM)).astype(np.float32),
+        )
+        for i in range(8)
+    ]
+    queries = rng.standard_normal((24, DIM)).astype(np.float32)
+    errors: list[Exception] = []
+
+    def appender(i: int) -> None:
+        try:
+            table.append(root, "t", payloads[i])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def searcher(q: np.ndarray) -> None:
+        try:
+            out = _search(cache, q, maxval=5)
+            ids = np.asarray(out.column("id"))
+            assert out.num_rows == 5 and (ids >= 0).all() and (ids < 2048 + 256).all()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    with concurrent.futures.ThreadPoolExecutor(12) as pool:
+        futs = [pool.submit(appender, i) for i in range(8)]
+        futs += [pool.submit(searcher, q) for q in queries]
+        [f.result() for f in futs]
+
+    assert not errors, errors[:3]
+    final = _search(cache, payloads[7].column("vector")[0].values.to_numpy(), maxval=1)
+    assert int(np.asarray(final.column("id"))[0]) == 2048 + 7 * 32
