@@ -354,6 +354,34 @@ def _groups_table(packed: np.ndarray, max_groups: int) -> pa.Table:
     )
 
 
+def _attrs_device_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
+    """Attribute-side device entries fetched under ONE revision: each
+    memoizes under its own stamp, so a mutation of the attrs table
+    between fetches could pair a re-sorted key index with a stale
+    group/value column (same class as executor._check_revision). Loop
+    until the revision holds across the fetches."""
+    key = (join.source,) if isinstance(join.source, str) else tuple(join.source)
+    for _ in range(5):
+        s = cache._mtimes(key)
+        sorted_keys, sorted_index, attr_rows = cache.sorted_key(
+            join.source, join.right_on
+        )
+        group_col = value_col = None
+        if aggregate is not None:
+            group_col = cache.scalar(join.source, aggregate.group_by)
+            use_value = (
+                aggregate.value is not None and aggregate.value != executor.DIST_COL
+            )
+            value_col = (
+                cache.scalar(join.source, aggregate.value).data
+                if use_value
+                else group_col.data
+            )
+        if cache._mtimes(key) == s:
+            return sorted_keys, sorted_index, attr_rows, group_col, value_col
+    raise RuntimeError(f"table {join.source!r} kept changing during join")
+
+
 def _execute_fused(
     cache: DeviceCache,
     req: executor.SearchRequest,
@@ -421,19 +449,15 @@ def _execute_fused(
         )
         aux_add = executor._overlay_mask(aux_add, mask_dev)
 
-    sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
+    sorted_keys, sorted_index, attr_rows, group_col, value_col = (
+        _attrs_device_entries(cache, join, aggregate)
+    )
 
     if aggregate is not None:
-        group_col = cache.scalar(join.source, aggregate.group_by)
         use_value_col = (
             aggregate.value is not None and aggregate.value != executor.DIST_COL
         )
         use_dist = aggregate.value == executor.DIST_COL
-        value_col = (
-            cache.scalar(join.source, aggregate.value).data
-            if use_value_col
-            else group_col.data
-        )
         agg = aggregate.agg
         if not use_value_col and not use_dist and agg == "count":
             agg = "sum"
@@ -562,14 +586,14 @@ def execute_search_join(
             f"join key {join.left_on!r} has values outside the device "
             "int32 range; re-key below 2^31"
         )
-    sorted_keys, sorted_index, attr_rows = cache.sorted_key(join.source, join.right_on)
+    sorted_keys, sorted_index, attr_rows, group_col, value_col = (
+        _attrs_device_entries(cache, join, aggregate)
+    )
     left_keys = jnp.asarray(left_keys_np.astype(sorted_keys.dtype))
 
     if aggregate is not None:
-        group_col = cache.scalar(join.source, aggregate.group_by)
         use_value_col = aggregate.value is not None and aggregate.value != executor.DIST_COL
         if use_value_col:
-            value_col = cache.scalar(join.source, aggregate.value).data
             left_values = jnp.zeros((left_keys.shape[0],), jnp.float32)
             agg = aggregate.agg
         elif aggregate.value == executor.DIST_COL:
