@@ -360,9 +360,11 @@ def _attrs_device_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
     between fetches could pair a re-sorted key index with a stale
     group/value column (same class as executor._check_revision). Loop
     until the revision holds across the fetches."""
+    from fenix_tpu.io.locks import read_stable
+
     key = (join.source,) if isinstance(join.source, str) else tuple(join.source)
-    for _ in range(5):
-        s = cache._mtimes(key)
+
+    def read():
         sorted_keys, sorted_index, attr_rows = cache.sorted_key(
             join.source, join.right_on
         )
@@ -377,9 +379,12 @@ def _attrs_device_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
                 if use_value
                 else group_col.data
             )
-        if cache._mtimes(key) == s:
-            return sorted_keys, sorted_index, attr_rows, group_col, value_col
-    raise RuntimeError(f"table {join.source!r} kept changing during join")
+        return sorted_keys, sorted_index, attr_rows, group_col, value_col
+
+    value, _ = read_stable(
+        lambda: cache._mtimes(key), read, f"table {join.source!r}"
+    )
+    return value
 
 
 def _execute_fused(

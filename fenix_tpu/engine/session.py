@@ -82,8 +82,6 @@ class DeviceCache:
         # The Flight server dispatches handlers from a thread pool; a
         # single lock serializes cache fills (first query per column) —
         # steady-state hits only read the dicts.
-        import threading
-
         self._lock = threading.RLock()
 
     # -- host tables ------------------------------------------------------
@@ -239,15 +237,21 @@ class DeviceCache:
             # from — an entry whose content is newer than its label
             # makes the next grow re-append rows it already holds
             # (plain _memo entries tolerate the mismatch because their
-            # consumers only ever rebuild). Loop until stable.
-            for _ in range(5):
-                s1 = self._mtimes(key)
-                data = table.load(self.root, key if len(key) > 1 else key[0])
-                value = ingest.to_device_matrix(data.column(column), block=self.block)
-                if self._mtimes(key) == s1:
-                    self._device[ckey] = (s1, value)
-                    return value
-            raise RuntimeError(f"table {source!r} kept changing during ingest")
+            # consumers only ever rebuild).
+            from fenix_tpu.io.locks import read_stable
+
+            value, s1 = read_stable(
+                lambda: self._mtimes(key),
+                lambda: ingest.to_device_matrix(
+                    table.load(self.root, key if len(key) > 1 else key[0]).column(
+                        column
+                    ),
+                    block=self.block,
+                ),
+                f"table {source!r}",
+            )
+            self._device[ckey] = (s1, value)
+            return value
 
     def _grow_matrix(
         self,
@@ -754,28 +758,25 @@ class DeviceCache:
         between the snapshot and an aux fetch would otherwise pair a
         newer aux (more valid rows) with an older host table and gather
         out of bounds."""
-        key = _source_key(source)
+        from fenix_tpu.io.locks import read_stable
 
-        def stamps() -> tuple:
-            return self.snapshot_stamp(source, column, coding)
+        if sharded is None:
+            sharded = self.mesh is not None
 
-        for _ in range(5):
-            stamp = stamps()
+        def read():
             data = (
                 self.coded_table(coding, source, column)
                 if coding is not None
                 else self.host_table(source)
             )
-            if sharded is None:
-                sharded = self.mesh is not None
-            matrix = (
-                self.sharded_matrix(source, column)
-                if sharded
-                else self.matrix(source, column)
-            )
-            if stamps() == stamp:
-                return data, matrix, stamp
-        raise RuntimeError(f"table {source!r} kept changing during snapshot")
+            return data, self._base_matrix(source, column, sharded)
+
+        (data, matrix), stamp = read_stable(
+            lambda: self.snapshot_stamp(source, column, coding),
+            read,
+            f"table {source!r}",
+        )
+        return data, matrix, stamp
 
     def snapshot_stamp(
         self, source: str | Sequence[str], column: str, coding: str | None = None

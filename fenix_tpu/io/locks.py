@@ -29,3 +29,17 @@ def catalog_lock(root: str) -> threading.RLock:
     root = os.path.abspath(root)
     with _GUARD:
         return _LOCKS.setdefault(root, threading.RLock())
+
+
+def read_stable(stamp_fn, read_fn, what: str, attempts: int = 5):
+    """Lock-free consistent read: retry ``read_fn`` until ``stamp_fn``
+    (a cheap revision token) is identical before and after the read.
+    The shared idiom behind every multi-file read that must not mix
+    catalog revisions (table base+parts, snapshot table+matrix, join
+    attribute entries). Returns ``(value, stamp)``."""
+    for _ in range(attempts):
+        token = stamp_fn()
+        value = read_fn()
+        if stamp_fn() == token:
+            return value, token
+    raise RuntimeError(f"{what} kept changing during read")

@@ -155,20 +155,20 @@ def load(root: str, name: str | Sequence[str]) -> pa.Table:
         assert isinstance(name, Sequence)
         return join(*[load(root, n) for n in name])
 
-    # Revision-stable read: a compaction (new base) plus a fresh append
-    # (new 00000000.part) between reading the base and listing the
-    # parts would otherwise return a torn table. The stamp covers both;
-    # retry until it holds across the reads.
-    for _ in range(5):
-        token = stamp(root, name)
+    from fenix_tpu.io.locks import read_stable
+
+    def read() -> pa.Table:
+        # a compaction (new base) plus a fresh append (part ids reset)
+        # between reading the base and listing the parts would return a
+        # torn table; the surrounding stamp check covers both
         base = arrow.load(path_of(root, name))
         parts = _live_parts(root, name)
-        if stamp(root, name) != token:
-            continue
         if not parts:
             return base
         return pa.concat_tables([base, *[arrow.load(p) for p in parts]])
-    raise RuntimeError(f"table {name!r} kept changing during load")
+
+    value, _ = read_stable(lambda: stamp(root, name), read, f"table {name!r}")
+    return value
 
 
 def make(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
