@@ -223,6 +223,14 @@ class Server(fl.FlightServerBase):
                 self.cache.invalidate()
                 return iter([])
 
+            case "compact-table":
+                # fold delta parts into the base Arrow IPC file (the
+                # reference-readable at-rest form) — e.g. before backing
+                # up or handing the root to another reader
+                with METRICS.timed("compact", table=config["name"]):
+                    table.compact(self.root, config["name"])
+                return iter([])
+
             case "delete-rows":
                 with METRICS.timed("delete-rows", source=config["source"]):
                     deleted = index_mod.delete_rows(
@@ -429,6 +437,13 @@ class Flight:
 
     def drop_table(self, name: str) -> "Flight":
         self._action("drop-table", {"name": name})
+        return self
+
+    def compact_table(self, name: str) -> "Flight":
+        """Fold any pending append delta parts into the table's base
+        Arrow IPC file (idempotent; the at-rest form the reference can
+        read directly)."""
+        self._action("compact-table", {"name": name})
         return self
 
     # -- index lifecycle --------------------------------------------------

@@ -271,7 +271,7 @@ def test_list_flights_and_info(flight, source):
     assert info.schema == source.schema
 
 
-def test_append_delete_and_overwrite_lifecycle(flight, rng):
+def test_append_delete_and_overwrite_lifecycle(server, flight, rng):
     """Incremental ingest: append extends indexes by scoring only the
     new rows; delete-rows filters table + indexes by one mask; overwrite
     drops stale indexes (they are no longer row-aligned)."""
@@ -354,6 +354,26 @@ def test_append_delete_and_overwrite_lifecycle(flight, rng):
         probes=16,
     )
     assert (np.asarray(probed.column("id")) >= 100).all()
+
+    # -- explicit compaction folds the append's delta part --------------
+    import glob as _glob
+
+    from fenix_tpu.io import table as table_mod
+
+    flight.append_table(
+        "test/mut", pa.RecordBatchReader.from_batches(SCHEMA, iter([extra]))
+    )
+    flight.delete_rows("test/mut", expr.field("id") >= NUM_VECTORS)
+    flight.append_table(
+        "test/mut", pa.RecordBatchReader.from_batches(SCHEMA, iter([extra]))
+    )
+    parts_glob = table_mod.path_of(server.root, "test/mut") + ".parts/*.part"
+    assert _glob.glob(parts_glob)  # the append left a delta part
+    flight.compact_table("test/mut")
+    assert not _glob.glob(parts_glob)
+    after = flight.read_table("test/mut").read_all()
+    assert after.num_rows == total - 100
+    flight.delete_rows("test/mut", expr.field("id") >= NUM_VECTORS)
 
     # -- overwrite: stale indexes are dropped, not left lying ----------
     flight.make_table("test/mut", src.to_reader())
