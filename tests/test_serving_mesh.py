@@ -271,3 +271,35 @@ def test_sharded_clustered_ivf_route(tmp_path, rng):
     assert any(
         isinstance(key, tuple) and "sharded_clustered" in key for key in meshed._device
     ), sorted(str(k) for k in meshed._device)
+
+
+def test_cross_shard_tie_break(tmp_path, rng):
+    """Exact duplicate vectors living on DIFFERENT shards: the merged
+    top-k must order ties by ascending global id, exactly like a single
+    device (the shard-major merge argument, pinned)."""
+    root = str(tmp_path)
+    n, d = 1024, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    # one vector duplicated at ids spread across all 8 shards (128 rows
+    # per shard at block=16)
+    dup = vecs[3].copy()
+    dup_ids = [3, 200, 333, 470, 601, 777, 900, 1021]
+    for i in dup_ids:
+        vecs[i] = dup
+    table.make(
+        root,
+        "t",
+        pa.table(
+            {
+                "id": pa.array(np.arange(n)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    single = session.DeviceCache(root, block=16, mesh=None)
+    meshed = session.DeviceCache(root, block=16)
+
+    a = ex.execute_search(single, _req(target=dup, maxval=len(dup_ids)))
+    b = ex.execute_search(meshed, _req(target=dup, maxval=len(dup_ids)))
+    assert np.asarray(a.column("id")).tolist() == dup_ids
+    assert np.asarray(b.column("id")).tolist() == dup_ids
