@@ -396,8 +396,6 @@ def _execute_fused(
     """Single-dispatch search→join[→aggregate] (brute-force searches)."""
     from fenix_tpu.ops import distance as distance_ops
 
-    import os
-
     from fenix_tpu.io import table as table_mod
 
     # snapshot-coherent prologue: the search table's key column joins
