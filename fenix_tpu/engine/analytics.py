@@ -25,6 +25,7 @@ import jax
 
 from fenix_tpu.engine import executor
 from fenix_tpu.engine.session import DeviceCache
+from fenix_tpu.io import ingest
 from fenix_tpu.ops import relational
 
 GROUP_COL = "__GROUP__"
@@ -426,7 +427,7 @@ def _execute_fused(
         raise RuntimeError(f"table {req.source!r} kept changing during snapshot")
 
     metric = metric_canonical
-    column_type = data.schema.field(req.column).type
+    column_type = ingest.vector_type(data.schema.field(req.column).type)
     value_dtype = column_type.value_type.to_pandas_dtype()
     dim = column_type.list_size
     target = executor.normalize_target(req.target, dim)

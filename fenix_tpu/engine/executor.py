@@ -356,7 +356,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     # snapshot-consistent with the device-resident matrix -----------------
     data, corpus, snap_stamp = cache.snapshot(req.source, req.column, coding=req.coding)
 
-    column_type = data.schema.field(req.column).type
+    column_type = ingest.vector_type(data.schema.field(req.column).type)
     value_dtype = column_type.value_type.to_pandas_dtype()
     dim = column_type.list_size
     target = normalize_target(req.target, dim)
@@ -610,7 +610,7 @@ def _execute_search_batched_once(
 ) -> "list[pa.Table] | Callable[[], list[pa.Table]]":
     r0 = reqs[0]
     data, corpus, snap_stamp = cache.snapshot(r0.source, r0.column, coding=r0.coding)
-    column_type = data.schema.field(r0.column).type
+    column_type = ingest.vector_type(data.schema.field(r0.column).type)
     value_dtype = column_type.value_type.to_pandas_dtype()
     dim = column_type.list_size
     metric = distance_ops.canonical_metric(r0.metric)

@@ -22,14 +22,28 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def vector_type(field_type: pa.DataType) -> pa.FixedSizeListType:
+    """The FixedSizeList type of a vector column, unwrapping extension
+    types (fenix_tpu.types.TensorType stores over FixedSizeList — typed
+    columns are first-class search inputs)."""
+    if isinstance(field_type, pa.ExtensionType):
+        field_type = field_type.storage_type
+    assert pa.types.is_fixed_size_list(field_type), field_type
+    return field_type
+
+
 def fixed_size_list_to_numpy(array: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Zero-copy view of a FixedSizeList array as ``[rows, list_size]``.
 
-    Requires a null-free array (the catalog never produces nulls for
-    vector columns; mirrors the reference's DLPack assumption).
+    Extension-typed columns (TensorType & co.) are viewed through their
+    FixedSizeList storage. Requires a null-free array (the catalog never
+    produces nulls for vector columns; mirrors the reference's DLPack
+    assumption).
     """
     if isinstance(array, pa.ChunkedArray):
         array = array.combine_chunks()
+    if isinstance(array, pa.ExtensionArray):
+        array = array.storage
 
     assert pa.types.is_fixed_size_list(array.type), array.type
     size = array.type.list_size

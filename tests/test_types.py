@@ -80,3 +80,30 @@ def test_quint8_jax_bridge(rng):
     q, scale, shift = arr.to_jax_quantized()
     deq = scale * (np.asarray(q).astype(np.float32) - shift)
     np.testing.assert_allclose(deq, arr.dequantize(), atol=1e-6)
+
+
+def test_tensor_column_searchable_end_to_end(tmp_path, rng):
+    """A TensorType (extension) vector column flows through the full
+    search path — pins the PARITY claim that typed columns are usable
+    beyond IPC round-trips."""
+    import pyarrow as pa
+
+    from fenix_tpu import index
+    from fenix_tpu.io import table
+    from fenix_tpu.types import tensor as tensor_mod
+
+    root = str(tmp_path)
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    table.make(
+        root,
+        "t",
+        pa.table(
+            {
+                "id": pa.array(np.arange(500)),
+                "vector": tensor_mod.TensorArray.from_numpy(vecs),
+            }
+        ).to_reader(),
+    )
+    out = index.call(root, None, "t", "vector", vecs[3], metric="l2", maxval=3)
+    assert int(np.asarray(out.column("id"))[0]) == 3
+    assert float(np.asarray(out.column(index.DIST_COL))[0]) < 1e-4
