@@ -23,11 +23,18 @@ def round_up(x: int, m: int) -> int:
 
 
 def vector_type(field_type: pa.DataType) -> pa.FixedSizeListType:
-    """The FixedSizeList type of a vector column, unwrapping extension
-    types (fenix_tpu.types.TensorType stores over FixedSizeList — typed
-    columns are first-class search inputs)."""
+    """The LOGICAL FixedSizeList type of a vector column, unwrapping
+    extension types (fenix_tpu.types — typed columns are first-class
+    search inputs). quint8 columns report float32 values: the engine
+    searches their DEQUANTIZED form, so dimensions and the returned
+    ``__DISTANCE__`` dtype are float, not the uint8 storage codes."""
     if isinstance(field_type, pa.ExtensionType):
-        field_type = field_type.storage_type
+        from fenix_tpu.types import quint8 as quint8_mod
+
+        storage = field_type.storage_type
+        if isinstance(field_type, quint8_mod.QUInt8TensorType):
+            return pa.list_(pa.float32(), storage.list_size)
+        field_type = storage
     assert pa.types.is_fixed_size_list(field_type), field_type
     return field_type
 
@@ -42,7 +49,14 @@ def fixed_size_list_to_numpy(array: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """
     if isinstance(array, pa.ChunkedArray):
         array = array.combine_chunks()
+    dequant = None
     if isinstance(array, pa.ExtensionArray):
+        from fenix_tpu.types import quint8 as quint8_mod
+
+        if isinstance(array.type, quint8_mod.QUInt8TensorType):
+            # quantized-at-rest column: the engine's logical view is the
+            # dequantized fp32 matrix (affine params ride in the type)
+            dequant = (np.float32(array.type.scale), np.float32(array.type.shift))
         array = array.storage
 
     assert pa.types.is_fixed_size_list(array.type), array.type
@@ -54,7 +68,11 @@ def fixed_size_list_to_numpy(array: pa.Array | pa.ChunkedArray) -> np.ndarray:
     values = values.slice(start, len(array) * size)
 
     flat = values.to_numpy(zero_copy_only=True)
-    return flat.reshape(-1, size)
+    out = flat.reshape(-1, size)
+    if dequant is not None:
+        scale, shift = dequant
+        out = (out.astype(np.float32) - shift) * scale
+    return out
 
 
 def scalar_column_to_numpy(array: pa.Array | pa.ChunkedArray) -> np.ndarray:

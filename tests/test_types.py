@@ -107,3 +107,34 @@ def test_tensor_column_searchable_end_to_end(tmp_path, rng):
     out = index.call(root, None, "t", "vector", vecs[3], metric="l2", maxval=3)
     assert int(np.asarray(out.column("id"))[0]) == 3
     assert float(np.asarray(out.column(index.DIST_COL))[0]) < 1e-4
+
+
+def test_quint8_column_searchable_dequantized(tmp_path, rng):
+    """A quantized-at-rest quint8 column searches over its DEQUANTIZED
+    fp32 form: exact match against a numpy oracle on the dequantized
+    matrix, and __DISTANCE__ comes back float, not uint8 codes."""
+    import pyarrow as pa
+
+    from fenix_tpu import index
+    from fenix_tpu.io import table
+    from fenix_tpu.types import quint8 as quint8_mod
+
+    root = str(tmp_path)
+    vecs = rng.standard_normal((400, 8)).astype(np.float32)
+    arr = quint8_mod.QUInt8TensorArray.from_numpy(vecs)
+    scale, shift = arr.type.scale, arr.type.shift
+    deq = (
+        np.asarray(arr.storage.values).reshape(400, 8).astype(np.float32) - shift
+    ) * scale
+
+    table.make(
+        root,
+        "t",
+        pa.table({"id": pa.array(np.arange(400)), "vector": arr}).to_reader(),
+    )
+    q = deq[7]
+    out = index.call(root, None, "t", "vector", q, metric="l2", maxval=4)
+    oracle = np.argsort(((deq - q) ** 2).sum(1), kind="stable")[:4]
+    assert np.asarray(out.column("id")).tolist() == oracle.tolist()
+    dists = np.asarray(out.column(index.DIST_COL))
+    assert dists.dtype == np.float32 and dists[0] < 1e-5
