@@ -7,8 +7,15 @@ fused streaming top-k, predicate/probe masks pushed below the matmul,
 and mesh-sharded multi-chip execution (fenix_tpu.parallel).
 """
 
-from fenix_tpu import coder, expr, index, io
+from fenix_tpu import coder, expr, index, io, types
 from fenix_tpu.flight import Flight, Server
 from fenix_tpu.version import __version__
 
-__all__ = ["Flight", "Server", "coder", "expr", "index", "io", "__version__"]
+# Extension types MUST register at import: unregistered, a quint8
+# column read from disk is a plain fixed_size_list<uint8> and the
+# engine would silently search raw codes instead of dequantized values.
+types.register_all()
+
+__all__ = [
+    "Flight", "Server", "coder", "expr", "index", "io", "types", "__version__",
+]

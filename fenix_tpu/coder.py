@@ -80,7 +80,9 @@ def make(
     batches, each applying one vmapped Lloyd step.
     """
     data = table.load(root, source)
-    column_type = data.schema.field(column).type
+    # LOGICAL vector type: unwraps extension columns (quint8 trains on
+    # its dequantized fp32 view, so the persisted value_type is float32)
+    column_type = ingest.vector_type(data.schema.field(column).type)
     matrix = ingest.fixed_size_list_to_numpy(data.column(column))
 
     n = config["num_codebooks"]

@@ -28,6 +28,7 @@ import pyarrow as pa
 
 from fenix_tpu.engine import executor
 from fenix_tpu.engine.session import DeviceCache
+from fenix_tpu.io import ingest
 
 # Upper bound on coalesced queries per dispatch — keeps the jit shape
 # within the canonical Q steps and bounds rescore gather staging.
@@ -84,7 +85,7 @@ class SearchBatcher:
 
         try:
             column = self.cache.host_table(req.source).schema.field(req.column)
-            dim = column.type.list_size
+            dim = ingest.vector_type(column.type).list_size
         except Exception:
             # missing table/column: fail on the caller's thread
             return executor.execute_search(self.cache, req)

@@ -321,7 +321,11 @@ def normalize_target(target: Any, dim: int) -> np.ndarray:
     if isinstance(target, pa.ChunkedArray):
         target = target.combine_chunks()
     if isinstance(target, pa.Array):
-        if pa.types.is_fixed_size_list(target.type):
+        if pa.types.is_fixed_size_list(target.type) or isinstance(
+            target, pa.ExtensionArray
+        ):
+            # extension targets (TensorArray/quint8) view through their
+            # storage — quint8 dequantizes, matching column semantics
             target = ingest.fixed_size_list_to_numpy(target)
         else:
             # Flat value column of Q·dim scalars (the reference client

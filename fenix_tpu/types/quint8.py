@@ -92,8 +92,19 @@ class QUInt8TensorType(pa.ExtensionType):
 
 class QUInt8TensorArray(pa.ExtensionArray):
     @staticmethod
-    def from_numpy(tensor: np.ndarray) -> "QUInt8TensorArray":
-        if isinstance(tensor, QUInt8NDArray):
+    def from_numpy(
+        tensor: np.ndarray, like: "QUInt8TensorType | None" = None
+    ) -> "QUInt8TensorArray":
+        """Quantize ``tensor`` to a quint8 column. Pass ``like=`` an
+        existing column's type to reuse ITS affine params — required
+        when appending/upserting into a quint8 table (dynamic
+        quantization would mint new params and the schemas would never
+        match)."""
+        if like is not None:
+            scale, shift = like.scale, like.shift
+            x = np.asarray(tensor, dtype=np.float32)
+            q = np.clip(np.round(x / scale) + shift, 0, 255).astype(np.uint8)
+        elif isinstance(tensor, QUInt8NDArray):
             q, scale, shift = tensor.view(np.ndarray), tensor.scale, tensor.shift
         else:
             q, scale, shift = dynamic_quantize(tensor)

@@ -138,3 +138,131 @@ def test_quint8_column_searchable_dequantized(tmp_path, rng):
     assert np.asarray(out.column("id")).tolist() == oracle.tolist()
     dists = np.asarray(out.column(index.DIST_COL))
     assert dists.dtype == np.float32 and dists[0] < 1e-5
+
+
+def test_registration_is_an_import_side_effect(tmp_path, rng):
+    """A FRESH process that only imports fenix_tpu must register the
+    extension types — otherwise a quint8 table read from disk is a
+    plain uint8 list and the engine silently searches raw codes."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pyarrow as pa
+
+    from fenix_tpu.io import table
+    from fenix_tpu.types import quint8 as quint8_mod
+
+    root = str(tmp_path)
+    vecs = rng.standard_normal((300, 8)).astype(np.float32)
+    arr = quint8_mod.QUInt8TensorArray.from_numpy(vecs)
+    deq = arr.dequantize().reshape(300, 8)
+    table.make(
+        root, "t", pa.table({"id": pa.array(np.arange(300)), "vector": arr}).to_reader()
+    )
+    np.save(f"{root}/deq.npy", deq)
+
+    code = textwrap.dedent(f"""
+        import numpy as np
+        import jax; jax.config.update("jax_platforms", "cpu")
+        from fenix_tpu import index
+        deq = np.load({root!r} + "/deq.npy")
+        q = deq[7]
+        out = index.call({root!r}, None, "t", "vector", q, metric="l2", maxval=3)
+        oracle = np.argsort(((deq - q) ** 2).sum(1), kind="stable")[:3]
+        ids = np.asarray(out.column("id"))
+        assert ids.tolist() == oracle.tolist(), (ids, oracle)
+        d = np.asarray(out.column("__DISTANCE__"))
+        assert d.dtype == np.float32 and d[0] < 1e-5, d
+        print("OK")
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={
+            "PYTHONPATH": "/root/repo",
+            "JAX_PLATFORMS": "cpu",
+            "PATH": "/usr/bin:/bin",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        },
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_quint8_column_full_lifecycle(tmp_path, rng):
+    """Coder training, probed search, and appends (via like= params)
+    all work over a quint8 column."""
+    import pyarrow as pa
+
+    from fenix_tpu import coder, index
+    from fenix_tpu.io import table
+    from fenix_tpu.types import quint8 as quint8_mod
+
+    root = str(tmp_path)
+    vecs = rng.standard_normal((600, 8)).astype(np.float32)
+    vecs[300:] += 4.0
+    arr = quint8_mod.QUInt8TensorArray.from_numpy(vecs)
+    table.make(
+        root, "t", pa.table({"id": pa.array(np.arange(600)), "vector": arr}).to_reader()
+    )
+
+    cfg: coder.Config = {
+        "metric": "l2", "codebook_size": 2, "num_codebooks": 2,
+        "batch_size": 128, "num_epochs": 1,
+    }
+    made = coder.make(root, "c", "t", "vector", cfg, seed=0)
+    assert made["column"] == pa.list_(pa.float32(), 8)  # dequantized view
+    index.make(root, "c", "t", "vector")
+    out = index.call(
+        root, "c", "t", "vector",
+        arr.dequantize().reshape(600, 8)[5], metric="l2", maxval=3, probes=2,
+    )
+    assert int(np.asarray(out.column("id"))[0]) == 5
+
+    # append with the TABLE's affine params (dynamic params would never
+    # match the schema)
+    extra = rng.standard_normal((32, 8)).astype(np.float32)
+    table.append(
+        root,
+        "t",
+        pa.table(
+            {
+                "id": pa.array(np.arange(600, 632)),
+                "vector": quint8_mod.QUInt8TensorArray.from_numpy(extra, like=arr.type),
+            }
+        ),
+    )
+    assert table.load(root, "t").num_rows == 632
+
+
+def test_extension_array_as_search_target(tmp_path, rng):
+    """Typed Arrow arrays work as search TARGETS too (quint8 targets
+    dequantize, matching column semantics)."""
+    import pyarrow as pa
+
+    from fenix_tpu import index
+    from fenix_tpu.io import ingest, table
+    from fenix_tpu.types import quint8 as quint8_mod
+    from fenix_tpu.types import tensor as tensor_mod
+
+    root = str(tmp_path)
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    table.make(
+        root,
+        "t",
+        pa.table(
+            {
+                "id": pa.array(np.arange(200)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    t_target = tensor_mod.TensorArray.from_numpy(vecs[10:12])
+    out = index.call(root, None, "t", "vector", t_target, metric="l2", maxval=1)
+    assert np.asarray(out.column("id")).tolist() == [10, 11]
+
+    q_target = quint8_mod.QUInt8TensorArray.from_numpy(vecs[33:34])
+    out = index.call(root, None, "t", "vector", q_target, metric="l2", maxval=1)
+    assert int(np.asarray(out.column("id"))[0]) == 33
