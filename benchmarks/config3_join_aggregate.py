@@ -79,7 +79,7 @@ def main() -> None:
     from fenix_tpu.ops import distance as distance_ops
 
     metric = distance_ops.canonical_metric("cosine")
-    data, corpus = cache.snapshot("vec", "vector")
+    data, corpus, _ = cache.snapshot("vec", "vector")
     left_col = cache.scalar("vec", "id")
     aux_mul, aux_add = cache.metric_aux("vec", "vector", metric)
     sorted_keys, sorted_index, attr_rows = cache.sorted_key("attrs", "key")
