@@ -266,3 +266,28 @@ def test_extension_array_as_search_target(tmp_path, rng):
     q_target = quint8_mod.QUInt8TensorArray.from_numpy(vecs[33:34])
     out = index.call(root, None, "t", "vector", q_target, metric="l2", maxval=1)
     assert int(np.asarray(out.column("id"))[0]) == 33
+
+
+def test_nested_projection_feeds_search(tmp_path, rng):
+    """The nested-tensor pattern end-to-end: a dict-of-tensors column's
+    projected leaf (to_field -> TensorArray) ingests as a searchable
+    vector column."""
+    import pyarrow as pa
+
+    from fenix_tpu import index
+    from fenix_tpu.io import table
+    from fenix_tpu.types import nested as nested_mod
+
+    text = rng.standard_normal((150, 8)).astype(np.float32)
+    image = rng.standard_normal((150, 4)).astype(np.float32)
+    col = nested_mod.NestedTensorArray.from_numpy({"text": text, "image": image})
+
+    projected = col.to_field("text")  # TensorArray over FixedSizeList
+    root = str(tmp_path)
+    table.make(
+        root,
+        "t",
+        pa.table({"id": pa.array(np.arange(150)), "vector": projected}).to_reader(),
+    )
+    out = index.call(root, None, "t", "vector", text[9], metric="cosine", maxval=1)
+    assert int(np.asarray(out.column("id"))[0]) == 9
