@@ -80,17 +80,24 @@ class Server(fl.FlightServerBase):
         name = descriptor.path[0].decode()
         mode = descriptor.path[1].decode() if len(descriptor.path) > 1 else "overwrite"
         with METRICS.timed("put", table=name, mode=mode):
+            from fenix_tpu.io.locks import catalog_lock
+
             match mode:
                 case "overwrite":
-                    table.make(self.root, name, reader.to_reader())
-                    # Any existing index is no longer row-aligned; drop it
-                    # so probed search fails loudly instead of returning
-                    # rows assigned under the previous table revision
-                    # (the reference leaves them stale, SURVEY.md §2.2.3).
-                    index_mod.drop_for_source(self.root, name)
+                    # One lock scope: a concurrent append landing between
+                    # the rewrite and the index drop would extend the old
+                    # (row-misaligned) index over the new base — and when
+                    # old/new row counts coincide the count-based
+                    # self-heal never triggers.
+                    with catalog_lock(self.root):
+                        table.make(self.root, name, reader.to_reader())
+                        # Any existing index is no longer row-aligned;
+                        # drop it so probed search fails loudly instead of
+                        # returning rows assigned under the previous table
+                        # revision (the reference leaves them stale,
+                        # SURVEY.md §2.2.3).
+                        index_mod.drop_for_source(self.root, name)
                 case "append":
-                    from fenix_tpu.io.locks import catalog_lock
-
                     new = reader.to_reader().read_all()
                     # One lock scope: table append + index extension form
                     # a single catalog mutation (an interleaved append

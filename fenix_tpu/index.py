@@ -141,9 +141,28 @@ def indexes_for_source(root: str, source: str) -> Iterator[tuple[str, str]]:
 
 def drop_for_source(root: str, source: str) -> None:
     """Drop every index file over ``source`` (its assignments are no
-    longer row-aligned once the table is overwritten)."""
-    for name, column in [*indexes_for_source(root, source)]:
-        drop(root, name, source, column)
+    longer row-aligned once the table is overwritten).
+
+    Deliberately broader than :func:`indexes_for_source`, which
+    attributes files via the CURRENT schema: an overwrite that removes a
+    column would strand that column's index files, and a later table
+    re-adding the column could resurrect the stale, misaligned index.
+    So remove EVERY file under the source's index dir that does not
+    belong to a nested sibling source (``a/b`` keeps its files when
+    ``a`` is dropped)."""
+    base = table.safe_join(root, LOCATION, source)
+    siblings = [
+        other[len(source) + 1 :] + "/"
+        for other in table.list(root)
+        if other != source and other.startswith(source + "/")
+    ]
+    for path in glob.glob(
+        os.path.join(glob.escape(base), "**", "*.arrow"), recursive=True
+    ):
+        rel = os.path.relpath(path, base).replace(os.sep, "/")
+        if any(rel.startswith(prefix) for prefix in siblings):
+            continue
+        os.unlink(path)
 
 
 def extend_for_source(root: str, source: str, new_rows: pa.Table) -> None:

@@ -39,7 +39,17 @@ def read_stable(stamp_fn, read_fn, what: str, attempts: int = 5):
     attribute entries). Returns ``(value, stamp)``."""
     for _ in range(attempts):
         token = stamp_fn()
-        value = read_fn()
+        try:
+            value = read_fn()
+        except FileNotFoundError:
+            # A compaction/delete can unlink a part between the reader's
+            # listing and its open. If the stamp moved, that is just a
+            # concurrent mutation — retry like a stamp mismatch. If the
+            # stamp is unchanged the file is gone in THIS revision too:
+            # genuinely missing, propagate.
+            if stamp_fn() != token:
+                continue
+            raise
         if stamp_fn() == token:
             return value, token
     raise RuntimeError(f"{what} kept changing during read")

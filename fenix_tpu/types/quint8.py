@@ -65,16 +65,26 @@ class QUInt8NDArray(np.ndarray):
 
 
 class QUInt8TensorType(pa.ExtensionType):
-    def __init__(self, shape: Sequence[int], scale: float, shift: int) -> None:
+    def __init__(
+        self, shape: Sequence[int], scale: float, shift: int, qmax: int = 127
+    ) -> None:
         self.shape = tuple(int(s) for s in shape)
         self.scale = float(scale)
         self.shift = int(shift)
+        # the code range the column was quantized into; recorded so
+        # appends clip to the SAME range (torch reduce_range parity)
+        self.qmax = int(qmax)
         size = int(np.prod(self.shape))
         super().__init__(pa.list_(pa.uint8(), size), "fenix_tpu.quint8")
 
     def __arrow_ext_serialize__(self) -> bytes:
         return json.dumps(
-            {"shape": self.shape, "scale": self.scale, "shift": self.shift}
+            {
+                "shape": self.shape,
+                "scale": self.scale,
+                "shift": self.shift,
+                "qmax": self.qmax,
+            }
         ).encode()
 
     @classmethod
@@ -101,10 +111,23 @@ class QUInt8TensorArray(pa.ExtensionArray):
         quantization would mint new params and the schemas would never
         match)."""
         if like is not None:
-            scale, shift = like.scale, like.shift
+            # Clip to the range the column was quantized into (qmax=127
+            # for reduce_range parity) — appended rows must not occupy
+            # codes the original column never emits. Reuse ``like``
+            # itself so the chunk's type compares equal on append even
+            # across metadata-version differences.
             x = np.asarray(tensor, dtype=np.float32)
-            q = np.clip(np.round(x / scale) + shift, 0, 255).astype(np.uint8)
-        elif isinstance(tensor, QUInt8NDArray):
+            qmax = getattr(like, "qmax", 127)
+            q = np.clip(np.round(x / like.scale) + like.shift, 0, qmax).astype(
+                np.uint8
+            )
+            num_rows = q.shape[0]
+            flat = np.ascontiguousarray(q).reshape(num_rows, -1)
+            storage = pa.FixedSizeListArray.from_arrays(
+                pa.array(flat.reshape(-1)), list_size=flat.shape[-1]
+            )
+            return pa.ExtensionArray.from_storage(like, storage)
+        if isinstance(tensor, QUInt8NDArray):
             q, scale, shift = tensor.view(np.ndarray), tensor.scale, tensor.shift
         else:
             q, scale, shift = dynamic_quantize(tensor)
