@@ -33,6 +33,7 @@ from fenix_tpu.io import ingest
 from fenix_tpu.ops import cells as cells_ops
 from fenix_tpu.ops import distance as distance_ops
 from fenix_tpu.ops import topk2
+from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
 CODE_COL: str = "__CODED_ID__"
 DIST_COL: str = "__DISTANCE__"
@@ -65,6 +66,11 @@ def _canonical_k(k: int) -> int:
 def _overlay_mask(aux_add, mask):
     """Fold a per-request row mask into the cached aux_add."""
     return jnp.where(mask, aux_add, distance_ops.NEG_INF)
+
+
+@jax.jit
+def _take_rows(x, perm):
+    return jnp.take(x, perm, axis=0)
 
 
 import functools
@@ -134,6 +140,100 @@ class _StaleRevision(Exception):
     layouts read along the way span table revisions. Retried."""
 
 
+class _FilterPlan:
+    """Per-request filter handling (SURVEY §7 "filter pushdown below
+    the matmul").
+
+    Device pushdown: when the predicate is device-evaluable
+    (expr.device_evaluable — bool/int/f32 columns, exactly-representable
+    literals), the row mask is computed ON DEVICE from HBM-resident
+    scalar columns and memoized per (predicate, revision) — zero
+    per-query host→device mask bytes. Host fallback (string predicates,
+    float64 columns, int64 beyond int32): the [N_pad] bool mask uploads
+    per request as before. Every layout the kernels scan in ("flat",
+    "sharded", "clustered", "sharded_clustered") folds the mask into
+    the cached aux_add; length mismatches mean the mask and layout span
+    table revisions → _StaleRevision retry."""
+
+    def __init__(self, cache, source, column, filt, data, n_pad: int, rows: int):
+        self.cache = cache
+        self.source = source
+        self.column = column
+        self.filt = filt
+        self.data = data
+        self.n_pad = n_pad
+        self.rows = rows
+        self._host: np.ndarray | None = None
+        self.pushdown = filt is not None and filt.device_evaluable(data.schema)
+
+    @property
+    def active(self) -> bool:
+        return self.filt is not None
+
+    def host_mask(self) -> np.ndarray:
+        """``[n_pad]`` bool mask via Arrow kernels (padding rows False)."""
+        if self._host is None:
+            m = np.zeros(self.n_pad, dtype=bool)
+            m[: self.rows] = self.filt.mask(self.data)
+            self._host = m
+        return self._host
+
+    def overlay(self, aux_add, layout: str, coding: str | None = None):
+        if not self.active:
+            return aux_add
+        length = int(aux_add.shape[0])
+        sharded = layout in ("sharded", "sharded_clustered")
+
+        if self.pushdown:
+            mask = self.cache.device_filter_mask(
+                self.source, self.filt, sharded=sharded
+            )
+            if mask is not None:
+                if mask.shape[0] != length:
+                    raise _StaleRevision
+                if layout == "clustered":
+                    perm = self.cache.clustered_perm(coding, self.source, self.column)
+                    if perm.shape[0] != length:
+                        raise _StaleRevision
+                    mask = _take_rows(mask, perm)
+                elif layout == "sharded_clustered":
+                    from fenix_tpu.parallel import search as psearch
+
+                    perm = self.cache.sharded_clustered_perm(
+                        coding, self.source, self.column
+                    )
+                    if perm.shape[0] != length:
+                        raise _StaleRevision
+                    mask = psearch.permute_rows_sharded(self.cache.mesh, mask, perm)
+                METRICS.add("filter.device_pushdown")
+                return _overlay_mask(aux_add, mask)
+
+        METRICS.add("filter.host_upload")
+        m = self.host_mask()
+        if layout == "flat":
+            if m.shape[0] != length:
+                raise _StaleRevision
+            return _overlay_mask(aux_add, jnp.asarray(m))
+        if layout == "sharded":
+            if m.shape[0] != length:
+                raise _StaleRevision
+            return _overlay_mask(aux_add, _sharded_mask(self.cache.mesh, m))
+        if layout == "clustered":
+            perm, _ = self.cache.clustered_meta(coding, self.source, self.column)
+            if m.shape[0] != perm.shape[0] or perm.shape[0] != length:
+                raise _StaleRevision
+            return _overlay_mask(aux_add, jnp.asarray(m[perm]))
+        assert layout == "sharded_clustered", layout
+        perm_local, _, _ = self.cache.sharded_clustered_meta(
+            coding, self.source, self.column
+        )
+        if m.shape[0] != perm_local.shape[0] or perm_local.shape[0] != length:
+            raise _StaleRevision
+        per = perm_local.shape[0] // int(self.cache.mesh.devices.size)
+        perm_global = (np.arange(perm_local.shape[0]) // per) * per + perm_local
+        return _overlay_mask(aux_add, _sharded_mask(self.cache.mesh, m[perm_global]))
+
+
 def _check_revision(cache, source, column: str, coding, snap_stamp: tuple) -> None:
     """Raise _StaleRevision when a catalog mutation landed after the
     snapshot: the device entries fetched for this dispatch (aux, scan
@@ -154,7 +254,7 @@ def _clustered_eligible(coding_data) -> bool:
 
 def _mesh_probed_packed(
     cache, coding: str, source, column: str, coding_data, queries, cells,
-    q_pad: int, k_pad: int, metric: str, mask_np: np.ndarray | None,
+    q_pad: int, k_pad: int, metric: str, plan: "_FilterPlan",
 ):
     """Mesh-sharded probed dispatch shared by the solo and batched
     paths. Preferred route: PER-SHARD clustered layouts — every shard
@@ -187,18 +287,11 @@ def _mesh_probed_packed(
         use_clustered = q_pad * width * bucket <= per
 
     if use_clustered:
-        if mask_np is not None and mask_np.shape[0] != n_pad_s:
-            raise _StaleRevision  # snapshot and layout span revisions
         corpus_s, coded_s, orig_ids = cache.sharded_clustered(coding, source, column)
         aux_mul_s, aux_add_s = cache.sharded_clustered_aux(
             coding, source, column, metric
         )
-        if mask_np is not None:
-            # permute the request mask into per-shard sorted order
-            perm_global = (np.arange(n_pad_s) // per) * per + perm_local
-            aux_add_s = _overlay_mask(
-                aux_add_s, _sharded_mask(mesh, mask_np[perm_global])
-            )
+        aux_add_s = plan.overlay(aux_add_s, "sharded_clustered", coding)
         return _sharded_ivf_fn(mesh, k_pad, metric)(
             corpus_s.data, queries, aux_mul_s, aux_add_s,
             coded_s.data, orig_ids.data, cells, jnp.asarray(bucket_stack),
@@ -206,10 +299,7 @@ def _mesh_probed_packed(
 
     coded = cache.coded_ids(coding, source, column, sharded=True)
     aux_mul, aux_add = cache.sharded_aux(source, column, metric)
-    if mask_np is not None:
-        if mask_np.shape[0] != coded.rows_padded:
-            raise _StaleRevision
-        aux_add = _overlay_mask(aux_add, _sharded_mask(mesh, mask_np))
+    aux_add = plan.overlay(aux_add, "sharded")
     corpus_sh = cache.sharded_matrix(source, column)
     return _sharded_fn(mesh, k_pad, metric, "fp32", True)(
         corpus_sh.data, queries, aux_mul, aux_add, coded.data, cells,
@@ -376,13 +466,10 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
 
     n_pad, rows = corpus.rows_padded, corpus.rows
 
-    # validity ∧ user predicate mask — built (and uploaded) only when a
-    # filter exists: the cached aux already masks padding rows, and an
-    # unconditional device_put costs a full tunnel roundtrip per query
-    mask_np: np.ndarray | None = None
-    if req.filter is not None:
-        mask_np = np.zeros(n_pad, dtype=bool)
-        mask_np[:rows] = req.filter.mask(data)
+    # Filter plan: device pushdown when the predicate is device-
+    # evaluable (no per-query mask transfer), host mask fallback
+    # otherwise. The cached aux already masks padding rows.
+    plan = _FilterPlan(cache, req.source, req.column, req.filter, data, n_pad, rows)
 
     queries = jnp.asarray(target)
 
@@ -390,40 +477,12 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     select = [*req.select] if req.select is not None else data.column_names
     select = select + [DIST_COL]
 
-    # --- no-top-k path: distance column over all filtered rows ----------
+    # --- no-top-k path: distance column over all selected rows ----------
     if req.maxval is None:
-        dists = np.asarray(
-            distance_ops.all_distances(corpus.data, queries, metric=metric)
-        )[:, :rows]
-        # IVF probe pruning applies here too (reference index.py:113-126
-        # ANDs the probe mask into the filter regardless of maxval).
-        probe_masks: np.ndarray | None = None
-        if coding_data is not None:
-            cells = _rank_cells(target, coding_data, metric, int(req.probes))
-            codes_np = np.asarray(data.column(CODE_COL))
-            probe_masks = np.stack(
-                [np.isin(codes_np, np.asarray(cells[qi])) for qi in range(num_queries)]
-            )
-        host_mask = mask_np[:rows] if mask_np is not None else np.ones(rows, dtype=bool)
-        shared = data.filter(pa.array(host_mask)) if probe_masks is None else None
-        tables = []
-        for qi in range(num_queries):
-            if probe_masks is None:
-                row_mask = host_mask
-                part = shared
-            else:
-                row_mask = host_mask & probe_masks[qi]
-                part = data.filter(pa.array(row_mask))
-            part = part.append_column(
-                DIST_COL, pa.array(dists[qi][row_mask].astype(value_dtype))
-            )
-            part = part.select(select)
-            if num_queries > 1:
-                part = part.append_column(
-                    QUERY_COL, pa.array(np.full(len(part), qi, dtype=np.int64))
-                )
-            tables.append(part)
-        return pa.concat_tables(tables).combine_chunks()
+        return _execute_nomax(
+            cache, req, data, corpus, plan, coding_data, metric,
+            target, value_dtype, select, snap_stamp,
+        )
 
     # --- top-k path ------------------------------------------------------
     # Canonicalized shapes (Q padded up, k rounded to a power of two)
@@ -453,7 +512,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         if cache.mesh is not None:
             packed = _mesh_probed_packed(
                 cache, req.coding, req.source, req.column, coding_data,
-                queries, cells, q_pad, k_pad, metric, mask_np,
+                queries, cells, q_pad, k_pad, metric, plan,
             )
             _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
             dists, ids = topk2.unpack_result(packed)
@@ -465,7 +524,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         bucket_lists = None
         if use_clustered:
             perm, offsets = cache.clustered_meta(req.coding, req.source, req.column)
-            if mask_np is not None and perm.shape[0] != n_pad:
+            if plan.active and perm.shape[0] != n_pad:
                 raise _StaleRevision  # snapshot and layout span revisions
             bucket = topk2.bucket_for(q_pad, n_pad)
             bucket_lists = _ivf_bucket_lists(cells, offsets, bucket, n_pad // bucket)
@@ -478,8 +537,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         if not use_clustered:
             coded = cache.coded_ids(req.coding, req.source, req.column)
             aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
-            if req.filter is not None:
-                aux_add = _overlay_mask(aux_add, jnp.asarray(mask_np))
+            aux_add = plan.overlay(aux_add, "flat")
             packed = _search_probed_packed(
                 corpus.data, queries, aux_mul, aux_add, coded.data, cells,
                 k=k_pad, metric=metric,
@@ -494,8 +552,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         aux_mul_s, aux_add_s = cache.clustered_aux(
             req.coding, req.source, req.column, metric
         )
-        if req.filter is not None:
-            aux_add_s = _overlay_mask(aux_add_s, jnp.asarray(mask_np[perm]))
+        aux_add_s = plan.overlay(aux_add_s, "clustered", req.coding)
         packed = _search_ivf_packed(
             corpus_s.data,
             queries,
@@ -520,8 +577,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         # single-chip), then only k (score, global-id) candidates per
         # shard cross the interconnect for the replicated merge.
         aux_mul, aux_add = cache.sharded_aux(req.source, req.column, metric)
-        if req.filter is not None:
-            aux_add = _overlay_mask(aux_add, _sharded_mask(cache.mesh, mask_np))
+        aux_add = plan.overlay(aux_add, "sharded")
         scan_args: tuple = ()
         if req.precision == "bf16":
             scan_args = (cache.matrix_bf16(req.source, req.column, sharded=True).data,)
@@ -533,8 +589,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         )
     else:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
-        if req.filter is not None:
-            aux_add = _overlay_mask(aux_add, jnp.asarray(mask_np))
+        aux_add = plan.overlay(aux_add, "flat")
         corpus_scan = (
             cache.matrix_bf16(req.source, req.column).data
             if req.precision == "bf16"
@@ -560,17 +615,142 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     return gather_results(data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype)
 
 
+def _execute_nomax(
+    cache: DeviceCache,
+    req: SearchRequest,
+    data: pa.Table,
+    corpus,
+    plan: _FilterPlan,
+    coding_data,
+    metric: str,
+    target: np.ndarray,
+    value_dtype,
+    select: Sequence[str],
+    snap_stamp: tuple,
+) -> pa.Table:
+    """No-top-k read (``maxval=None``): every selected row with its
+    exact distance, streamed through the device (fenix_tpu.ops.select) —
+    host transfer O(selected rows), never the full [Q, N] matrix.
+    Reference index.py:162 semantics, incl. probe pruning AND'd into
+    the filter (index.py:113-126)."""
+    from fenix_tpu.ops import select as select_ops
+
+    rows, n_pad = corpus.rows, corpus.rows_padded
+    num_queries = target.shape[0]
+
+    if not plan.active and coding_data is None:
+        # Full read: the OUTPUT is [Q, rows] — fetching the distance
+        # matrix IS the result; nothing to push down.
+        dists = np.asarray(
+            distance_ops.all_distances(corpus.data, jnp.asarray(target), metric=metric)
+        )[:, :rows]
+        _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
+        tables = []
+        for qi in range(num_queries):
+            part = data.append_column(
+                DIST_COL, pa.array(dists[qi].astype(value_dtype))
+            ).select(select)
+            if num_queries > 1:
+                part = part.append_column(
+                    QUERY_COL, pa.array(np.full(len(part), qi, dtype=np.int64))
+                )
+            tables.append(part)
+        return pa.concat_tables(tables).combine_chunks()
+
+    q_pad = _canonical_q(num_queries)
+    padded = target
+    if q_pad != num_queries:
+        padded = np.concatenate(
+            [target, np.zeros((q_pad - num_queries, target.shape[1]), np.float32)]
+        )
+    queries = jnp.asarray(padded)
+
+    sharded = cache.mesh is not None
+    fmask = None
+    if plan.active:
+        if plan.pushdown:
+            fmask = cache.device_filter_mask(req.source, req.filter, sharded=sharded)
+            if fmask is not None:
+                if fmask.shape[0] != n_pad:
+                    raise _StaleRevision
+                METRICS.add("filter.device_pushdown")
+        if fmask is None:
+            METRICS.add("filter.host_upload")
+            m = plan.host_mask()
+            if m.shape[0] != n_pad:
+                raise _StaleRevision
+            fmask = _sharded_mask(cache.mesh, m) if sharded else jnp.asarray(m)
+
+    coded = cells_sorted = None
+    if coding_data is not None:
+        cells = _rank_cells(target, coding_data, metric, int(req.probes))
+        if q_pad != num_queries:
+            cells = np.concatenate(
+                [cells, np.full((q_pad - num_queries, cells.shape[1]), -1, cells.dtype)]
+            )
+        # sorted per query for the kernels' searchsorted membership
+        cells_sorted = jnp.asarray(np.sort(cells, axis=1).astype(np.int32))
+        coded_col = cache.coded_ids(req.coding, req.source, req.column, sharded=sharded)
+        if coded_col.rows_padded != n_pad:
+            raise _StaleRevision
+        coded = coded_col.data
+
+    chunk = select_ops.chunk_for(n_pad, q_pad, cache.block)
+    rows_t = jnp.int32(rows)
+    if coded is not None:
+        counts = np.asarray(
+            select_ops.count_selected_probed(fmask, coded, cells_sorted, rows_t, chunk=chunk)
+        )  # [n_chunks, Q]
+        chunk_max = counts.max(axis=1)
+    else:
+        chunk_max = np.asarray(
+            select_ops.count_selected_mask(fmask, rows_t, chunk=chunk)
+        )  # [n_chunks]
+
+    # compaction dispatches only for chunks holding matches; width is
+    # the chunk's max per-query count, canonicalized to a power of two
+    # so the jit cache stays bounded
+    ids_parts: list[np.ndarray] = []
+    dist_parts: list[np.ndarray] = []
+    for ci, mc in enumerate(chunk_max):
+        mc = int(mc)
+        if mc == 0:
+            continue
+        width = min(_canonical_k(mc), chunk)
+        ids_c, d_c = select_ops.compact_chunk(
+            corpus.data, queries, fmask, coded, cells_sorted,
+            jnp.int32(ci * chunk), rows_t,
+            metric=metric, chunk=chunk, width=width,
+        )
+        d_np, ids_np = topk2.unpack_result(topk2.pack_result(d_c, ids_c))
+        ids_parts.append(ids_np[:num_queries])
+        dist_parts.append(d_np[:num_queries])
+
+    _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
+    if not ids_parts:
+        ids_all = np.full((num_queries, 1), -1, np.int32)
+        d_all = np.full((num_queries, 1), np.inf, np.float32)
+    else:
+        # chunk-major concat keeps each query's rows in ascending
+        # (table) order — the reference's filter-preserved order
+        ids_all = np.concatenate(ids_parts, axis=1)
+        d_all = np.concatenate(dist_parts, axis=1)
+    return gather_results(data, select, d_all, ids_all, value_dtype)
+
+
 def batchable(req: SearchRequest) -> bool:
     """Whether a request can join a coalesced device dispatch.
 
-    Filters would need per-query aux_add overlays (one shared [N] array
-    today) and pass through to the solo path. Probed requests batch
-    with identical (coding, probes) — probe cells are per-query inputs
-    to the kernels. maxval may differ across a batch — ascending top-k
+    Filtered requests batch with requests carrying the IDENTICAL
+    predicate (the batch key carries the filter's wire form): the
+    shared [N] aux_add overlay then applies to the whole batch, and
+    mixed-predicate workloads coalesce into one dispatch per distinct
+    predicate instead of one per request. Probed requests batch with
+    identical (coding, probes) — probe cells are per-query inputs to
+    the kernels. maxval may differ across a batch — ascending top-k
     means each request's top-m is a prefix of the batch's top-k."""
     return (
         req.maxval is not None
-        and req.filter is None
         and req.metric is not None
         and (req.coding is None or req.probes is not None)
     )
@@ -585,6 +765,7 @@ def batch_key(req: SearchRequest) -> tuple:
         req.precision,
         req.coding,
         req.probes,
+        expr_mod.dumps(req.filter),
     )
 
 
@@ -635,6 +816,12 @@ def _execute_search_batched_once(
             [queries, jnp.zeros((q_pad - total, dim), queries.dtype)]
         )
 
+    # batch members share one predicate (batch_key carries its wire
+    # form), so the solo path's overlay applies to the whole batch
+    plan = _FilterPlan(
+        cache, r0.source, r0.column, r0.filter, data, corpus.rows_padded, rows
+    )
+
     if r0.coding is not None:
         # probed batch (same coding+probes across the group): identical
         # kernel routing to execute_search's coding branch, over the
@@ -648,7 +835,7 @@ def _execute_search_batched_once(
         if cache.mesh is not None:
             packed = _mesh_probed_packed(
                 cache, r0.coding, r0.source, r0.column, coding_data,
-                queries, cells, q_pad, k_pad, metric, mask_np=None,
+                queries, cells, q_pad, k_pad, metric, plan,
             )
         else:
             n_pad = corpus.rows_padded
@@ -656,6 +843,8 @@ def _execute_search_batched_once(
             bucket_lists = None
             if use_clustered:
                 perm, offsets = cache.clustered_meta(r0.coding, r0.source, r0.column)
+                if plan.active and perm.shape[0] != n_pad:
+                    raise _StaleRevision
                 bucket = topk2.bucket_for(q_pad, n_pad)
                 bucket_lists = _ivf_bucket_lists(cells, offsets, bucket, n_pad // bucket)
                 use_clustered = q_pad * bucket_lists.shape[1] * bucket <= n_pad
@@ -666,6 +855,7 @@ def _execute_search_batched_once(
                 aux_mul_s, aux_add_s = cache.clustered_aux(
                     r0.coding, r0.source, r0.column, metric
                 )
+                aux_add_s = plan.overlay(aux_add_s, "clustered", r0.coding)
                 packed = _search_ivf_packed(
                     corpus_s.data,
                     queries,
@@ -681,12 +871,14 @@ def _execute_search_batched_once(
             else:
                 coded = cache.coded_ids(r0.coding, r0.source, r0.column)
                 aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)
+                aux_add = plan.overlay(aux_add, "flat")
                 packed = _search_probed_packed(
                     corpus.data, queries, aux_mul, aux_add, coded.data, cells,
                     k=k_pad, metric=metric,
                 )
     elif cache.mesh is not None:
         aux_mul, aux_add = cache.sharded_aux(r0.source, r0.column, metric)
+        aux_add = plan.overlay(aux_add, "sharded")
         scan_args: tuple = ()
         if r0.precision == "bf16":
             scan_args = (cache.matrix_bf16(r0.source, r0.column, sharded=True).data,)
@@ -698,6 +890,7 @@ def _execute_search_batched_once(
         )
     else:
         aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)
+        aux_add = plan.overlay(aux_add, "flat")
         corpus_scan = (
             cache.matrix_bf16(r0.source, r0.column).data
             if r0.precision == "bf16"

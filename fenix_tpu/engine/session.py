@@ -11,8 +11,10 @@ are invalidated by file mtime.
 
 from __future__ import annotations
 
+import functools
 import os
 import threading
+from collections import OrderedDict
 from typing import Sequence
 
 import numpy as np
@@ -45,6 +47,29 @@ def _grow_jit(old, delta, start, new_pad: int):
 
 _GROW_COMPILED = None
 _GROW_INIT_LOCK = threading.Lock()
+
+# device masks memoize per full predicate (literals included); bound the
+# cache — parametric per-query literals would otherwise grow it forever
+_MASK_CACHE_LIMIT = 128
+
+
+@functools.lru_cache(maxsize=256)
+def _mask_eval_fn(skeleton_json: str):
+    """Compiled device evaluation for a predicate SKELETON (literals
+    slotted out by expr.split_literals): one jit serves every literal
+    value of a parametric predicate."""
+    import jax
+
+    from fenix_tpu import expr as expr_mod
+
+    skel = expr_mod.Expr.from_json(skeleton_json)
+    fields = tuple(sorted(skel.fields()))
+
+    @jax.jit
+    def fn(columns, slots):
+        return skel.device_mask(dict(zip(fields, columns)), slots)
+
+    return fn, fields
 
 
 def _grow_update(old, delta, old_rows: int, new_pad: int):
@@ -79,6 +104,11 @@ class DeviceCache:
         # count of append-only refreshes served by the incremental
         # device-buffer extension (observability + tests)
         self.incremental_refreshes: int = 0
+        # pushdown observability: device-mask builds (cold evaluations;
+        # cache hits transfer nothing) — tests assert zero per-query
+        # host mask uploads through these
+        self.device_mask_builds: int = 0
+        self._masks: OrderedDict = OrderedDict()
         # The Flight server dispatches handlers from a thread pool; a
         # single lock serializes cache fills (first query per column) —
         # steady-state hits only read the dicts.
@@ -724,6 +754,82 @@ class DeviceCache:
             self._device, (key, column, "clustered_aux", coding, canonical), stamp, build
         )
 
+    def device_filter_mask(self, source, filt, *, sharded: bool = False):
+        """Device-resident ``[N_pad]`` bool mask for a device-evaluable
+        predicate, evaluated over HBM-resident scalar columns — the
+        filter pushdown path (SURVEY §7 "filter pushdown below the
+        matmul"): a filtered search transfers NO per-query host mask;
+        after the first build for a (predicate, revision) pair nothing
+        crosses the link at all.
+
+        Returns None when a referenced column cannot live on device
+        (int64 values outside int32) — callers fall back to the host
+        mask. Bounded LRU keyed by the FULL predicate; the compiled
+        evaluation is shared across literal values via split_literals.
+        """
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+        ckey = (key, bool(sharded), filt.to_json())
+        with self._lock:
+            hit = self._masks.get(ckey)
+            if hit is not None and hit[0] == stamp:
+                self._masks.move_to_end(ckey)
+                return hit[1]
+        try:
+            cols = {
+                f: self.scalar(source, f, sharded=sharded).data
+                for f in sorted(filt.fields())
+            }
+        except ValueError:
+            return None  # int64 out of device range: host fallback
+        skeleton, literals = filt.split_literals()
+        fn, fields = _mask_eval_fn(skeleton.to_json())
+        mask = fn(tuple(cols[f] for f in fields), tuple(literals))
+        with self._lock:
+            self._masks[ckey] = (stamp, mask)
+            self._masks.move_to_end(ckey)
+            while len(self._masks) > _MASK_CACHE_LIMIT:
+                self._masks.popitem(last=False)
+            self.device_mask_builds += 1
+        return mask
+
+    def clustered_perm(self, coding: str, source: str | Sequence[str], column: str):
+        """Device int32 copy of the clustered layout's permutation
+        (sorted position → original row): per-request device masks
+        follow rows into the sorted order without a host round-trip."""
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            import jax.numpy as jnp
+
+            perm, _ = self.clustered_meta(coding, source, column)
+            return jnp.asarray(perm.astype(np.int32))
+
+        return self._memo(
+            self._device, (key, column, "clustered_perm", coding), stamp, build
+        )
+
+    def sharded_clustered_perm(
+        self, coding: str, source: str | Sequence[str], column: str
+    ):
+        """Row-sharded LOCAL permutation of the per-shard clustered
+        layout (feeds parallel.search.permute_rows_sharded)."""
+        import jax
+
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            perm_local, _, _ = self.sharded_clustered_meta(coding, source, column)
+            return jax.device_put(perm_local, self._row_sharding(1))
+
+        return self._memo(
+            self._device, (key, column, "sharded_clustered_perm", coding), stamp, build
+        )
+
     def coding(self, name: str) -> coder_mod.Coding:
         path = coder_mod.path_of(self.root, name)
         stamp = os.path.getmtime(path)
@@ -793,3 +899,4 @@ class DeviceCache:
         with self._lock:
             self._host.clear()
             self._device.clear()
+            self._masks.clear()

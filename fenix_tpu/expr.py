@@ -304,6 +304,84 @@ class Expr:
 
     # -- evaluation: device (jax.numpy) → bool mask ------------------------
 
+    def device_evaluable(self, schema: pa.Schema) -> bool:
+        """Whether this predicate can be pushed down to the device with
+        host-parity results.
+
+        True when every op has a device lowering and every referenced
+        column is bool / integer / float32 (float64 columns would round
+        through the device's f32 and could flip boundary comparisons),
+        and every numeric literal is exactly representable on device
+        (int32 range; f32-exact floats). ``/`` is excluded — true
+        division runs in f64 on the host and f32 on device. String
+        predicates and ``is_null`` stay on the host path.
+        """
+
+        def lit_ok(v: Any) -> bool:
+            if isinstance(v, bool):
+                return True
+            if isinstance(v, (int, np.integer)):
+                return -(2**31) <= int(v) < 2**31
+            if isinstance(v, (float, np.floating)):
+                return float(np.float32(v)) == float(v)
+            return False
+
+        def ok(e: Any) -> bool:
+            if not isinstance(e, Expr):
+                return lit_ok(e)
+            if e.op == "field":
+                name = e.args[0]
+                if name not in schema.names:
+                    return False  # host path raises the proper error
+                t = schema.field(name).type
+                return (
+                    pa.types.is_boolean(t)
+                    or pa.types.is_integer(t)
+                    or (pa.types.is_float32(t))
+                )
+            if e.op == "lit":
+                return lit_ok(e.args[0])
+            if e.op == "isin":
+                return ok(e.args[0]) and all(lit_ok(v) for v in e.args[1])
+            if e.op in _COMPARISONS or e.op in _BOOLEAN or e.op in (
+                "+", "-", "*", "%", "abs",
+            ):
+                return all(ok(a) for a in e.args)
+            return False
+
+        return ok(self)
+
+    def split_literals(self) -> "tuple[Expr, list]":
+        """Return ``(skeleton, literals)`` where numeric literals are
+        replaced by ``slot`` placeholders. The skeleton keys the
+        compiled device-mask evaluation — requests differing only in
+        literal values (parametric per-query predicates) share one
+        compiled function instead of recompiling per value. ``isin``
+        value sets stay inline (their LENGTH is a compile-time shape).
+        Literal dtype is part of the skeleton (an int and a float slot
+        trace differently)."""
+        lits: list = []
+
+        def walk(e: Any) -> Any:
+            if not isinstance(e, Expr):
+                return e
+            if e.op == "lit":
+                v = e.args[0]
+                if isinstance(v, bool):
+                    return e
+                if isinstance(v, (int, np.integer)):
+                    lits.append(np.int32(v))
+                    return Expr("slot", (len(lits) - 1, "i"))
+                if isinstance(v, (float, np.floating)):
+                    lits.append(np.float32(v))
+                    return Expr("slot", (len(lits) - 1, "f"))
+                return e
+            if e.op == "isin":
+                return e
+            return Expr(e.op, tuple(walk(a) for a in e.args))
+
+        return walk(self), lits
+
     def fields(self) -> set[str]:
         """All column names referenced by this predicate."""
         out: set[str] = set()
@@ -318,32 +396,37 @@ class Expr:
         walk(self)
         return out
 
-    def device_mask(self, columns: Mapping[str, Any]) -> Any:
+    def device_mask(self, columns: Mapping[str, Any], slots: Sequence[Any] = ()) -> Any:
         """Evaluate on device given ``{name: jax.Array}`` columns.
 
         Supports numeric comparisons, boolean combinators, and ``isin``
         over small literal sets (lowered to a broadcast-equality
         reduction — no hash table needed on the VPU for bounded sets).
+        ``slots`` carries the literal values extracted by
+        :meth:`split_literals` (traced, so one compiled evaluation
+        serves every literal value).
         """
         import jax.numpy as jnp
 
         def ev(a: Any) -> Any:
             if isinstance(a, Expr):
-                return a._eval_device(columns, jnp)
+                return a._eval_device(columns, jnp, slots)
             return a
 
         return ev(self)
 
-    def _eval_device(self, columns: Mapping[str, Any], jnp: Any) -> Any:
+    def _eval_device(self, columns: Mapping[str, Any], jnp: Any, slots: Sequence[Any] = ()) -> Any:
         def ev(a: Any) -> Any:
             if isinstance(a, Expr):
-                return a._eval_device(columns, jnp)
+                return a._eval_device(columns, jnp, slots)
             return a
 
         if self.op == "field":
             return columns[self.args[0]]
         if self.op == "lit":
             return self.args[0]
+        if self.op == "slot":
+            return slots[self.args[0]]
         if self.op in _COMPARISONS:
             lhs, rhs = ev(self.args[0]), ev(self.args[1])
             return {
