@@ -11,8 +11,9 @@ latency; under load batches form exactly as fast as the device drains
 them.
 
 Compatibility (executor.batchable/batch_key): same (source, column,
-metric, precision), top-k requests without filter or coding. Everything
-else runs solo on the caller's thread, same as before.
+metric, precision, coding+probes, filter) — mixed-predicate workloads
+coalesce into one dispatch per distinct predicate. Only no-top-k reads
+run solo on the caller's thread.
 
 The reference has no analog (one request = one full torch pass,
 /root/reference/src/fenix/flight.py:62-77); this is the TPU-native

@@ -255,12 +255,15 @@ def _clustered_eligible(coding_data) -> bool:
 def _mesh_probed_packed(
     cache, coding: str, source, column: str, coding_data, queries, cells,
     q_pad: int, k_pad: int, metric: str, plan: "_FilterPlan",
+    precision: str = "fp32",
 ):
     """Mesh-sharded probed dispatch shared by the solo and batched
     paths. Preferred route: PER-SHARD clustered layouts — every shard
     gathers only its own probed buckets (cost ∝ locally-probed rows)
-    and the kernel's original-global-id candidates merge over ICI.
-    Work-based fallback to the masked local scan, mirroring the
+    and the kernel's original-global-id candidates merge over ICI; the
+    gather rescores fp32-exactly, so ``precision`` has nothing to
+    quantize there. Work-based fallback to the masked local scan
+    (which DOES honor the bf16/int8 scan copies), mirroring the
     single-device router."""
     mesh = cache.mesh
     n_shards = int(mesh.devices.size)
@@ -301,17 +304,36 @@ def _mesh_probed_packed(
     aux_mul, aux_add = cache.sharded_aux(source, column, metric)
     aux_add = plan.overlay(aux_add, "sharded")
     corpus_sh = cache.sharded_matrix(source, column)
-    return _sharded_fn(mesh, k_pad, metric, "fp32", True)(
-        corpus_sh.data, queries, aux_mul, aux_add, coded.data, cells,
+    scan = _scan_copies(cache, source, column, precision, sharded=True)
+    scan_args = scan.get("corpus_scan_int8", ())
+    if "corpus_scan" in scan:
+        scan_args = (scan["corpus_scan"],)
+    return _sharded_fn(mesh, k_pad, metric, precision, True)(
+        corpus_sh.data, queries, aux_mul, aux_add, *scan_args, coded.data, cells,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
-def _search_probed_packed(corpus, queries, aux_mul, aux_add, coded, cells, k, metric):
+def _search_probed_packed(
+    corpus, queries, aux_mul, aux_add, coded, cells, k, metric,
+    corpus_scan=None, corpus_scan_int8=None,
+):
     d, i = topk2.topk_two_phase_probed(
-        corpus, queries, aux_mul, aux_add, coded, cells, k=k, metric=metric
+        corpus, queries, aux_mul, aux_add, coded, cells, k=k, metric=metric,
+        corpus_scan=corpus_scan, corpus_scan_int8=corpus_scan_int8,
     )
     return topk2.pack_result(d, i)
+
+
+def _scan_copies(cache, source, column: str, precision: str, *, sharded: bool) -> dict:
+    """kwargs holding the low-precision phase-1 scan copy for the
+    requested precision (empty for fp32)."""
+    if precision == "bf16":
+        return {"corpus_scan": cache.matrix_bf16(source, column, sharded=sharded).data}
+    if precision == "int8":
+        v8, sv = cache.matrix_int8(source, column, sharded=sharded)
+        return {"corpus_scan_int8": (v8.data, sv.data)}
+    return {}
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
@@ -512,7 +534,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         if cache.mesh is not None:
             packed = _mesh_probed_packed(
                 cache, req.coding, req.source, req.column, coding_data,
-                queries, cells, q_pad, k_pad, metric, plan,
+                queries, cells, q_pad, k_pad, metric, plan, req.precision,
             )
             _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
             dists, ids = topk2.unpack_result(packed)
@@ -541,6 +563,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             packed = _search_probed_packed(
                 corpus.data, queries, aux_mul, aux_add, coded.data, cells,
                 k=k_pad, metric=metric,
+                **_scan_copies(cache, req.source, req.column, req.precision, sharded=False),
             )
             _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
             dists, ids = topk2.unpack_result(packed)
@@ -835,7 +858,7 @@ def _execute_search_batched_once(
         if cache.mesh is not None:
             packed = _mesh_probed_packed(
                 cache, r0.coding, r0.source, r0.column, coding_data,
-                queries, cells, q_pad, k_pad, metric, plan,
+                queries, cells, q_pad, k_pad, metric, plan, r0.precision,
             )
         else:
             n_pad = corpus.rows_padded
@@ -875,6 +898,7 @@ def _execute_search_batched_once(
                 packed = _search_probed_packed(
                     corpus.data, queries, aux_mul, aux_add, coded.data, cells,
                     k=k_pad, metric=metric,
+                    **_scan_copies(cache, r0.source, r0.column, r0.precision, sharded=False),
                 )
     elif cache.mesh is not None:
         aux_mul, aux_add = cache.sharded_aux(r0.source, r0.column, metric)

@@ -604,22 +604,35 @@ def bucket_scores_scan(
 
 
 def bucket_scores_scan_probed(
-    queries_p: jax.Array,  # [QT, D]
-    corpus: jax.Array,  # [N, D]
-    aux_mul: jax.Array,
+    queries_p: jax.Array,  # [QT, D] — prepared fp32 / bf16 / q8 (int8)
+    corpus: jax.Array,  # [N, D] — fp32 / bf16 scan copy / v8 (int8)
+    aux_mul: jax.Array,  # [N] (int8: aux_mul · sv, corpus scale folded)
     aux_add: jax.Array,
     coded: jax.Array,  # [N] int32 cell ids
     cells: jax.Array,  # [QT, P] per-query probe cells
     block_rows: int | None = None,
     bucket: int = BUCKET,
+    inv_sq: jax.Array | None = None,  # [QT] — int8 per-query 1/scale
 ) -> jax.Array:  # [QT, N // bucket]
     """Phase 1 with per-query IVF probe masks applied inside the scan
     (reference index.py:113-126 semantics, per query). Blocks are
     VMEM-fusable like bucket_scores_scan; the per-query probe mask
     rules out the unblocked-dot fast path (the [QT, block, P] compare
-    must stay a fused VMEM tile)."""
+    must stay a fused VMEM tile).
+
+    Scan-precision variants mirror the unprobed twins: a bf16 ``corpus``
+    halves traffic with a bf16 accumulate; an int8 ``corpus`` (pass
+    ``inv_sq`` and fold sv into ``aux_mul``) quarters it with the same
+    score form as bucket_scores_scan_int8."""
     n, d = corpus.shape
     qt = queries_p.shape[0]
+    int8_mode = corpus.dtype == jnp.int8
+    if int8_mode:
+        acc = jnp.float32 if d <= 1024 else jnp.int32
+    elif corpus.dtype == jnp.bfloat16:
+        acc = jnp.bfloat16
+    else:
+        acc = jnp.float32
     block_rows = _fusable_block(n, qt, block_rows)
     nb = max(n // block_rows, 1)
 
@@ -636,16 +649,19 @@ def bucket_scores_scan_probed(
             queries_p,
             vb,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
-        s = s * mb[None, :] + ab[None, :]
+        if int8_mode:
+            s = s.astype(jnp.float32) * mb[None, :] + ab[None, :] * inv_sq[:, None]
+        else:
+            s = s * mb[None, :].astype(acc) + ab[None, :].astype(acc)
         probe_ok = (cb[None, :, None] == cells[:, None, :]).any(axis=-1)  # [QT, B]
-        s = jnp.where(probe_ok, s, NEG_INF)
+        s = jnp.where(probe_ok, s, jnp.asarray(NEG_INF, s.dtype))
         out = s.reshape(qt, block_rows // bucket, bucket).max(axis=-1)
         return None, out
 
     _, stacked = jax.lax.scan(body, None, xs)
-    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // bucket)
+    return jnp.transpose(stacked, (1, 0, 2)).reshape(qt, n // bucket).astype(jnp.float32)
 
 
 # Group width for hierarchical bucket selection (one lane tile).
@@ -912,8 +928,16 @@ def topk_two_phase_probed(
     k: int,
     metric: str,
     block_rows: int | None = None,
+    corpus_scan: jax.Array | None = None,
+    corpus_scan_int8: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Probed (IVF) exact-within-probes top-k, two-phase."""
+    """Probed (IVF) exact-within-probes top-k, two-phase.
+
+    Same scan-precision contract as :func:`topk_two_phase`: an optional
+    bf16 ``corpus_scan`` or int8 ``corpus_scan_int8=(v8, sv)`` feeds
+    phase 1 (half/quarter HBM scan traffic); phase 2 always rescores
+    against the fp32 ``corpus``, so distances stay exact — only bucket
+    selection sees quantization (int8 doubles the candidate margin)."""
     metric = canonical_metric(metric)
     n, d = corpus.shape
     q = queries.shape[0]
@@ -923,11 +947,25 @@ def topk_two_phase_probed(
     n_buckets = n // bucket
 
     queries_p = prepare_queries(queries, metric)
-    bucket_max = bucket_scores_scan_probed(
-        queries_p, corpus, aux_mul, aux_add, coded, cells, block_rows, bucket
-    )
+    if corpus_scan_int8 is not None:
+        v8, sv = corpus_scan_int8
+        q8, inv_sq = quantize_queries_int8(queries_p)
+        bucket_max = bucket_scores_scan_probed(
+            q8, v8, aux_mul * sv, aux_add, coded, cells, block_rows, bucket,
+            inv_sq=inv_sq,
+        )
+    elif corpus_scan is not None:
+        bucket_max = bucket_scores_scan_probed(
+            queries_p.astype(corpus_scan.dtype), corpus_scan, aux_mul, aux_add,
+            coded, cells, block_rows, bucket,
+        )
+    else:
+        bucket_max = bucket_scores_scan_probed(
+            queries_p, corpus, aux_mul, aux_add, coded, cells, block_rows, bucket
+        )
 
-    kp = min(k + BUCKET_PAD, n_buckets)
+    pad = BUCKET_PAD * 2 if corpus_scan_int8 is not None else BUCKET_PAD
+    kp = min(k + pad, n_buckets)
     bidx = topk_buckets(bucket_max, kp)
     bidx = jnp.sort(bidx, axis=-1)
 

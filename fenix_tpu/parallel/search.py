@@ -33,8 +33,6 @@ def _build(
     precision: str = "fp32",
 ):
     assert precision in ("fp32", "bf16", "int8"), precision
-    # the probed kernel has no scan-copy inputs (same as single-chip)
-    assert precision == "fp32" or not probed, (precision, probed)
     axes = (DATA_AXIS, MODEL_AXIS)
     n_shards = mesh.devices.size
 
@@ -81,7 +79,7 @@ def _build(
         if probed:
             dist, ids = topk2.topk_two_phase_probed(
                 corpus_local, queries, aux_mul, aux_add, coded_local, cells,
-                k=local_k, metric=metric,
+                k=local_k, metric=metric, **scan_kw,
             )
         else:
             dist, ids = topk2.topk_two_phase(
