@@ -299,21 +299,35 @@ def _fused_search_lookup(
 
 @dataclass
 class JoinSpec:
-    """Enrichment join: attach rows of ``source`` where
-    ``source.right_on == <search result>.left_on``."""
+    """Join search results to ``source`` where
+    ``source.right_on == <search result>.left_on``.
+
+    ``how="lookup"`` (default): enrichment — one attr row per result
+    row (first match wins; misses become NULLs). ``how="inner"``:
+    general SQL inner join — result rows duplicate per matching attr
+    row, unmatched result rows drop; duplicated right keys produce one
+    output pair each (relational.join_inner_sorted), bounded by
+    ``max_matches``."""
 
     source: str | Sequence[str]
     right_on: str
     left_on: str = "id"
     columns: Sequence[str] | None = None  # None → all non-key columns
+    how: str = "lookup"
+    max_matches: int = 4096
 
     @staticmethod
     def from_dict(obj: dict) -> "JoinSpec":
+        how = obj.get("how", "lookup")
+        if how not in ("lookup", "inner"):
+            raise ValueError(f"unknown join how={how!r}; expected lookup|inner")
         return JoinSpec(
             source=obj["source"],
             right_on=obj["right_on"],
             left_on=obj.get("left_on", "id"),
             columns=obj.get("columns"),
+            how=how,
+            max_matches=int(obj.get("max_matches", 4096)),
         )
 
 
@@ -576,6 +590,12 @@ def execute_search_join(
     return the enriched rows or the aggregate over match groups."""
     assert req.maxval is not None, "join/aggregate queries require maxval (top-k)"
 
+    if join.how == "inner":
+        # general inner join: two-step (search, then the bounded-
+        # expansion join probe) — match multiplicity makes the packed
+        # fused fetch shapeless, so it does not share the fused path
+        return _execute_inner_join(cache, req, join, aggregate)
+
     if req.coding is None and req.precision == "fp32" and req.metric is not None:
         return _execute_fused(cache, req, join, aggregate)
 
@@ -632,6 +652,122 @@ def execute_search_join(
     ridx_np = np.asarray(ridx)
     ridx_np = np.where(ridx_np < attr_rows, ridx_np, -1)
     return _attach_join_columns(result, cache.host_table(join.source), ridx_np, join)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("agg", "max_groups", "max_matches", "use_value_col")
+)
+def _inner_join_aggregate_device(
+    left_keys, sorted_keys, sorted_index, attr_rows, group_col, value_col,
+    left_values, agg: str, max_groups: int, max_matches: int, use_value_col: bool,
+):
+    """Inner-join expansion + aggregate over MATCH PAIRS as one
+    dispatch; same packed (keys, aggregates, count) carrier as
+    _join_aggregate_device, plus the pair total appended."""
+    li, ri, total = relational.join_inner_sorted(
+        left_keys, sorted_keys, sorted_index, max_matches
+    )
+    hit = (ri >= 0) & (ri < attr_rows)
+    safe_r = jnp.where(hit, ri, 0)
+    groups = jnp.take(group_col, safe_r).astype(jnp.int32)
+    values = (
+        jnp.take(value_col, safe_r).astype(jnp.float32)
+        if use_value_col
+        else jnp.take(left_values, jnp.where(li >= 0, li, 0))
+    )
+    gk, gv, n = relational.group_aggregate(
+        groups, values, max_groups=max_groups, agg=agg, mask=hit
+    )
+    return jnp.concatenate(
+        [
+            gk.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(gv.astype(jnp.float32), jnp.int32),
+            n.astype(jnp.int32)[None],
+            total.astype(jnp.int32)[None],
+        ]
+    )
+
+
+def _execute_inner_join(
+    cache: DeviceCache,
+    req: executor.SearchRequest,
+    join: JoinSpec,
+    aggregate: AggregateSpec | None,
+) -> pa.Table:
+    """Search → general inner join (relational.join_inner_sorted) —
+    the non-PK join: result rows duplicate per matching attribute row,
+    unmatched result rows drop (VERDICT r1 #8)."""
+    result = executor.execute_search(cache, req)
+    if result.num_rows == 0:  # empty probe side: nothing to expand
+        if aggregate is not None:
+            return pa.table(
+                {GROUP_COL: pa.array([], pa.int64()), AGG_COL: pa.array([], pa.float64())}
+            )
+        return _attach_join_columns(
+            result, cache.host_table(join.source), np.empty(0, np.int32), join
+        )
+
+    left_keys_np = np.asarray(result.column(join.left_on)).astype(np.int64)
+    if left_keys_np.size and (
+        left_keys_np.max() > np.iinfo(np.int32).max
+        or left_keys_np.min() < np.iinfo(np.int32).min
+    ):
+        raise ValueError(
+            f"join key {join.left_on!r} has values outside the device "
+            "int32 range; re-key below 2^31"
+        )
+    sorted_keys, sorted_index, attr_rows, group_col, value_col = (
+        _attrs_device_entries(cache, join, aggregate)
+    )
+    left_keys = jnp.asarray(left_keys_np.astype(np.int32)).astype(sorted_keys.dtype)
+
+    if aggregate is not None:
+        use_value_col = (
+            aggregate.value is not None and aggregate.value != executor.DIST_COL
+        )
+        if use_value_col:
+            left_values = jnp.zeros((max(left_keys.shape[0], 1),), jnp.float32)
+            agg = aggregate.agg
+        elif aggregate.value == executor.DIST_COL:
+            value_col = group_col.data  # dummy, unused
+            left_values = jnp.asarray(
+                np.asarray(result.column(executor.DIST_COL), dtype=np.float32)
+            )
+            agg = aggregate.agg
+        else:  # count semantics: one unit per MATCH PAIR
+            value_col = group_col.data
+            left_values = jnp.ones((max(left_keys.shape[0], 1),), jnp.float32)
+            agg = "sum" if aggregate.agg == "count" else aggregate.agg
+        packed = np.asarray(
+            _inner_join_aggregate_device(
+                left_keys, sorted_keys, sorted_index, attr_rows,
+                group_col.data, value_col, left_values,
+                agg=agg, max_groups=aggregate.max_groups,
+                max_matches=join.max_matches, use_value_col=use_value_col,
+            )
+        )
+        total = int(packed[-1])
+        if total > join.max_matches:
+            raise ValueError(
+                f"inner join produced {total} pairs but max_matches="
+                f"{join.max_matches}; raise join.max_matches"
+            )
+        return _groups_table(packed[:-1], aggregate.max_groups)
+
+    li, ri, total = relational.join_inner_sorted(
+        left_keys, sorted_keys, sorted_index, join.max_matches
+    )
+    li_np, ri_np, total = np.asarray(li), np.asarray(ri), int(total)
+    if total > join.max_matches:
+        raise ValueError(
+            f"inner join produced {total} pairs but max_matches="
+            f"{join.max_matches}; raise join.max_matches"
+        )
+    valid = (li_np >= 0) & (ri_np >= 0) & (ri_np < attr_rows)
+    expanded = result.take(pa.array(li_np[valid].astype(np.int64)))
+    return _attach_join_columns(
+        expanded, cache.host_table(join.source), ri_np[valid], join
+    )
 
 
 

@@ -70,7 +70,15 @@ def make(root: str, name: str, source: str | Sequence[str], column: str) -> pa.T
 
 
 def _assign_codes(root: str, name: str, column: pa.ChunkedArray) -> np.ndarray:
-    """Nearest-composite-cell id per row, block-wise on device."""
+    """Nearest-composite-cell id per row, block-wise on device.
+
+    Blocks stream through :func:`fenix_tpu.io.batch.prefetch_to_device`
+    so block i+1's host→device transfer (and its host-side dtype copy)
+    overlaps block i's assignment compute — the reference DataLoader-
+    pool role (SURVEY §2.3 last row) on the one ingest path that is a
+    genuine upload/compute pipeline."""
+    from fenix_tpu.io import batch as batch_mod
+
     coding = coder_mod.load(root, name)
     codebooks = jnp.asarray(coding["tensor"])
     metric = coding["config"]["metric"]
@@ -78,13 +86,18 @@ def _assign_codes(root: str, name: str, column: pa.ChunkedArray) -> np.ndarray:
     matrix = ingest.fixed_size_list_to_numpy(column)
     num_rows = matrix.shape[0]
 
+    def blocks() -> Iterator[np.ndarray]:
+        for start in range(0, num_rows, ASSIGN_BLOCK):
+            yield np.asarray(matrix[start : start + ASSIGN_BLOCK], dtype=np.float32)
+
     codes = np.empty(num_rows, dtype=np.int64)
-    for start in range(0, num_rows, ASSIGN_BLOCK):
-        stop = min(start + ASSIGN_BLOCK, num_rows)
-        block = jnp.asarray(matrix[start:stop], dtype=jnp.float32)
+    start = 0
+    for block in batch_mod.prefetch_to_device(blocks()):
+        stop = start + block.shape[0]
         codes[start:stop] = np.asarray(
             cells_ops.assign_cells(block, codebooks, metric=metric), dtype=np.int64
         )
+        start = stop
     return codes
 
 

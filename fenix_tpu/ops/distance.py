@@ -1,17 +1,15 @@
-"""Distance metrics and streaming top-k search on TPU.
+"""Distance metrics on TPU (metric canon, pairwise matrices).
 
 Semantics parity: /root/reference/src/fenix/io/coder/coder.py:38-50
 (distance: l2 via cdist, cosine as ``0.5 - 0.5·cos``, dot as negated
-inner product — all "smaller is closer") and
-/root/reference/src/fenix/io/index/index.py:161-168 (filter → distance
-column → ascending top-k).
+inner product — all "smaller is closer").
 
-TPU-first design: the corpus lives in HBM as a padded ``[N_pad, D]``
-block; search is a ``lax.scan`` over row blocks that keeps an MXU-sized
-distance tile and a running per-query top-k in VMEM — the full ``[Q, N]``
-distance matrix is never materialized. Predicate and IVF-probe masks are
-pushed below the distance matmul as score masks (−inf), so filtered
-search costs the same memory as unfiltered.
+Top-k search lives in fenix_tpu.ops.topk2 (two-phase bucket-max kernels
+— the measured-fastest strategy; the round-1 streaming-scan search that
+used to live here was superseded and removed). This module keeps the
+value-exact primitives: canonical metric names, normalization, the
+fp32-true pairwise matrix, and the full-matrix ``all_distances`` used
+by the unselective no-top-k read.
 """
 
 from __future__ import annotations
@@ -95,168 +93,6 @@ def pairwise_distance(
         precision=precision,
     )
     return -uv
-
-
-def _merge_topk(
-    carry_scores: jax.Array,  # [Q, K]
-    carry_ids: jax.Array,  # [Q, K]
-    scores: jax.Array,  # [Q, B]
-    ids: jax.Array,  # [Q, B]
-    k: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Merge a block of candidate scores into the running top-k.
-
-    Concat order puts the carry first so ties resolve to the earliest
-    (smallest) row id — deterministic, unlike the reference's
-    ``select_k_unstable`` (index.py:165-168).
-    """
-    all_scores = jnp.concatenate([carry_scores, scores], axis=1)
-    all_ids = jnp.concatenate([carry_ids, ids], axis=1)
-    top_scores, pos = jax.lax.top_k(all_scores, k)
-    top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
-    return top_scores, top_ids
-
-
-# Bucket width for the two-level block top-k; one VPU lane tile.
-_BUCKET = 128
-
-
-def _merge_topk_bucketed(
-    carry_scores: jax.Array,  # [Q, K]
-    carry_ids: jax.Array,  # [Q, K]
-    scores: jax.Array,  # [Q, B] (−inf for masked)
-    base_id: jax.Array,  # scalar int32: global id of column 0
-    k: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Exact two-level top-k merge: O(B) VPU max-reduce + sorts over
-    ``B/128 + 128·k`` instead of ``B``.
-
-    Level 1 reduces each 128-lane bucket to its max; the top-k buckets
-    must contain every true top-k element (at most k buckets can hold a
-    value ≥ the k-th best, and ``lax.top_k``'s stable tie order keeps
-    the earliest — smallest-id — buckets). Level 2 gathers those
-    buckets' full lanes and merges with the carry. ~50× less sort work
-    per block than the naive merge, which is what made the XLA scan
-    path top-k-bound instead of HBM-bound.
-    """
-    q, b = scores.shape
-    if b // _BUCKET < 4 or k > b // _BUCKET:
-        ids = base_id + jax.lax.broadcasted_iota(jnp.int32, (q, b), 1)
-        return _merge_topk(carry_scores, carry_ids, scores, ids, k)
-
-    n_buckets = b // _BUCKET
-    sb = scores.reshape(q, n_buckets, _BUCKET)
-    bucket_max = sb.max(axis=-1)  # [Q, n_buckets]
-
-    _, bucket_idx = jax.lax.top_k(bucket_max, k)  # [Q, k], stable
-    cand = jnp.take_along_axis(sb, bucket_idx[:, :, None], axis=1)  # [Q, k, 128]
-    cand = cand.reshape(q, k * _BUCKET)
-    cand_ids = (
-        base_id
-        + bucket_idx[:, :, None] * _BUCKET
-        + jax.lax.broadcasted_iota(jnp.int32, (1, 1, _BUCKET), 2)
-    ).reshape(q, k * _BUCKET)
-
-    return _merge_topk(carry_scores, carry_ids, cand, cand_ids, k)
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "k", "block"))
-def topk_search(
-    corpus: jax.Array,  # [N_pad, D]
-    queries: jax.Array,  # [Q, D]
-    mask: jax.Array,  # [N_pad] bool — validity ∧ pushed-down predicate
-    k: int,
-    metric: str,
-    block: int = 16384,
-) -> tuple[jax.Array, jax.Array]:
-    """Streaming exact top-k: returns (distances [Q, k], row ids [Q, k]).
-
-    Invalid/masked rows surface as +inf distance with id −1.
-    """
-    return _topk_search_impl(corpus, queries, mask, None, None, k, metric, block)
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "k", "block"))
-def topk_search_probed(
-    corpus: jax.Array,  # [N_pad, D]
-    queries: jax.Array,  # [Q, D]
-    mask: jax.Array,  # [N_pad] bool
-    coded: jax.Array,  # [N_pad] int32 cell id per row
-    cells: jax.Array,  # [Q, P] int32 probe cells per query
-    k: int,
-    metric: str,
-    block: int = 16384,
-) -> tuple[jax.Array, jax.Array]:
-    """Top-k restricted to rows whose cell id is in the query's probe set.
-
-    IVF semantics of reference index.py:113-126 (``isin`` over probed
-    cells AND'd into the filter), but evaluated per query *inside* the
-    scan so multi-query batches each probe their own cells.
-    """
-    return _topk_search_impl(corpus, queries, mask, coded, cells, k, metric, block)
-
-
-def _topk_search_impl(corpus, queries, mask, coded, cells, k, metric, block):
-    metric = canonical_metric(metric)
-    n_pad, dim = corpus.shape
-    q = queries.shape[0]
-    assert n_pad % block == 0, (n_pad, block)
-    num_blocks = n_pad // block
-
-    if metric == "cosine":
-        # Hoist query normalization out of the scan.
-        queries = normalize(queries)
-
-    init_scores = jnp.full((q, k), NEG_INF, dtype=jnp.float32)
-    init_ids = jnp.full((q, k), -1, dtype=jnp.int32)
-
-    corpus_blocks = corpus.reshape(num_blocks, block, dim)
-    mask_blocks = mask.reshape(num_blocks, block)
-    xs = (corpus_blocks, mask_blocks, jnp.arange(num_blocks, dtype=jnp.int32))
-    if coded is not None:
-        xs = xs + (coded.reshape(num_blocks, block),)
-
-
-    def body(carry, x):
-        carry_scores, carry_ids = carry
-        if coded is not None:
-            vblock, mblock, bid, cblock = x
-        else:
-            vblock, mblock, bid = x
-
-        if metric == "cosine":
-            vb = normalize(vblock)
-            s = 0.5 * jax.lax.dot_general(
-                queries,
-                vb,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) - 0.5
-            # score = -distance = 0.5·cos − 0.5
-        elif metric == "dot":
-            s = jax.lax.dot_general(
-                queries,
-                vblock,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:  # l2 — negate so "top" = nearest
-            s = -pairwise_distance(queries, vblock, "l2")
-
-        valid = mblock[None, :]
-        if coded is not None:
-            probe_ok = (cblock[None, :, None] == cells[:, None, :]).any(axis=-1)
-            valid = jnp.logical_and(valid, probe_ok)
-
-        s = jnp.where(valid, s, NEG_INF)
-
-        return _merge_topk_bucketed(carry_scores, carry_ids, s, bid * block, k), None
-
-    (scores, ids), _ = jax.lax.scan(body, (init_scores, init_ids), xs)
-
-    distances = jnp.where(scores == NEG_INF, jnp.inf, -scores)
-    ids = jnp.where(scores == NEG_INF, -1, ids)
-    return distances, ids
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

@@ -77,20 +77,37 @@ def radix_sort_kv(
 # -- filter → compaction --------------------------------------------------
 
 
-@jax.jit
-def compact(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Row indices where ``mask`` is True, stably packed to the front.
+@functools.partial(jax.jit, static_argnames=("width",))
+def compact_indices(
+    mask: jax.Array, width: int | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Batched filter→compaction: for ``[..., N]`` masks, the indices of
+    True rows stably packed to the front (padded with N), sliced to
+    ``width`` columns; plus per-row counts.
 
-    Returns (indices [N] int32 — valid prefix, padded with N), count.
-    The Arrow-C++ ``filter`` equivalent: gather ``indices[:count]``.
+    The Arrow-C++ ``filter`` equivalent as a device kernel (SURVEY §2.3
+    "vectorized filter (mask+compaction)"); one batched stable sort —
+    XLA lowers it to the native sort unit, no per-row control flow.
+    Feeds the streamed no-top-k read (fenix_tpu.ops.select).
     """
-    n = mask.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
+    n = mask.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mask.shape)
     # sort by (!mask) keeps True rows first, stably (original order)
     keys = jnp.where(mask, 0, 1).astype(jnp.int32)
-    _, packed = jax.lax.sort((keys, iota), dimension=0, is_stable=True, num_keys=1)
-    count = mask.sum(dtype=jnp.int32)
-    packed = jnp.where(jnp.arange(n, dtype=jnp.int32) < count, packed, n)
+    _, packed = jax.lax.sort((keys, iota), dimension=-1, is_stable=True, num_keys=1)
+    count = mask.sum(axis=-1, dtype=jnp.int32)
+    w = n if width is None else width
+    packed = packed[..., :w]
+    pos = jnp.arange(w, dtype=jnp.int32)
+    packed = jnp.where(pos < count[..., None], packed, n)
+    return packed, count
+
+
+@jax.jit
+def compact(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """1-D convenience form of :func:`compact_indices`: gather
+    ``indices[:count]``."""
+    packed, count = compact_indices(mask)
     return packed, count
 
 
@@ -137,23 +154,25 @@ def join_lookup(left_keys: jax.Array, right_keys: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("max_matches",))
-def join_inner(
-    left_keys: jax.Array, right_keys: jax.Array, max_matches: int
+def join_inner_sorted(
+    left_keys: jax.Array,
+    sorted_keys: jax.Array,
+    sorted_index: jax.Array,
+    max_matches: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """General inner join on single keys.
+    """General inner join against a PRE-SORTED build side — the
+    cacheable form the engine serves (``DeviceCache.sorted_key`` builds
+    the sorted index once per attribute-table revision).
 
     Returns (left_idx [max_matches], right_idx [max_matches], count);
     pairs beyond ``count`` are (−1, −1). Pairs are emitted in left-row
     order, duplicates in right-row order — fully deterministic.
-    Sort + searchsorted + bounded expansion (the TPU-shaped analog of a
-    hash join probe; static ``max_matches`` replaces dynamic output).
+    Searchsorted + bounded expansion (the TPU-shaped analog of a hash
+    join probe; static ``max_matches`` replaces dynamic output).
     """
-    n_right = right_keys.shape[0]
-    iota_r = jnp.arange(n_right, dtype=jnp.int32)
-    sk, si = jax.lax.sort((right_keys, iota_r), dimension=0, is_stable=True, num_keys=1)
-
-    lo = jnp.searchsorted(sk, left_keys, side="left")
-    hi = jnp.searchsorted(sk, left_keys, side="right")
+    n_right = sorted_keys.shape[0]
+    lo = jnp.searchsorted(sorted_keys, left_keys, side="left")
+    hi = jnp.searchsorted(sorted_keys, left_keys, side="right")
     counts = (hi - lo).astype(jnp.int32)  # matches per left row
 
     starts = jnp.concatenate(
@@ -166,7 +185,7 @@ def join_inner(
     owner = jnp.searchsorted(starts + counts, out_iota, side="right").astype(jnp.int32)
     owner = jnp.clip(owner, 0, left_keys.shape[0] - 1)
     offset = out_iota - starts[owner]
-    ridx = si[jnp.clip(lo[owner] + offset, 0, n_right - 1)]
+    ridx = sorted_index[jnp.clip(lo[owner] + offset, 0, n_right - 1)]
 
     valid = out_iota < total
     return (
@@ -174,6 +193,18 @@ def join_inner(
         jnp.where(valid, ridx, -1),
         total,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def join_inner(
+    left_keys: jax.Array, right_keys: jax.Array, max_matches: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """General inner join on single keys (unsorted build side):
+    sort + :func:`join_inner_sorted`."""
+    n_right = right_keys.shape[0]
+    iota_r = jnp.arange(n_right, dtype=jnp.int32)
+    sk, si = jax.lax.sort((right_keys, iota_r), dimension=0, is_stable=True, num_keys=1)
+    return join_inner_sorted(left_keys, sk, si, max_matches)
 
 
 # -- group-by aggregate ---------------------------------------------------

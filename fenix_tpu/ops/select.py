@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from fenix_tpu.ops import distance as distance_ops
+from fenix_tpu.ops import relational
 
 
 def chunk_for(n_pad: int, q_pad: int, block: int) -> int:
@@ -123,7 +124,9 @@ def compact_chunk(
         queries, vblock, metric, precision=jax.lax.Precision.HIGHEST
     )
 
-    idx = jax.vmap(lambda mm: jnp.nonzero(mm, size=width, fill_value=chunk)[0])(mask)
+    # batched stable-sort compaction (relational.compact_indices): True
+    # rows pack to the front in table order, padding slots carry `chunk`
+    idx, _ = relational.compact_indices(mask, width=width)
     got = idx < chunk
     safe = jnp.minimum(idx, chunk - 1)
     d = jnp.take_along_axis(dist, safe, axis=1)

@@ -179,3 +179,133 @@ def test_join_enrichment_multi_query_fused(root, rng):
     ids = np.asarray(out.column("id"))
     for i, w in zip(ids.tolist(), out.column("weight").to_pylist()):
         assert w == lookup.get(i, None)
+
+
+# -- general inner join (how="inner", VERDICT r1 #8) -----------------------
+
+
+@pytest.fixture
+def dup_root(tmp_path, rng):
+    """Attrs with DUPLICATE keys: each vec id 0..99 matches 0-3 rows."""
+    root = str(tmp_path)
+    vecs = rng.standard_normal((200, DIM)).astype(np.float32)
+    table.make(
+        root,
+        "vec",
+        pa.table(
+            {
+                "id": pa.array(np.arange(200)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    keys, grps, ws = [], [], []
+    for i in range(100):
+        for j in range(i % 4):  # 0..3 duplicates
+            keys.append(i)
+            grps.append(j)
+            ws.append(float(i * 10 + j))
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(np.asarray(keys, np.int64)),
+                "grp": pa.array(np.asarray(grps, np.int64)),
+                "weight": pa.array(np.asarray(ws, np.float64)),
+            }
+        ).to_reader(),
+    )
+    return root
+
+
+def _inner_oracle(result_ids, keys, cols):
+    """Expected (left order, right-row order) match pairs."""
+    out = []
+    for li, rid in enumerate(result_ids):
+        for ri, k in enumerate(keys):
+            if k == rid:
+                out.append((li, ri))
+    return out
+
+
+def test_inner_join_duplicates_and_drops(dup_root, rng):
+    cache = executor.get_cache(dup_root)
+    req = executor.SearchRequest(
+        source="vec", column="vector", metric="l2", maxval=30,
+        target=rng.standard_normal(DIM).astype(np.float32),
+    )
+    base = executor.execute_search(cache, req)
+    out = analytics.execute_search_join(
+        cache, req, analytics.JoinSpec(source="attrs", right_on="key", how="inner")
+    )
+    attrs = table.load(dup_root, "attrs")
+    keys = attrs.column("key").to_pylist()
+    pairs = _inner_oracle(base.column("id").to_pylist(), keys, None)
+    assert out.num_rows == len(pairs)
+    assert out.column("id").to_pylist() == [
+        base.column("id")[li].as_py() for li, _ in pairs
+    ]
+    assert out.column("weight").to_pylist() == [
+        attrs.column("weight")[ri].as_py() for _, ri in pairs
+    ]
+    # unmatched result rows (id >= 100 or i % 4 == 0) are DROPPED
+    assert all(i < 100 and i % 4 != 0 for i in out.column("id").to_pylist())
+
+
+def test_inner_join_aggregate_counts_pairs(dup_root, rng):
+    cache = executor.get_cache(dup_root)
+    req = executor.SearchRequest(
+        source="vec", column="vector", metric="l2", maxval=40,
+        target=rng.standard_normal(DIM).astype(np.float32),
+    )
+    base = executor.execute_search(cache, req)
+    out = analytics.execute_search_join(
+        cache,
+        req,
+        analytics.JoinSpec(source="attrs", right_on="key", how="inner"),
+        analytics.AggregateSpec(group_by="grp", agg="count", max_groups=16),
+    )
+    attrs = table.load(dup_root, "attrs")
+    keys = attrs.column("key").to_pylist()
+    grps = attrs.column("grp").to_pylist()
+    pairs = _inner_oracle(base.column("id").to_pylist(), keys, None)
+    import collections
+
+    want = collections.Counter(grps[ri] for _, ri in pairs)
+    got = dict(
+        zip(out.column(analytics.GROUP_COL).to_pylist(),
+            out.column(analytics.AGG_COL).to_pylist())
+    )
+    assert got == {k: float(v) for k, v in want.items()}
+
+
+def test_inner_join_max_matches_guard(dup_root, rng):
+    cache = executor.get_cache(dup_root)
+    req = executor.SearchRequest(
+        source="vec", column="vector", metric="l2", maxval=100,
+        target=rng.standard_normal(DIM).astype(np.float32),
+    )
+    with pytest.raises(ValueError, match="max_matches"):
+        analytics.execute_search_join(
+            cache,
+            req,
+            analytics.JoinSpec(
+                source="attrs", right_on="key", how="inner", max_matches=8
+            ),
+        )
+
+
+def test_inner_join_empty_result(dup_root, rng):
+    from fenix_tpu import expr
+
+    cache = executor.get_cache(dup_root)
+    req = executor.SearchRequest(
+        source="vec", column="vector", metric="l2", maxval=10,
+        target=rng.standard_normal(DIM).astype(np.float32),
+        filter=expr.field("id") < 0,
+    )
+    out = analytics.execute_search_join(
+        cache, req, analytics.JoinSpec(source="attrs", right_on="key", how="inner")
+    )
+    assert out.num_rows == 0

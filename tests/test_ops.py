@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fenix_tpu.ops import cells, distance, kmeans
+from fenix_tpu.ops import cells, distance, kmeans, topk2
 from tests import oracles
 
 METRICS = ["cosine", "dot", "inner_product", "l2", "euclidean"]
@@ -22,8 +22,11 @@ def test_pairwise_distance_matches_oracle(rng, metric):
 
 
 @pytest.mark.parametrize("metric", METRICS)
-def test_topk_search_matches_bruteforce(rng, metric):
-    n, d, q, k, block = 1000, 32, 5, 10, 256
+def test_topk_two_phase_matches_bruteforce(rng, metric):
+    """Oracle parity for the production top-k kernel with padding rows
+    masked through the aux (migrated from the removed round-1
+    distance.topk_search scan)."""
+    n, d, q, k = 1000, 32, 5, 10
     n_pad = 1024
     corpus = np.zeros((n_pad, d), dtype=np.float32)
     corpus[:n] = rng.standard_normal((n, d)).astype(np.float32)
@@ -31,27 +34,28 @@ def test_topk_search_matches_bruteforce(rng, metric):
     mask = np.zeros(n_pad, dtype=bool)
     mask[:n] = True
 
-    dists, ids = distance.topk_search(
-        jnp.asarray(corpus), jnp.asarray(queries), jnp.asarray(mask), k=k, metric=metric, block=block
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), jnp.asarray(mask), metric)
+    dists, ids = topk2.topk_two_phase(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add, k=k, metric=metric
     )
     dists, ids = np.asarray(dists), np.asarray(ids)
 
     want_d, want_i = oracles.topk(oracles.distance(queries, corpus[:n], metric), k)
 
     np.testing.assert_allclose(dists, want_d, rtol=1e-4, atol=1e-5)
-    # ids must agree wherever distances are distinct
     np.testing.assert_array_equal(ids, want_i)
 
 
 @pytest.mark.parametrize("metric", ["l2", "cosine"])
-def test_topk_search_respects_mask(rng, metric):
+def test_topk_two_phase_respects_mask(rng, metric):
     n_pad, d, k = 512, 16, 5
     corpus = rng.standard_normal((n_pad, d)).astype(np.float32)
     queries = rng.standard_normal((2, d)).astype(np.float32)
     mask = rng.random(n_pad) < 0.3
 
-    dists, ids = distance.topk_search(
-        jnp.asarray(corpus), jnp.asarray(queries), jnp.asarray(mask), k=k, metric=metric, block=128
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), jnp.asarray(mask), metric)
+    dists, ids = topk2.topk_two_phase(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add, k=k, metric=metric
     )
     ids = np.asarray(ids)
 
@@ -61,15 +65,16 @@ def test_topk_search_respects_mask(rng, metric):
             assert i == -1 or int(i) in allowed
 
 
-def test_topk_search_fewer_candidates_than_k(rng):
+def test_topk_two_phase_fewer_candidates_than_k(rng):
     n_pad, d = 256, 8
     corpus = rng.standard_normal((n_pad, d)).astype(np.float32)
     queries = rng.standard_normal((1, d)).astype(np.float32)
     mask = np.zeros(n_pad, dtype=bool)
     mask[:3] = True
 
-    dists, ids = distance.topk_search(
-        jnp.asarray(corpus), jnp.asarray(queries), jnp.asarray(mask), k=10, metric="l2", block=128
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), jnp.asarray(mask), "l2")
+    dists, ids = topk2.topk_two_phase(
+        jnp.asarray(corpus), jnp.asarray(queries), aux_mul, aux_add, k=10, metric="l2"
     )
     ids = np.asarray(ids)[0]
     assert (ids >= 0).sum() == 3
@@ -77,7 +82,7 @@ def test_topk_search_fewer_candidates_than_k(rng):
 
 
 @pytest.mark.parametrize("metric", METRICS)
-def test_topk_search_probed(rng, metric):
+def test_topk_two_phase_probed_oracle(rng, metric):
     n, d, k, n_cells = 1000, 16, 8, 16
     n_pad = 1024
     corpus = np.zeros((n_pad, d), dtype=np.float32)
@@ -89,15 +94,16 @@ def test_topk_search_probed(rng, metric):
     mask = np.zeros(n_pad, dtype=bool)
     mask[:n] = True
 
-    dists, ids = distance.topk_search_probed(
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(corpus), jnp.asarray(mask), metric)
+    dists, ids = topk2.topk_two_phase_probed(
         jnp.asarray(corpus),
         jnp.asarray(queries),
-        jnp.asarray(mask),
+        aux_mul,
+        aux_add,
         jnp.asarray(coded),
         jnp.asarray(cells_arr),
         k=k,
         metric=metric,
-        block=256,
     )
     dists, ids = np.asarray(dists), np.asarray(ids)
 
