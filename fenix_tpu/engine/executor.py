@@ -135,6 +135,65 @@ def _sharded_ivf_fn(mesh, k: int, metric: str):
     return psearch.build_serving_ivf_clustered(mesh, k=k, metric=metric)
 
 
+@functools.lru_cache(maxsize=None)
+def _ring_fn(mesh, k: int, metric: str):
+    from fenix_tpu.parallel import search as psearch
+
+    return psearch.build_ring_search(mesh, k=k, metric=metric)
+
+
+def _ring_threshold() -> "int | None":
+    """Minimum q_pad for the ring (exchange-overlapped) route.
+    FENIX_RING=off disables; FENIX_RING=<n> overrides (tests force the
+    route at tiny Q with it)."""
+    import os
+
+    env = os.environ.get("FENIX_RING", "auto").lower()
+    if env in ("off", "0", "none"):
+        return None
+    return 512 if env == "auto" else max(1, int(env))
+
+
+def _mesh_exact_packed(
+    cache, source, column: str, metric: str, precision: str,
+    queries, q_pad: int, k_pad: int, plan: "_FilterPlan", corpus,
+):
+    """Mesh-sharded exact (non-probed) dispatch shared by the solo and
+    batched paths. Large fp32 query batches route to the ring search
+    (query blocks rotate over the interconnect, exchange overlapped
+    with the local scan); everything else takes the replicated-queries
+    scan with the candidate-only all_gather merge."""
+    import jax as _jax
+
+    from fenix_tpu.parallel.mesh import MODEL_AXIS, row_sharding
+
+    mesh = cache.mesh
+    aux_mul, aux_add = cache.sharded_aux(source, column, metric)
+    aux_add = plan.overlay(aux_add, "sharded")
+
+    threshold = _ring_threshold()
+    n_shards = int(mesh.devices.size)
+    if (
+        precision == "fp32"
+        and threshold is not None
+        and q_pad >= threshold
+        and q_pad % n_shards == 0
+        and mesh.shape[MODEL_AXIS] == 1
+    ):
+        q_sharded = _jax.device_put(queries, row_sharding(mesh, 2))
+        return _ring_fn(mesh, k_pad, metric)(corpus.data, q_sharded, aux_mul, aux_add)
+
+    scan_args: tuple = ()
+    if precision == "bf16":
+        scan_args = (cache.matrix_bf16(source, column, sharded=True).data,)
+    elif precision == "int8":
+        v8, sv = cache.matrix_int8(source, column, sharded=True)
+        scan_args = (v8.data, sv.data)
+    return _sharded_fn(mesh, k_pad, metric, precision, False)(
+        corpus.data, queries, aux_mul, aux_add, *scan_args,
+    )
+
+
 class _StaleRevision(Exception):
     """A concurrent catalog mutation landed mid-request: the device
     layouts read along the way span table revisions. Retried."""
@@ -596,19 +655,12 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         )
     elif cache.mesh is not None:
         # Mesh-sharded exact scan: every shard runs the two-phase kernel
-        # over its rows (fp32/bf16/int8 scan modes identical to
-        # single-chip), then only k (score, global-id) candidates per
-        # shard cross the interconnect for the replicated merge.
-        aux_mul, aux_add = cache.sharded_aux(req.source, req.column, metric)
-        aux_add = plan.overlay(aux_add, "sharded")
-        scan_args: tuple = ()
-        if req.precision == "bf16":
-            scan_args = (cache.matrix_bf16(req.source, req.column, sharded=True).data,)
-        elif req.precision == "int8":
-            v8, sv = cache.matrix_int8(req.source, req.column, sharded=True)
-            scan_args = (v8.data, sv.data)
-        packed = _sharded_fn(cache.mesh, k_pad, metric, req.precision, False)(
-            corpus.data, queries, aux_mul, aux_add, *scan_args,
+        # over its rows, then only k (score, global-id) candidates per
+        # shard cross the interconnect — or, for large fp32 batches,
+        # the ring route (exchange overlapped with compute).
+        packed = _mesh_exact_packed(
+            cache, req.source, req.column, metric, req.precision,
+            queries, q_pad, k_pad, plan, corpus,
         )
     else:
         aux_mul, aux_add = cache.metric_aux(req.source, req.column, metric)
@@ -901,16 +953,9 @@ def _execute_search_batched_once(
                     **_scan_copies(cache, r0.source, r0.column, r0.precision, sharded=False),
                 )
     elif cache.mesh is not None:
-        aux_mul, aux_add = cache.sharded_aux(r0.source, r0.column, metric)
-        aux_add = plan.overlay(aux_add, "sharded")
-        scan_args: tuple = ()
-        if r0.precision == "bf16":
-            scan_args = (cache.matrix_bf16(r0.source, r0.column, sharded=True).data,)
-        elif r0.precision == "int8":
-            v8, sv = cache.matrix_int8(r0.source, r0.column, sharded=True)
-            scan_args = (v8.data, sv.data)
-        packed = _sharded_fn(cache.mesh, k_pad, metric, r0.precision, False)(
-            corpus.data, queries, aux_mul, aux_add, *scan_args,
+        packed = _mesh_exact_packed(
+            cache, r0.source, r0.column, metric, r0.precision,
+            queries, q_pad, k_pad, plan, corpus,
         )
     else:
         aux_mul, aux_add = cache.metric_aux(r0.source, r0.column, metric)

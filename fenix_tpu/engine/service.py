@@ -33,6 +33,17 @@ def request_from_config(config: dict[str, Any], target: Any) -> executor.SearchR
 
 
 def run_search_config(cache: DeviceCache, config: dict[str, Any], target: Any) -> pa.Table:
+    from fenix_tpu.parallel import distributed
+
+    # repartitioned names resolve to their shard lists (the serving
+    # side of the shuffle); multi-source machinery handles the rest
+    config = dict(config)
+    config["source"] = distributed.resolve_source(cache.root, config["source"])
+    if config.get("join") is not None:
+        join_cfg = dict(config["join"])
+        join_cfg["source"] = distributed.resolve_source(cache.root, join_cfg["source"])
+        config["join"] = join_cfg
+
     req = request_from_config(config, target)
     if config.get("join") is not None:
         return analytics.execute_search_join(

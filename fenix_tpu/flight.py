@@ -81,6 +81,13 @@ class Server(fl.FlightServerBase):
         mode = descriptor.path[1].decode() if len(descriptor.path) > 1 else "overwrite"
         with METRICS.timed("put", table=name, mode=mode):
             from fenix_tpu.io.locks import catalog_lock
+            from fenix_tpu.parallel import distributed
+
+            if mode != "overwrite" and distributed.load_manifest(self.root, name):
+                raise ValueError(
+                    f"table {name!r} is repartitioned; append/upsert are not "
+                    "supported on a sharded name — overwrite it or re-ingest"
+                )
 
             match mode:
                 case "overwrite":
@@ -90,6 +97,8 @@ class Server(fl.FlightServerBase):
                     # old/new row counts coincide the count-based
                     # self-heal never triggers.
                     with catalog_lock(self.root):
+                        # a fresh table replaces any previous sharded form
+                        distributed.drop_repartition(self.root, name)
                         table.make(self.root, name, reader.to_reader())
                         # Any existing index is no longer row-aligned;
                         # drop it so probed search fails loudly instead of
@@ -143,6 +152,9 @@ class Server(fl.FlightServerBase):
         filter_ = _decode_filter(req.get("filter"))
         order_by = req.get("order_by")  # [[column, "ascending"|"descending"], ...]
 
+        from fenix_tpu.parallel import distributed
+
+        source = distributed.resolve_source(self.root, source)
         with METRICS.timed("get", source=source):
             if coding is not None and column is not None:
                 data = index_mod.load(self.root, coding, source, column)
@@ -205,24 +217,57 @@ class Server(fl.FlightServerBase):
 
         match action.type:
             case "make-coder":
+                from fenix_tpu.parallel import distributed
+
+                config["source"] = distributed.resolve_source(
+                    self.root, config["source"]
+                )
                 with METRICS.timed("make-coder", coder=config.get("name")):
                     coder_mod.make(self.root, **config)
                 return iter([])
 
             case "make-index":
+                from fenix_tpu.parallel import distributed
+
+                config["source"] = distributed.resolve_source(
+                    self.root, config["source"]
+                )
                 with METRICS.timed("make-index", coder=config.get("name")):
                     index_mod.make(self.root, **config)
                 self.cache.invalidate()
                 return iter([])
 
             case "drop-table":
-                # indexes first: attribution needs the table's schema,
-                # and a dropped table must not strand index files that a
-                # later table of the same name would inherit
-                index_mod.drop_for_source(self.root, config["name"])
-                table.drop(self.root, **config)
+                from fenix_tpu.parallel import distributed
+
+                # a repartitioned name drops its shard tables + manifest
+                if not distributed.drop_repartition(self.root, config["name"]):
+                    # indexes first: attribution needs the table's
+                    # schema, and a dropped table must not strand index
+                    # files that a later same-named table would inherit
+                    index_mod.drop_for_source(self.root, config["name"])
+                    table.drop(self.root, **config)
                 self.cache.invalidate()
                 return iter([])
+
+            case "repartition":
+                from fenix_tpu.parallel import distributed
+
+                name = config["source"]
+                num_shards = int(
+                    config.get("num_shards")
+                    or (self.cache.mesh.devices.size if self.cache.mesh else 2)
+                )
+                with METRICS.timed("repartition", table=name, shards=num_shards):
+                    manifest = distributed.repartition(
+                        self.root,
+                        name,
+                        num_shards,
+                        key_column=config.get("key", "id"),
+                        mesh=self.cache.mesh,
+                    )
+                self.cache.invalidate()
+                return iter([fl.Result(manifest.to_json().encode())])
 
             case "drop-index":
                 coder_mod.drop(self.root, config["name"])
@@ -239,11 +284,19 @@ class Server(fl.FlightServerBase):
                 return iter([])
 
             case "delete-rows":
+                from fenix_tpu.parallel import distributed
+
+                sources = distributed.resolve_source(self.root, config["source"])
+                if isinstance(sources, str):
+                    sources = [sources]
                 with METRICS.timed("delete-rows", source=config["source"]):
-                    deleted = index_mod.delete_rows(
-                        self.root,
-                        config["source"],
-                        _decode_filter(config["filter"]),
+                    # per-shard deletes: each shard's mask-aligned
+                    # filter is independent, so the resolved list sums
+                    deleted = sum(
+                        index_mod.delete_rows(
+                            self.root, s, _decode_filter(config["filter"])
+                        )
+                        for s in sources
                     )
                 return iter([fl.Result(_dumps({"deleted": deleted}))])
 
@@ -452,6 +505,19 @@ class Flight:
         read directly)."""
         self._action("compact-table", {"name": name})
         return self
+
+    def repartition(
+        self, source: str, num_shards: int | None = None, key: str = "id"
+    ) -> dict:
+        """Hash-partition ``source`` into ``num_shards`` shard tables
+        (default: the server's mesh size) keyed by ``key``. The name
+        then resolves to the shard list on every search/read; existing
+        indexes are dropped (row-misaligned) — re-run make_index after.
+        Returns the shard manifest."""
+        results = self._action(
+            "repartition", {"source": source, "num_shards": num_shards, "key": key}
+        )
+        return _loads(results[0].body.to_pybytes())
 
     # -- index lifecycle --------------------------------------------------
 

@@ -151,7 +151,14 @@ def gather_rowsharded(column_local, gids, valid):
     REPLICATED global row ids from a row-sharded 1-D column. Each shard
     contributes the values it owns (contiguous range; zeros elsewhere),
     a ``psum`` assembles the replicated result — one collective over
-    the candidate set, never the column. Invalid slots return 0."""
+    the candidate set, never the column. Invalid slots return 0.
+
+    Integer/bool columns only: the psum assembly uses 0 as the
+    missing-slot identity, and float columns with legitimate zeros
+    would silently mask ownership bugs (VERDICT r1 weak #7)."""
+    assert jnp.issubdtype(column_local.dtype, jnp.integer) or jnp.issubdtype(
+        column_local.dtype, jnp.bool_
+    ), f"gather_rowsharded requires an integer column, got {column_local.dtype}"
     axes = (DATA_AXIS, MODEL_AXIS)
     rows_local = column_local.shape[0]
     local_pos = gids - shard_index() * rows_local
@@ -248,6 +255,88 @@ def build_serving_ivf_clustered(mesh: Mesh, k: int, metric: str):
         return topk2.pack_result(*merge_candidates(dist, gids, k))
 
     return ivf_search
+
+
+def build_ring_search(mesh: Mesh, k: int, metric: str):
+    """Ring top-k: query blocks rotate around the shard ring while every
+    shard scans only its LOCAL rows — the exchange overlapped with
+    compute (BASELINE config 5; SURVEY §5 "ring top-k").
+
+    Each step ppermutes the [Q/S, D] query block to the next shard
+    BEFORE the local two-phase scan of the current block — the permute
+    has no data dependence on that matmul, so the compiler's async
+    collectives hide the heavy transfer behind compute; only the small
+    [Q/S, k] candidate carry serializes on the merge. After S steps a
+    block is back home carrying the global top-k.
+
+    vs ``build_serving_search`` (replicate queries, all_gather S·k
+    candidates once): the ring moves Q·D bytes total instead of
+    holding all Q queries on every shard, and merges progressively —
+    the large-Q regime where the replicated all_gather merge gets
+    chunky. Requires a pure data-parallel mesh (model axis 1) and
+    Q divisible by S.
+
+    ``fn(corpus [N_pad, D] row-sharded, queries [Q_pad, D] ROW-SHARDED,
+    aux_mul, aux_add row-sharded) -> packed [2, Q_pad, k] row-sharded
+    on the query axis`` (block i's rows hold block i's results).
+
+    Tie contract: the per-step merge uses topk_values_min_id, so ties
+    resolve by smallest global row id regardless of ring arrival order
+    — identical results to the all_gather merge.
+    """
+    assert mesh.shape[MODEL_AXIS] == 1, "ring search requires model axis 1"
+    n_shards = int(mesh.devices.size)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    axes = (DATA_AXIS, MODEL_AXIS)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes, None), P(axes), P(axes)),
+        out_specs=P(None, axes, None),
+        check_vma=False,
+    )
+    def ring(corpus_l, q_l, aux_mul_l, aux_add_l):
+        rows_local = corpus_l.shape[0]
+        local_k = min(k, rows_local)
+        qb = q_l.shape[0]
+        my_offset = shard_index() * rows_local
+
+        init_scores = jnp.full((qb, k), distance_ops.NEG_INF, jnp.float32)
+        init_ids = jnp.full((qb, k), -1, jnp.int32)
+
+        def body(carry, _):
+            q, scores, ids = carry
+            # issue the heavy exchange FIRST: independent of the local
+            # scan below, so it rides under the matmul
+            q_next = jax.lax.ppermute(q, DATA_AXIS, perm)
+
+            d, li = topk2.topk_two_phase(
+                corpus_l, q, aux_mul_l, aux_add_l, k=local_k, metric=metric
+            )
+            s_new = jnp.where(jnp.isinf(d), distance_ops.NEG_INF, -d)
+            gids = jnp.where(li >= 0, li + my_offset, -1)
+
+            cat_s = jnp.concatenate([scores, s_new], axis=1)
+            cat_i = jnp.concatenate([ids, gids], axis=1)
+            m_s, m_i = topk2.topk_values_min_id(cat_s, cat_i, k)
+
+            # the small [Qb, k] carry serializes on the merge; the
+            # [Qb, D] block above is already in flight
+            s_next = jax.lax.ppermute(m_s, DATA_AXIS, perm)
+            i_next = jax.lax.ppermute(m_i, DATA_AXIS, perm)
+            return (q_next, s_next, i_next), None
+
+        (q_out, scores, ids), _ = jax.lax.scan(
+            body, (q_l, init_scores, init_ids), None, length=n_shards
+        )
+        del q_out
+        out_d = jnp.where(scores == distance_ops.NEG_INF, jnp.inf, -scores)
+        out_i = jnp.where(scores == distance_ops.NEG_INF, -1, ids)
+        return topk2.pack_result(out_d, out_i)
+
+    return ring
 
 
 @functools.lru_cache(maxsize=None)

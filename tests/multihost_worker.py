@@ -1,0 +1,136 @@
+"""2-process ``jax.distributed`` worker (launched by test_multihost.py,
+and by __graft_entry__.dryrun_multichip's multi-host leg).
+
+Each process owns a set of virtual CPU devices; together they form one
+global mesh spanning a REAL process boundary — the DCN-analog
+rendezvous the single-process virtual mesh cannot exercise
+(SURVEY.md §4 last bullet; VERDICT r1 missing #1). Across that boundary
+it runs: row-sharded exact search with the candidate-only merge,
+mesh-sharded k-means training, and the all_to_all shuffle.
+
+Replicated results (search ids/dists, trained codebooks) are written to
+``<out>/proc<id>.npz`` by every process; the driver asserts they are
+(a) identical across processes and (b) identical to the same
+computation on its own single-process mesh — the process boundary must
+not change the math. Shuffle correctness is asserted in-process on
+local invariants (row conservation via psum; every received key hashes
+to its owning shard).
+
+Usage: python multihost_worker.py <coordinator> <process_id> <nproc> \
+           <local_devices> <out_dir>
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    coordinator, pid, nproc, local_dev, out_dir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_dev} "
+        + os.environ.get("XLA_FLAGS", "")
+    )
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fenix_tpu import native
+    from fenix_tpu.ops import kmeans
+    from fenix_tpu.parallel import distributed
+    from fenix_tpu.parallel import mesh as mesh_mod
+    from fenix_tpu.parallel import search as psearch
+    from fenix_tpu.parallel import shuffle as pshuffle
+
+    cfg = distributed.ClusterConfig(
+        coordinator_address=coordinator, num_processes=nproc, process_id=pid
+    )
+    mesh = distributed.initialize(cfg)
+    assert jax.process_count() == nproc, jax.process_count()
+    n_dev = jax.device_count()
+    assert n_dev == nproc * local_dev, (n_dev, nproc, local_dev)
+
+    # Deterministic corpus: every process builds the same data on host
+    # and feeds only ITS contiguous row range into the global array.
+    N, D, Q, K = 4096, 32, 4, 10
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+
+    sharding = mesh_mod.row_sharding(mesh, 2)
+    per_proc = N // nproc
+    local = corpus[pid * per_proc : (pid + 1) * per_proc]
+    corpus_dev = jax.make_array_from_process_local_data(sharding, local)
+    mask_dev = jax.make_array_from_process_local_data(
+        mesh_mod.row_sharding(mesh, 1), np.ones(per_proc, dtype=bool)
+    )
+
+    # --- sharded exact search + candidate merge over the boundary -----
+    fn = psearch.build_sharded_search(mesh, k=K, metric="l2")
+    dist, ids = fn(corpus_dev, jnp.asarray(queries), mask_dev)
+    dist, ids = np.asarray(dist), np.asarray(ids)  # replicated outputs
+
+    oracle = np.sqrt(((queries[:, None, :] - corpus[None, :, :]) ** 2).sum(-1))
+    want = np.argsort(oracle, axis=1, kind="stable")[:, :K]
+    assert (ids == want).all(), (ids, want)
+
+    # --- mesh-sharded k-means over the boundary ------------------------
+    codebooks = np.asarray(
+        kmeans.train_sharded(
+            mesh, corpus_dev, N, 0,
+            num_codebooks=2, codebook_size=4, batch_size=256,
+            num_epochs=2, metric="l2",
+        )
+    )
+    assert np.isfinite(codebooks).all()
+
+    # --- all_to_all shuffle over the boundary --------------------------
+    keys = rng.integers(0, 1 << 20, N).astype(np.int32)
+    keys_dev = jax.make_array_from_process_local_data(
+        mesh_mod.row_sharding(mesh, 1), keys[pid * per_proc : (pid + 1) * per_proc]
+    )
+    capacity = pshuffle.estimate_capacity(keys, n_dev, N // n_dev, safety=2.0)
+    sh = pshuffle.build_shuffle(mesh, capacity, (D,))
+    recv_rows, recv_keys, valid, overflow = sh(corpus_dev, keys_dev)
+
+    assert not bool(np.asarray(overflow.addressable_shards[0].data).any())
+    # row conservation: psum of local valid counts is replicated
+    total = int(
+        np.asarray(
+            jax.jit(
+                jax.shard_map(
+                    lambda v: jax.lax.psum(
+                        v.sum(dtype=jnp.int32),
+                        (mesh_mod.DATA_AXIS, mesh_mod.MODEL_AXIS),
+                    ),
+                    mesh=mesh,
+                    in_specs=jax.sharding.PartitionSpec(
+                        (mesh_mod.DATA_AXIS, mesh_mod.MODEL_AXIS)
+                    ),
+                    out_specs=jax.sharding.PartitionSpec(),
+                )
+            )(valid)
+        )
+    )
+    assert total == N, (total, N)
+    # every received key hashes to the shard that now owns it
+    per_shard = valid.shape[0] // n_dev
+    for kv, vv in zip(recv_keys.addressable_shards, valid.addressable_shards):
+        s = kv.index[0].start // per_shard
+        k_local = np.asarray(kv.data)[np.asarray(vv.data)]
+        parts, _ = native.hash_partition(k_local.astype(np.int64), n_dev)
+        assert (parts == s).all(), (s, set(parts.tolist()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(
+        os.path.join(out_dir, f"proc{pid}.npz"),
+        ids=ids, dist=dist, codebooks=codebooks,
+    )
+    print(f"worker {pid}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
