@@ -286,9 +286,15 @@ def bucket_scores_xla(
     # bf16 corpus → bf16 accumulate + bf16 score tile: halves the
     # materialized [QT, N] intermediate and doubles MXU rate
     # (selection-only precision; rescore is fp32 upstream). fp32 corpus
-    # → HIGHEST: this path only runs at small Q where the scan is
-    # bandwidth-bound, so true-f32 MXU passes hide under the HBM read
-    # and phase-1 selection is fp32-exact, not bf16-rounded.
+    # → HIGH (bf16_3x): at Q=8 the MXU runs at 8/128-lane utilization,
+    # so HIGHEST's extra passes stop hiding under the HBM read and the
+    # whole two-phase pipeline loses ~12% at 8M (benchmarks/exp_resid2:
+    # full 7.28 → 6.44 ms, 590 → 667 GB/s). Phase-1 scores were never
+    # the exact form anyway — BUCKET_PAD covers the phase-1-score vs
+    # phase-2-distance rounding gap — and bf16_3x selection picked
+    # identical ids to HIGHEST on 10k random top-16 queries (ids_equal);
+    # the blocked fallback below runs DEFAULT (one bf16 pass), so HIGH
+    # here is the *stricter* of the two fp32 lowerings.
     acc = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
     s = jax.lax.dot_general(
         queries_p,
@@ -296,7 +302,7 @@ def bucket_scores_xla(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc,
         precision=(
-            jax.lax.Precision.HIGHEST if acc == jnp.float32 else jax.lax.Precision.DEFAULT
+            jax.lax.Precision.HIGH if acc == jnp.float32 else jax.lax.Precision.DEFAULT
         ),
     )
     s = s * aux_mul[None, :].astype(acc) + aux_add[None, :].astype(acc)
