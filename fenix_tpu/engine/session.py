@@ -72,6 +72,48 @@ def _mask_eval_fn(skeleton_json: str):
     return fn, fields
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_grow_fn(sharding):
+    """Mesh twin of :func:`_grow_jit`: extend a ROW-SHARDED device
+    matrix and write the delta into its tail. The capacity extension
+    (when the append outgrows the padding) moves existing rows between
+    shards over the interconnect — the host uploads only the delta.
+    Memoized per sharding so repeated appends reuse one compiled fn."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("new_pad",))
+    def f(old, delta, start, new_pad: int):
+        extra = new_pad - old.shape[0]
+        buf = (
+            old
+            if extra == 0
+            else jnp.concatenate(
+                [old, jnp.zeros((extra, old.shape[1]), old.dtype)]
+            )
+        )
+        buf = jax.lax.with_sharding_constraint(buf, sharding)
+        out = jax.lax.dynamic_update_slice(buf, delta, (start, 0))
+        return jax.lax.with_sharding_constraint(out, sharding)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_valid_fn(sharding):
+    """Row-sharded validity mask computed ON DEVICE (iota < rows) — a
+    cold build or append refresh transfers zero mask bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n_pad",))
+    def f(rows, n_pad: int):
+        v = jnp.arange(n_pad, dtype=jnp.int32) < rows
+        return jax.lax.with_sharding_constraint(v, sharding)
+
+    return f
+
+
 def _grow_update(old, delta, old_rows: int, new_pad: int):
     """On-device buffer extension (ONE module-level jit keyed by the
     quantized shapes; no donation — in-flight searches may still hold
@@ -142,13 +184,15 @@ class DeviceCache:
             # device buffers eagerly (clustered layouts / scan copies
             # can hold corpus-sized HBM; waiting for re-access would
             # leak them for variants never used again) — EXCEPT the
-            # fp32 matrix entries, which the incremental append refresh
-            # extends from. Mutate in place: concurrent _memo calls
-            # hold a reference to this dict.
+            # fp32 matrix entries (flat AND row-sharded), which the
+            # incremental append refresh extends from. Mutate in
+            # place: concurrent _memo calls hold a reference to this
+            # dict.
             for stale in [
                 k
                 for k in self._device
-                if k[0] == key and not (len(k) == 3 and k[2] == "matrix")
+                if k[0] == key
+                and not (len(k) == 3 and k[2] in ("matrix", "sharded_matrix"))
             ]:
                 del self._device[stale]
             return table.load(self.root, key if len(key) > 1 else key[0])
@@ -474,19 +518,94 @@ class DeviceCache:
     def sharded_matrix(self, source: str | Sequence[str], column: str) -> ingest.DeviceColumn:
         """Row-sharded ``[N_pad, D]`` fp32 vector column over the mesh.
         Rows split contiguously, so a shard-local index plus the shard's
-        row offset IS the global row id (padding sits at the tail)."""
+        row offset IS the global row id (padding sits at the tail).
+
+        Append-only revisions refresh INCREMENTALLY like the
+        single-device :meth:`matrix`: only the delta rows cross the
+        host→device link. Contiguous sharding survives the append
+        because global row positions never move — new rows land in the
+        padded tail, and when they outgrow it the capacity extension
+        reshards EXISTING rows over the interconnect (device→device),
+        still uploading only the delta (VERDICT r1 #9)."""
         key = _source_key(source)
         stamp = self._mtimes(key)
+        ckey = (key, column, "sharded_matrix")
 
-        def build() -> ingest.DeviceColumn:
-            data = self.host_table(source)
-            return ingest.to_device_matrix(
-                data.column(column),
-                block=self._shard_block,
-                sharding=self._row_sharding(2),
+        hit = self._device.get(ckey)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+
+        with self._lock:
+            hit = self._device.get(ckey)
+            if hit is not None and hit[0] == stamp:
+                return hit[1]
+            if hit is not None and len(key) == 1:
+                grown = self._grow_sharded_matrix(
+                    key[0], column, hit[0][0], hit[1], stamp[0]
+                )
+                # revalidate like _grow_matrix: a compaction in the gap
+                # can fold and REUSE part names — rebuild instead
+                if grown is not None and self._mtimes(key) == stamp:
+                    self._device[ckey] = (stamp, grown)
+                    self.incremental_refreshes += 1
+                    return grown
+
+            from fenix_tpu.io.locks import read_stable
+
+            value, s1 = read_stable(
+                lambda: self._mtimes(key),
+                lambda: ingest.to_device_matrix(
+                    table.load(
+                        self.root, key if len(key) > 1 else key[0]
+                    ).column(column),
+                    block=self._shard_block,
+                    sharding=self._row_sharding(2),
+                ),
+                f"table {source!r}",
             )
+            self._device[ckey] = (s1, value)
+            return value
 
-        return self._memo(self._device, (key, column, "sharded_matrix"), stamp, build)
+    def _grow_sharded_matrix(
+        self,
+        source: str,
+        column: str,
+        old_stamp,
+        old: ingest.DeviceColumn,
+        new_stamp,
+    ) -> "ingest.DeviceColumn | None":
+        """Extend a cached ROW-SHARDED device matrix by newly appended
+        delta-part rows; None when the revision change is not
+        append-only (caller does a full rebuild)."""
+        delta_names = table.append_delta(old_stamp, new_stamp)
+        if not delta_names:
+            return None
+        try:
+            parts = table.load_parts(self.root, source, delta_names)
+            delta = ingest.fixed_size_list_to_numpy(parts.column(column)).astype(
+                np.dtype(old.data.dtype), copy=False
+            )
+        except (FileNotFoundError, KeyError, TypeError):
+            return None  # raced mutation / schema drift: full rebuild
+
+        new_rows = old.rows + delta.shape[0]
+        # cold-rebuild parity: to_device_matrix(block=_shard_block) pads
+        # to exactly this — matching it keeps compiled kernel shapes
+        # identical between grown and rebuilt caches
+        cold_pad = ingest.round_up(new_rows, self._shard_block)
+        delta_pad = ingest.round_up(delta.shape[0], 256)
+        if old.rows + delta_pad > cold_pad:
+            delta_pad = cold_pad - old.rows
+        if delta_pad != delta.shape[0]:
+            from fenix_tpu import native
+
+            delta = native.pack_rows(np.ascontiguousarray(delta), delta_pad)
+
+        import numpy as _np
+
+        fn = _sharded_grow_fn(self._row_sharding(2))
+        grown = fn(old.data, delta, _np.int32(old.rows), new_pad=cold_pad)
+        return ingest.DeviceColumn(data=grown, rows=new_rows)
 
     def sharded_validity(self, source: str | Sequence[str], column: str):
         """Row-sharded bool ``[N_pad]`` marking real (non-padding) rows."""
@@ -495,11 +614,10 @@ class DeviceCache:
 
         def build():
             col = self.sharded_matrix(source, column)
-            valid = np.zeros(col.rows_padded, dtype=bool)
-            valid[: col.rows] = True
-            import jax
-
-            return jax.device_put(valid, self._row_sharding(1))
+            # computed on device (iota < rows): zero host mask bytes on
+            # cold builds AND on append refreshes
+            fn = _sharded_valid_fn(self._row_sharding(1))
+            return fn(np.int32(col.rows), n_pad=col.rows_padded)
 
         return self._memo(self._device, (key, column, "sharded_validity"), stamp, build)
 

@@ -73,21 +73,66 @@ def test_append_refreshes_incrementally(tmp_path, rng):
     assert cache.incremental_refreshes == 2
 
 
-def test_incremental_refresh_matches_under_mesh_fallback(tmp_path, rng):
-    """Mesh caches rebuild sharded matrices fully (documented limit) but
-    stay correct after appends."""
+def test_incremental_refresh_under_mesh(tmp_path, rng, monkeypatch):
+    """Append-only revisions extend the ROW-SHARDED matrix in place:
+    only delta rows cross host→device (to_device_matrix — the full
+    re-ingest path — must not run again), and the validity mask is
+    computed on device (VERDICT r1 #9)."""
     root = str(tmp_path)
     vecs = rng.standard_normal((512, DIM)).astype(np.float32)
     table.make(root, "t", _tbl(np.arange(512), vecs).to_reader())
     meshed = session.DeviceCache(root, block=64)
     assert meshed.mesh is not None
-    _search(meshed, vecs[0])
+    _search(meshed, vecs[0])  # warm the sharded matrix + aux
 
+    full_builds = []
+    real = ingest.to_device_matrix
+    monkeypatch.setattr(
+        ingest, "to_device_matrix", lambda *a, **k: full_builds.append(1) or real(*a, **k)
+    )
+
+    # the cold pad is exactly 512 rows (shard_block = 64 x 8 devices),
+    # so even a small append outgrows the capacity: the device buffer
+    # extends and EXISTING rows reshard over the interconnect — the
+    # host still uploads only the delta
     extra = rng.standard_normal((16, DIM)).astype(np.float32) + 30.0
     table.append(root, "t", _tbl(np.arange(512, 528), extra))
     hit = _search(meshed, extra[3], maxval=1)
     assert int(np.asarray(hit.column("id"))[0]) == 515
-    assert meshed.incremental_refreshes == 0
+    assert meshed.incremental_refreshes == 1
+    assert not full_builds, "capacity growth re-ingested the corpus"
+
+    # within the grown capacity (1024): in-place tail write
+    mid = rng.standard_normal((300, DIM)).astype(np.float32) - 30.0
+    table.append(root, "t", _tbl(np.arange(528, 828), mid))
+    hit = _search(meshed, mid[7], maxval=1)
+    assert int(np.asarray(hit.column("id"))[0]) == 535
+    assert meshed.incremental_refreshes == 2
+    assert not full_builds, "append re-ingested the corpus from host"
+
+    # equal to a cold cache on the same files
+    cold = session.DeviceCache(root, block=64)
+    q = rng.standard_normal(DIM).astype(np.float32)
+    assert _search(meshed, q, maxval=10) == _search(cold, q, maxval=10)
+
+    # an append big enough to fold parts into a new base revision
+    # (table.append auto-compacts) is NOT append-only: full rebuild
+    big = rng.standard_normal((1500, DIM)).astype(np.float32) + 60.0
+    table.append(root, "t", _tbl(np.arange(828, 2328), big))
+    hit = _search(meshed, big[11], maxval=1)
+    assert int(np.asarray(hit.column("id"))[0]) == 839
+    assert meshed.incremental_refreshes == 2
+    assert full_builds, "compacted revision must fall back to a full rebuild"
+
+    # a delete is NOT append-only either: full rebuild, counter unchanged
+    from fenix_tpu import index as index_mod
+
+    full_builds.clear()
+    assert index_mod.delete_rows(root, "t", expr.field("id") >= 2300) == 28
+    out = _search(meshed, big[11], maxval=1)
+    assert int(np.asarray(out.column("id"))[0]) == 839
+    assert meshed.incremental_refreshes == 2
+    assert full_builds, "delete must fall back to a full rebuild"
 
 
 def test_concurrent_appends_and_searches(tmp_path, rng):
