@@ -155,8 +155,11 @@ def main() -> None:
     # (632 vs 677 GB/s at 8M, benchmarks/exp_resid.py).
     @functools.partial(jax.jit, static_argnames=())
     def blocked_read(corpus3, seeds):
+        # |x − s| does NOT distribute over max (unlike max(x + s) =
+        # max(x) + s), so no algebraic simplifier can hoist the corpus
+        # reduction out of the scan and fake the ceiling.
         def body(acc, s):
-            return jnp.maximum(acc, jnp.max(corpus3 + s)), None
+            return jnp.maximum(acc, jnp.max(jnp.abs(corpus3 - s))), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(-np.inf), seeds)
         return acc

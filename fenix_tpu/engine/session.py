@@ -150,6 +150,10 @@ class DeviceCache:
         # cache hits transfer nothing) — tests assert zero per-query
         # host mask uploads through these
         self.device_mask_builds: int = 0
+        # clustered-layout (IVF) device rebuilds — corpus-sized gathers;
+        # tests pin that a fixed revision never rebuilds twice (the r2
+        # eviction bug deleted same-revision layouts mid-request)
+        self.clustered_builds: int = 0
         self._masks: OrderedDict = OrderedDict()
         # The Flight server dispatches handlers from a thread pool; a
         # single lock serializes cache fills (first query per column) —
@@ -185,13 +189,22 @@ class DeviceCache:
             # can hold corpus-sized HBM; waiting for re-access would
             # leak them for variants never used again) — EXCEPT the
             # fp32 matrix entries (flat AND row-sharded), which the
-            # incremental append refresh extends from. Mutate in
-            # place: concurrent _memo calls hold a reference to this
-            # dict.
+            # incremental append refresh extends from. Eviction is
+            # PER-ENTRY BY STAMP: only entries built against an older
+            # revision go; a first-time host load at the current
+            # revision (e.g. the pushdown path touching host_table
+            # mid-request) must not drop the corpus-sized layouts the
+            # same request just built. Mutate in place: concurrent
+            # _memo calls hold a reference to this dict.
             for stale in [
                 k
-                for k in self._device
+                for k, (entry_stamp, _) in self._device.items()
                 if k[0] == key
+                # Device stamps are the table stamp, optionally extended
+                # with coded-index mtimes — prefix-compare against the
+                # table stamp (an exact compare would evict every
+                # clustered entry on every host load).
+                and entry_stamp[: len(stamp)] != stamp
                 and not (len(k) == 3 and k[2] in ("matrix", "sharded_matrix"))
             ]:
                 del self._device[stale]
@@ -591,8 +604,14 @@ class DeviceCache:
         new_rows = old.rows + delta.shape[0]
         # cold-rebuild parity: to_device_matrix(block=_shard_block) pads
         # to exactly this — matching it keeps compiled kernel shapes
-        # identical between grown and rebuilt caches
-        cold_pad = ingest.round_up(new_rows, self._shard_block)
+        # identical between grown and rebuilt caches. Clamped to the
+        # cached capacity like _grow_matrix: a cached entry with extra
+        # headroom must not drive `extra` negative below.
+        cold_pad = max(
+            ingest.round_up(new_rows, self._shard_block),
+            self._shard_block,
+            old.rows_padded,
+        )
         delta_pad = ingest.round_up(delta.shape[0], 256)
         if old.rows + delta_pad > cold_pad:
             delta_pad = cold_pad - old.rows
@@ -698,6 +717,7 @@ class DeviceCache:
         stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
 
         def build():
+            self.clustered_builds += 1
             full = self.sharded_matrix(source, column)
             coded = self.coded_ids(coding, source, column, sharded=True)
             perm_local, _, orig_global = self.sharded_clustered_meta(
@@ -833,6 +853,7 @@ class DeviceCache:
         def build():
             import jax.numpy as jnp
 
+            self.clustered_builds += 1
             full = self.matrix(source, column)
             coded_dev = self.coded_ids(coding, source, column)
             perm, _ = self.clustered_meta(coding, source, column)

@@ -20,14 +20,18 @@ precision; opt-in).
 hierarchical selection (TPU top-k is sort-like), gather those buckets'
 rows, rescore exactly in fp32 (Precision.HIGHEST), merge.
 
-Phase-1 matmul precision: the small-Q oneshot runs fp32-true
-(HIGHEST). The large-Q Pallas kernel runs the TPU DEFAULT one-bf16-pass
-dot — fp32-true passes measured +7.3 ms of 5.3 ms at Q=1024/1M
-(benchmarks/exp_int8_slice.py) — so at large Q phase-1 *selection* is
-bf16-graded even in fp32 mode, protected by the same BUCKET_PAD
-candidate margin as the explicit bf16/int8 scan modes (returned
+Phase-1 matmul precision: the small-Q oneshot runs Precision.HIGH
+(three-pass bf16 — measured identical selected ids to HIGHEST on
+random data, at lower cost; see bucket_scores_xla). The large-Q
+Pallas kernel runs the TPU DEFAULT one-bf16-pass dot — fp32-true
+passes measured +7.3 ms of 5.3 ms at Q=1024/1M
+(benchmarks/exp_int8_slice.py). So in BOTH regimes phase-1 *selection*
+is bf16-graded even in fp32 mode, protected by the BUCKET_PAD
+candidate margin like the explicit bf16/int8 scan modes (returned
 distances are always fp32-true from the phase-2 rescore; recall@16
-measured 1.0 on chip vs the fp32-true oneshot ranking).
+measured 1.0 on chip vs a fp32-true oneshot ranking, and
+tests/test_topk_adversarial.py pins the margin on near-tied corpora
+against a float64 oracle).
 
 Exactness: a bucket containing a true top-k element has bucket-max ≥
 that element's score, and at most k buckets hold values ≥ the k-th

@@ -272,6 +272,22 @@ def test_sharded_clustered_ivf_route(tmp_path, rng):
         isinstance(key, tuple) and "sharded_clustered" in key for key in meshed._device
     ), sorted(str(k) for k in meshed._device)
 
+    # REGRESSION (round-2 eviction bug): the filtered probed query
+    # reaches host_table mid-request through the pushdown path; a
+    # first-time host load at the SAME revision must not evict the
+    # corpus-sized clustered layout the request just built. At a fixed
+    # revision the layout builds exactly once, no matter how queries
+    # interleave filters and probes.
+    builds_at_fixed_revision = meshed.clustered_builds
+    for filt in (None, expr.field("tag") == 2, None):
+        req_kw = dict(
+            source="big", column="vector", metric="l2",
+            coding="cc", probes=2, maxval=8, filter=filt,
+        )
+        target = rng.standard_normal(d).astype(np.float32)
+        ex.execute_search(meshed, ex.SearchRequest(target=target, **req_kw))
+    assert meshed.clustered_builds == builds_at_fixed_revision == 1
+
 
 def test_cross_shard_tie_break(tmp_path, rng):
     """Exact duplicate vectors living on DIFFERENT shards: the merged
