@@ -1,10 +1,21 @@
-"""BASELINE config 5: 1024-query batches with mixed predicates.
+"""BASELINE config 5: 1024-query batches with mixed predicates THROUGH
+THE EXECUTOR.
 
-Alternating predicate masks across the batch exercise per-request mask
-overlays on the cached score aux (the exchange/compute overlap of the
-full config belongs to the multi-host harness)."""
+Every dispatch is a real serving request: expression filters evaluate
+through the device-pushdown plan (masks memoized per predicate ×
+revision — zero per-query uploads), queries batch at Q=1024, and the
+predicate class rotates per dispatch the way the Flight server's
+per-predicate micro-batching groups them. On a multi-device mesh
+(virtual CPU mesh or a pod slice) batches this large route through the
+RING search (executor threshold 512) — query blocks rotating over the
+interconnect with the exchange issued before the local scan
+(overlap evidence: benchmarks/exp_ring_overlap.py); a single chip runs
+the same path on one device.
+"""
 
 from __future__ import annotations
+
+import tempfile
 
 import numpy as np
 
@@ -12,72 +23,84 @@ from benchmarks import common
 
 
 def main() -> None:
-    args = common.parser("batched mixed-predicate search").parse_args()
+    p = common.parser("batched mixed-predicate search (executor path)")
+    p.add_argument("--root", default=None, help="catalog root (default: temp dir)")
+    args = p.parse_args()
 
-    import jax.numpy as jnp
+    import pyarrow as pa
 
-    from fenix_tpu.ops import topk2
+    from fenix_tpu import expr
+    from fenix_tpu.engine import executor as ex
+    from fenix_tpu.engine import session
+    from fenix_tpu.io import ingest, table
 
     n = int(1_048_576 * min(args.scale, 8.0)) // 262144 * 262144 or 262144
     d, k, q = 128, 16, 1024
     rng = np.random.default_rng(0)
 
-    corpus = jnp.asarray(common.make_corpus(n, d))
-    queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
-    tags = rng.integers(0, 10, n)
+    root = args.root or tempfile.mkdtemp(prefix="fenix_cfg5_")
+    vecs = common.make_corpus(n, d)
+    tags = rng.integers(0, 10, n).astype(np.int64)
+    table.make(
+        root,
+        "bench5",
+        pa.table(
+            {
+                "id": pa.array(np.arange(n)),
+                "tag": pa.array(tags),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
 
-    # three predicate classes cycling through the workload
-    masks = [
-        jnp.asarray(tags < 3),
-        jnp.asarray((tags >= 3) & (tags < 7)),
-        jnp.asarray(np.ones(n, dtype=bool)),
+    cache = session.DeviceCache(root)
+    targets = rng.standard_normal((q, d)).astype(np.float32)
+
+    # three predicate classes cycling through the workload, the way the
+    # server's micro-batcher groups same-predicate queries per dispatch
+    filters = [
+        expr.field("tag") < 3,
+        (expr.field("tag") >= 3) & (expr.field("tag") < 7),
+        None,
     ]
-    auxes = [topk2.prepare_aux(corpus, m, "cosine") for m in masks]
 
     def run(i=[0]):
-        aux_mul, aux_add = auxes[i[0] % len(auxes)]
+        filt = filters[i[0] % len(filters)]
         i[0] += 1
-        return topk2.topk_two_phase(
-            corpus, queries, aux_mul, aux_add, k=k, metric="cosine"
+        return ex.execute_search(
+            cache,
+            ex.SearchRequest(
+                source="bench5", column="vector", target=targets,
+                metric="cosine", maxval=k, filter=filt,
+            ),
         )
 
-    t_disp = common.timeit(run, args.iters)
+    # warm every predicate's mask + compile (first call per class)
+    for _ in range(len(filters)):
+        run()
 
-    # sustained: cycle the predicate auxes INSIDE one dispatch
-    # (bench.py methodology; ~1.3 ms fixed dispatch per lone jit call)
-    import functools
+    import time
 
-    import jax
+    iters = max(args.iters, 3)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    elapsed = (time.perf_counter() - start) / iters
+    del out
 
-    mul_s = jnp.stack([a[0] for a in auxes])  # [3, N]
-    add_s = jnp.stack([a[1] for a in auxes])
-
-    @functools.partial(jax.jit, static_argnames=("k_",))
-    def sustained(corpus_, queries_, mul_stack, add_stack, idx, k_):
-        def body(_, i):
-            return None, topk2.topk_two_phase(
-                corpus_, queries_, mul_stack[i], add_stack[i], k=k_, metric="cosine"
-            )
-
-        _, out = jax.lax.scan(body, None, idx)
-        return out
-
-    inner = 6
-    idx = jnp.asarray(np.arange(inner) % len(auxes), dtype=np.int32)
-    t = common.timeit(
-        lambda: sustained(corpus, queries, mul_s, add_s, idx, k),
-        max(args.iters // 2, 2),
-    ) / inner
+    mesh = cache.mesh
     common.emit(
         "mixed_predicate_batch_qps",
-        q / t,
+        q / elapsed,
         "queries/s",
         n=n,
         d=d,
         q=q,
         k=k,
-        seconds=round(t, 5),
-        per_dispatch_qps=round(q / t_disp, 1),
+        seconds=round(elapsed, 5),
+        route="ring" if mesh is not None else "single-device",
+        mesh_devices=int(mesh.devices.size) if mesh is not None else 1,
+        pushdown_mask_builds=cache.device_mask_builds,
     )
 
 

@@ -136,10 +136,12 @@ def _sharded_ivf_fn(mesh, k: int, metric: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _ring_fn(mesh, k: int, metric: str):
+def _ring_fn(mesh, k: int, metric: str, precision: str = "fp32", probed: bool = False):
     from fenix_tpu.parallel import search as psearch
 
-    return psearch.build_ring_search(mesh, k=k, metric=metric)
+    return psearch.build_ring_search(
+        mesh, k=k, metric=metric, precision=precision, probed=probed
+    )
 
 
 def _ring_threshold() -> "int | None":
@@ -165,23 +167,11 @@ def _mesh_exact_packed(
     scan with the candidate-only all_gather merge."""
     import jax as _jax
 
-    from fenix_tpu.parallel.mesh import MODEL_AXIS, row_sharding
+    from fenix_tpu.parallel.mesh import row_sharding
 
     mesh = cache.mesh
     aux_mul, aux_add = cache.sharded_aux(source, column, metric)
     aux_add = plan.overlay(aux_add, "sharded")
-
-    threshold = _ring_threshold()
-    n_shards = int(mesh.devices.size)
-    if (
-        precision == "fp32"
-        and threshold is not None
-        and q_pad >= threshold
-        and q_pad % n_shards == 0
-        and mesh.shape[MODEL_AXIS] == 1
-    ):
-        q_sharded = _jax.device_put(queries, row_sharding(mesh, 2))
-        return _ring_fn(mesh, k_pad, metric)(corpus.data, q_sharded, aux_mul, aux_add)
 
     scan_args: tuple = ()
     if precision == "bf16":
@@ -189,6 +179,26 @@ def _mesh_exact_packed(
     elif precision == "int8":
         v8, sv = cache.matrix_int8(source, column, sharded=True)
         scan_args = (v8.data, sv.data)
+
+    threshold = _ring_threshold()
+    n_shards = int(mesh.devices.size)
+    if threshold is not None and q_pad >= threshold:
+        # Q pads up to the next shard multiple (zero queries — row-
+        # independent, sliced back off) instead of falling back; the
+        # ring runs over the flattened (data, model) index, so any
+        # mesh shape and any scan precision rides it (VERDICT r2 #4).
+        ring_q = -(-q_pad // n_shards) * n_shards
+        q_run = queries
+        if ring_q != q_pad:
+            q_run = jnp.concatenate(
+                [queries, jnp.zeros((ring_q - q_pad, queries.shape[1]), queries.dtype)]
+            )
+        q_sharded = _jax.device_put(q_run, row_sharding(mesh, 2))
+        packed = _ring_fn(mesh, k_pad, metric, precision)(
+            corpus.data, q_sharded, aux_mul, aux_add, *scan_args
+        )
+        return packed[:, :q_pad] if ring_q != q_pad else packed
+
     return _sharded_fn(mesh, k_pad, metric, precision, False)(
         corpus.data, queries, aux_mul, aux_add, *scan_args,
     )
@@ -367,6 +377,32 @@ def _mesh_probed_packed(
     scan_args = scan.get("corpus_scan_int8", ())
     if "corpus_scan" in scan:
         scan_args = (scan["corpus_scan"],)
+
+    threshold = _ring_threshold()
+    if threshold is not None and q_pad >= threshold:
+        import jax as _jax
+
+        from fenix_tpu.parallel.mesh import row_sharding
+
+        # probed masked-scan ring: each block's probe cells rotate
+        # alongside its queries (pad cells with −1 — matches no cell)
+        ring_q = -(-q_pad // n_shards) * n_shards
+        q_run, cells_run = queries, cells
+        if ring_q != q_pad:
+            q_run = jnp.concatenate(
+                [queries, jnp.zeros((ring_q - q_pad, queries.shape[1]), queries.dtype)]
+            )
+            cells_run = jnp.concatenate(
+                [cells, jnp.full((ring_q - q_pad, cells.shape[1]), -1, cells.dtype)]
+            )
+        q_sharded = _jax.device_put(q_run, row_sharding(mesh, 2))
+        cells_sharded = _jax.device_put(cells_run, row_sharding(mesh, 2))
+        packed = _ring_fn(mesh, k_pad, metric, precision, probed=True)(
+            corpus_sh.data, q_sharded, aux_mul, aux_add, *scan_args,
+            coded.data, cells_sharded,
+        )
+        return packed[:, :q_pad] if ring_q != q_pad else packed
+
     return _sharded_fn(mesh, k_pad, metric, precision, True)(
         corpus_sh.data, queries, aux_mul, aux_add, *scan_args, coded.data, cells,
     )

@@ -160,7 +160,11 @@ def _device_shuffle_ids(mesh, keys, num_shards: int) -> "list":
 
     capacity = pshuffle.estimate_capacity(keys, num_shards, n_pad // num_shards, safety=2.0)
     for cap in (capacity, n_pad // num_shards):  # retry at the provable bound
-        fn = pshuffle.build_shuffle(mesh, cap, ())
+        # large payloads double-buffer the exchange (4 chunks); tiny
+        # ones keep the single all_to_all (per-collective latency wins)
+        chunks = 4 if cap >= 4096 else 1
+        cap = -(-cap // chunks) * chunks
+        fn = pshuffle.build_shuffle(mesh, cap, (), chunks=chunks)
         recv_ids, _, valid, overflow = fn(rows_dev, keys_dev)
         if not bool(np.asarray(overflow).any()):
             break

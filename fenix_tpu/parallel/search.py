@@ -257,7 +257,9 @@ def build_serving_ivf_clustered(mesh: Mesh, k: int, metric: str):
     return ivf_search
 
 
-def build_ring_search(mesh: Mesh, k: int, metric: str):
+def build_ring_search(
+    mesh: Mesh, k: int, metric: str, precision: str = "fp32", probed: bool = False
+):
     """Ring top-k: query blocks rotate around the shard ring while every
     shard scans only its LOCAL rows — the exchange overlapped with
     compute (BASELINE config 5; SURVEY §5 "ring top-k").
@@ -273,31 +275,58 @@ def build_ring_search(mesh: Mesh, k: int, metric: str):
     candidates once): the ring moves Q·D bytes total instead of
     holding all Q queries on every shard, and merges progressively —
     the large-Q regime where the replicated all_gather merge gets
-    chunky. Requires a pure data-parallel mesh (model axis 1) and
-    Q divisible by S.
+    chunky.
+
+    The ring runs over the FLATTENED (data, model) shard index —
+    ``ppermute`` accepts the axis tuple — so model_parallel > 1 simply
+    extends the ring (VERDICT r2 #4). ``precision`` threads the
+    bf16/int8 scan copies through the local scan exactly like the
+    all_gather route (phase-2 rescore stays fp32-exact); ``probed``
+    runs the masked probed scan, with each block's probe cells
+    rotating alongside its queries; filters ride ``aux_add`` like
+    every other route.
 
     ``fn(corpus [N_pad, D] row-sharded, queries [Q_pad, D] ROW-SHARDED,
-    aux_mul, aux_add row-sharded) -> packed [2, Q_pad, k] row-sharded
-    on the query axis`` (block i's rows hold block i's results).
+    aux_mul, aux_add row-sharded[, scan copies][, coded row-sharded,
+    cells [Q_pad, P] query-row-sharded]) -> packed [2, Q_pad, k]
+    row-sharded on the query axis`` (block i's rows hold block i's
+    results).
 
     Tie contract: the per-step merge uses topk_values_min_id, so ties
     resolve by smallest global row id regardless of ring arrival order
     — identical results to the all_gather merge.
     """
-    assert mesh.shape[MODEL_AXIS] == 1, "ring search requires model axis 1"
+    assert precision in ("fp32", "bf16", "int8"), precision
     n_shards = int(mesh.devices.size)
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     axes = (DATA_AXIS, MODEL_AXIS)
+
+    in_specs = [P(axes, None), P(axes, None), P(axes), P(axes)]
+    if precision == "bf16":
+        in_specs.append(P(axes, None))
+    elif precision == "int8":
+        in_specs += [P(axes, None), P(axes)]
+    if probed:
+        in_specs += [P(axes), P(axes, None)]
 
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axes, None), P(axes, None), P(axes), P(axes)),
+        in_specs=tuple(in_specs),
         out_specs=P(None, axes, None),
         check_vma=False,
     )
-    def ring(corpus_l, q_l, aux_mul_l, aux_add_l):
+    def ring(corpus_l, q_l, aux_mul_l, aux_add_l, *rest):
+        scan_kw = {}
+        if precision == "bf16":
+            scan_kw["corpus_scan"] = rest[0]
+            rest = rest[1:]
+        elif precision == "int8":
+            scan_kw["corpus_scan_int8"] = (rest[0], rest[1])
+            rest = rest[2:]
+        coded_l, cells_l = rest if probed else (None, None)
+
         rows_local = corpus_l.shape[0]
         local_k = min(k, rows_local)
         qb = q_l.shape[0]
@@ -307,14 +336,24 @@ def build_ring_search(mesh: Mesh, k: int, metric: str):
         init_ids = jnp.full((qb, k), -1, jnp.int32)
 
         def body(carry, _):
-            q, scores, ids = carry
+            if probed:
+                q, cells, scores, ids = carry
+            else:
+                q, scores, ids = carry
             # issue the heavy exchange FIRST: independent of the local
             # scan below, so it rides under the matmul
-            q_next = jax.lax.ppermute(q, DATA_AXIS, perm)
-
-            d, li = topk2.topk_two_phase(
-                corpus_l, q, aux_mul_l, aux_add_l, k=local_k, metric=metric
-            )
+            q_next = jax.lax.ppermute(q, axes, perm)
+            if probed:
+                cells_next = jax.lax.ppermute(cells, axes, perm)
+                d, li = topk2.topk_two_phase_probed(
+                    corpus_l, q, aux_mul_l, aux_add_l, coded_l, cells,
+                    k=local_k, metric=metric, **scan_kw,
+                )
+            else:
+                d, li = topk2.topk_two_phase(
+                    corpus_l, q, aux_mul_l, aux_add_l,
+                    k=local_k, metric=metric, **scan_kw,
+                )
             s_new = jnp.where(jnp.isinf(d), distance_ops.NEG_INF, -d)
             gids = jnp.where(li >= 0, li + my_offset, -1)
 
@@ -324,14 +363,19 @@ def build_ring_search(mesh: Mesh, k: int, metric: str):
 
             # the small [Qb, k] carry serializes on the merge; the
             # [Qb, D] block above is already in flight
-            s_next = jax.lax.ppermute(m_s, DATA_AXIS, perm)
-            i_next = jax.lax.ppermute(m_i, DATA_AXIS, perm)
+            s_next = jax.lax.ppermute(m_s, axes, perm)
+            i_next = jax.lax.ppermute(m_i, axes, perm)
+            if probed:
+                return (q_next, cells_next, s_next, i_next), None
             return (q_next, s_next, i_next), None
 
-        (q_out, scores, ids), _ = jax.lax.scan(
-            body, (q_l, init_scores, init_ids), None, length=n_shards
+        init = (
+            (q_l, cells_l, init_scores, init_ids)
+            if probed
+            else (q_l, init_scores, init_ids)
         )
-        del q_out
+        carry, _ = jax.lax.scan(body, init, None, length=n_shards)
+        scores, ids = carry[-2], carry[-1]
         out_d = jnp.where(scores == distance_ops.NEG_INF, jnp.inf, -scores)
         out_i = jnp.where(scores == distance_ops.NEG_INF, -1, ids)
         return topk2.pack_result(out_d, out_i)

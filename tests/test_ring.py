@@ -20,6 +20,8 @@ ROWS, DIM = 2_048, 24
 
 @pytest.fixture(scope="module")
 def root(tmp_path_factory):
+    from fenix_tpu import coder, index
+
     rng = np.random.default_rng(3)
     root = str(tmp_path_factory.mktemp("ring_root"))
     vecs = rng.standard_normal((ROWS, DIM)).astype(np.float32)
@@ -36,6 +38,12 @@ def root(tmp_path_factory):
             }
         ).to_reader(),
     )
+    cfg: coder.Config = {
+        "metric": "l2", "codebook_size": 4, "num_codebooks": 2,
+        "batch_size": 512, "num_epochs": 1,
+    }
+    coder.make(root, "cc", "t", "vector", cfg, seed=0)
+    index.make(root, "cc", "t", "vector")
     return root, vecs
 
 
@@ -82,6 +90,92 @@ def test_ring_route_matches_single_device(root, monkeypatch, filtered):
         source="t", column="vector", metric="l2", target=target, maxval=9,
         filter=(expr.field("tag") != 1) if filtered else None,
     )
+    meshed = session.DeviceCache(root_dir, block=64)
+    single = session.DeviceCache(root_dir, block=64, mesh=None)
+    got = ex.execute_search(meshed, ex.SearchRequest(**req))
+    ref = ex.execute_search(single, ex.SearchRequest(**req))
+    assert got.column("id").to_pylist() == ref.column("id").to_pylist()
+    np.testing.assert_allclose(
+        np.asarray(got.column(ex.DIST_COL)),
+        np.asarray(ref.column(ex.DIST_COL)),
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("precision", ["fp32", "bf16", "int8"])
+@pytest.mark.parametrize("mode", ["plain", "filtered", "probed", "probed_filtered"])
+def test_ring_matrix_matches_single_device(root, monkeypatch, precision, mode):
+    """The VERDICT r2 #4 equality matrix: {ring} × {fp32, bf16, int8} ×
+    {filtered, probed} must return exactly the single-device rows (ids
+    pinned, distances to fp32 tolerance). The probed ring takes the
+    masked-scan route with probe cells rotating alongside each block
+    (the tiny corpus fails the clustered work bound, as intended)."""
+    monkeypatch.setenv("FENIX_RING", "8")
+    root_dir, vecs = root
+    rng = np.random.default_rng(9)
+    target = np.concatenate(
+        [vecs[7:8] + 1e-4, rng.standard_normal((7, DIM)).astype(np.float32)]
+    )
+    probed = "probed" in mode
+    req = dict(
+        source="t", column="vector", metric="l2", target=target, maxval=9,
+        precision=precision,
+        filter=(expr.field("tag") != 1) if "filtered" in mode else None,
+        coding="cc" if probed else None,
+        probes=3 if probed else None,
+    )
+    meshed = session.DeviceCache(root_dir, block=64)
+    single = session.DeviceCache(root_dir, block=64, mesh=None)
+    got = ex.execute_search(meshed, ex.SearchRequest(**req))
+    ref = ex.execute_search(single, ex.SearchRequest(**req))
+    assert got.column("id").to_pylist() == ref.column("id").to_pylist()
+    np.testing.assert_allclose(
+        np.asarray(got.column(ex.DIST_COL)),
+        np.asarray(ref.column(ex.DIST_COL)),
+        atol=1e-6,
+    )
+
+
+def test_ring_model_parallel_flattened_ring():
+    """model_parallel > 1: the ring runs over the flattened
+    (data, model) shard index — same results as the all_gather merge
+    on the same mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    mesh = mesh_mod.make_mesh(devices=jax.devices()[:8], model_parallel=2)
+    n, d, q, k = 1024, 16, 64, 12
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus[901] = corpus[3]  # tie across the model-axis boundary
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    corpus_dev, mask_dev = psearch.shard_corpus(mesh, corpus, block=16)
+    aux_mul, aux_add = psearch.shard_aux(corpus_dev, mask_dev, "l2")
+
+    ref_fn = psearch.build_serving_search(mesh, k=k, metric="l2")
+    ref_d, ref_i = topk2.unpack_result(
+        np.asarray(ref_fn(corpus_dev, jnp.asarray(queries), aux_mul, aux_add))
+    )
+
+    q_sharded = jax.device_put(queries, mesh_mod.row_sharding(mesh, 2))
+    ring_fn = psearch.build_ring_search(mesh, k=k, metric="l2")
+    got_d, got_i = topk2.unpack_result(
+        np.asarray(ring_fn(corpus_dev, q_sharded, aux_mul, aux_add))
+    )
+
+    np.testing.assert_array_equal(got_i, ref_i)
+    np.testing.assert_allclose(got_d, ref_d, atol=1e-6)
+
+
+def test_ring_pads_query_remainder(root, monkeypatch):
+    """Q not divisible by the shard count pads up with zero queries
+    (sliced back off) instead of falling back to the all_gather route."""
+    monkeypatch.setenv("FENIX_RING", "1")
+    root_dir, vecs = root
+    rng = np.random.default_rng(21)
+    target = rng.standard_normal((3, DIM)).astype(np.float32)  # q_pad 4 → ring pads to 8
+    req = dict(source="t", column="vector", metric="l2", target=target, maxval=5)
     meshed = session.DeviceCache(root_dir, block=64)
     single = session.DeviceCache(root_dir, block=64, mesh=None)
     got = ex.execute_search(meshed, ex.SearchRequest(**req))

@@ -17,7 +17,8 @@ def mesh8():
     return mesh_mod.make_mesh(8, model_parallel=2)
 
 
-def test_shuffle_routes_all_rows(mesh8, rng):
+@pytest.mark.parametrize("chunks", [1, 4], ids=["single", "double-buffered"])
+def test_shuffle_routes_all_rows(mesh8, rng, chunks):
     n, d, cap = 8 * 256, 8, 256
     rows = rng.standard_normal((n, d)).astype(np.float32)
     keys = rng.integers(0, 1 << 30, n).astype(np.int64)
@@ -25,7 +26,7 @@ def test_shuffle_routes_all_rows(mesh8, rng):
     rows_dev = jax.device_put(rows, row_sharding(mesh8, 2))
     keys_dev = jax.device_put(keys.astype(np.int32), row_sharding(mesh8, 1))
 
-    fn = shuffle.build_shuffle(mesh8, capacity=cap, row_shape=(d,))
+    fn = shuffle.build_shuffle(mesh8, capacity=cap, row_shape=(d,), chunks=chunks)
     recv_rows, recv_keys, valid, overflow = fn(rows_dev, keys_dev)
 
     assert not np.asarray(overflow).any()
@@ -52,6 +53,23 @@ def test_shuffle_routes_all_rows(mesh8, rng):
         for k, r in zip(per_shard[s][per_valid[s]], per_rows[s][per_valid[s]]):
             np.testing.assert_array_equal(r, lookup[int(k)])
     assert seen == n
+
+
+def test_shuffle_chunked_bitwise_matches_single(mesh8, rng):
+    """Double-buffered exchange reassembles to the EXACT layout of the
+    single all_to_all — same recv positions, keys, and validity."""
+    n, d, cap = 8 * 128, 4, 128
+    rows = rng.standard_normal((n, d)).astype(np.float32)
+    keys = rng.integers(0, 1 << 30, n).astype(np.int32)
+    rows_dev = jax.device_put(rows, row_sharding(mesh8, 2))
+    keys_dev = jax.device_put(keys, row_sharding(mesh8, 1))
+
+    one = shuffle.build_shuffle(mesh8, capacity=cap, row_shape=(d,))(rows_dev, keys_dev)
+    four = shuffle.build_shuffle(mesh8, capacity=cap, row_shape=(d,), chunks=4)(
+        rows_dev, keys_dev
+    )
+    for a, b in zip(one, four):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_shuffle_overflow_detected(mesh8, rng):
