@@ -100,14 +100,19 @@ def _rank_cells(queries, coding_data, metric: str, probes: int) -> np.ndarray:
     the bounded beam fallback when k^n exceeds dense enumeration
     (mirrors coder.call). Dense grids rank on the host — fetching a
     device-ranked [Q, P] costs a full tunnel round-trip per request."""
+    from fenix_tpu.utils import profiling
+
     codebooks = coding_data["tensor"]
     n_books, k_book, _ = codebooks.shape
     probes = int(min(probes, k_book**n_books))
-    if k_book**n_books > cells_ops.DENSE_CELL_LIMIT:
-        return np.asarray(
-            cells_ops.topk_cells_bounded(queries, jnp.asarray(codebooks), metric, probes)
-        )
-    return cells_ops.topk_cells_np(np.asarray(queries), codebooks, metric, probes)
+    with profiling.annotate("fenix.rank_cells"):
+        if k_book**n_books > cells_ops.DENSE_CELL_LIMIT:
+            return np.asarray(
+                cells_ops.topk_cells_bounded(
+                    queries, jnp.asarray(codebooks), metric, probes
+                )
+            )
+        return cells_ops.topk_cells_np(np.asarray(queries), codebooks, metric, probes)
 
 
 @functools.lru_cache(maxsize=None)
@@ -242,9 +247,12 @@ class _FilterPlan:
     def host_mask(self) -> np.ndarray:
         """``[n_pad]`` bool mask via Arrow kernels (padding rows False)."""
         if self._host is None:
-            m = np.zeros(self.n_pad, dtype=bool)
-            m[: self.rows] = self.filt.mask(self.data)
-            self._host = m
+            from fenix_tpu.utils import profiling
+
+            with profiling.annotate("fenix.mask_build"):
+                m = np.zeros(self.n_pad, dtype=bool)
+                m[: self.rows] = self.filt.mask(self.data)
+                self._host = m
         return self._host
 
     def overlay(self, aux_add, layout: str, coding: str | None = None):
@@ -1055,15 +1063,18 @@ def gather_results(
     One ``take`` over the concatenated id list — per-query takes cost
     ~Q Arrow kernel dispatches per batch and dominated large-batch
     serving."""
-    num_queries, k = ids.shape
-    valid = ids >= 0  # [Q, k]
-    row_ids = ids[valid].astype(np.int64)
-    out = data.take(pa.array(row_ids))
-    out = out.append_column(DIST_COL, pa.array(dists[valid].astype(value_dtype)))
-    out = out.select(select)
-    if num_queries > 1:
-        qids = np.broadcast_to(
-            np.arange(num_queries, dtype=np.int64)[:, None], (num_queries, k)
-        )[valid]
-        out = out.append_column(QUERY_COL, pa.array(qids))
-    return out.combine_chunks()
+    from fenix_tpu.utils import profiling
+
+    with profiling.annotate("fenix.result_gather"):
+        num_queries, k = ids.shape
+        valid = ids >= 0  # [Q, k]
+        row_ids = ids[valid].astype(np.int64)
+        out = data.take(pa.array(row_ids))
+        out = out.append_column(DIST_COL, pa.array(dists[valid].astype(value_dtype)))
+        out = out.select(select)
+        if num_queries > 1:
+            qids = np.broadcast_to(
+                np.arange(num_queries, dtype=np.int64)[:, None], (num_queries, k)
+            )[valid]
+            out = out.append_column(QUERY_COL, pa.array(qids))
+        return out.combine_chunks()

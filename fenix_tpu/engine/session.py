@@ -1004,6 +1004,7 @@ class DeviceCache:
         newer aux (more valid rows) with an older host table and gather
         out of bounds."""
         from fenix_tpu.io.locks import read_stable
+        from fenix_tpu.utils import profiling
 
         if sharded is None:
             sharded = self.mesh is not None
@@ -1016,11 +1017,12 @@ class DeviceCache:
             )
             return data, self._base_matrix(source, column, sharded)
 
-        (data, matrix), stamp = read_stable(
-            lambda: self.snapshot_stamp(source, column, coding),
-            read,
-            f"table {source!r}",
-        )
+        with profiling.annotate("fenix.snapshot"):
+            (data, matrix), stamp = read_stable(
+                lambda: self.snapshot_stamp(source, column, coding),
+                read,
+                f"table {source!r}",
+            )
         return data, matrix, stamp
 
     def snapshot_stamp(

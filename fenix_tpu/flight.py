@@ -190,7 +190,12 @@ class Server(fl.FlightServerBase):
         target_table = reader.read_all()
         target = target_table.column("target").combine_chunks()
 
-        with METRICS.timed(
+        from fenix_tpu.utils import profiling
+
+        # per-request device trace behind $FENIX_TRACE_DIR (no-op when
+        # unset; concurrent handlers during an active capture run
+        # untraced — profiling._TRACE_LOCK)
+        with profiling.trace(), profiling.annotate("fenix.rpc.search"), METRICS.timed(
             "search", source=config["source"], metric=config.get("metric")
         ) as record:
             data = service.run_search_config(self.cache, config, target)

@@ -98,7 +98,10 @@ def pack_result(dist: jax.Array, ids: jax.Array) -> jax.Array:
 def unpack_result(packed) -> tuple:
     import numpy as np
 
-    packed = np.asarray(packed)
+    from fenix_tpu.utils import profiling
+
+    with profiling.annotate("fenix.fetch"):  # device→host readback
+        packed = np.asarray(packed)
     return packed[0].view(np.float32), packed[1]
 
 

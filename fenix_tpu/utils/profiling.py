@@ -9,11 +9,19 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 from typing import Iterator
 
 import jax
 
 TRACE_DIR_ENV = "FENIX_TRACE_DIR"
+
+# one trace at a time: the Flight server wraps every request handler in
+# trace(), and handlers run on a thread pool — a second start_trace
+# while one is active raises. Non-blocking: concurrent requests during
+# an active capture simply run untraced (their device work still lands
+# in the active trace's timeline).
+_TRACE_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -28,11 +36,17 @@ def trace(log_dir: str | None = None) -> Iterator[None]:
     if not log_dir:
         yield
         return
-    jax.profiler.start_trace(log_dir)
-    try:
+    if not _TRACE_LOCK.acquire(blocking=False):
         yield
+        return
+    try:
+        jax.profiler.start_trace(log_dir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
     finally:
-        jax.profiler.stop_trace()
+        _TRACE_LOCK.release()
 
 
 def annotate(name: str):
