@@ -33,6 +33,47 @@ def test_sharded_search_matches_single_device(mesh8, rng, metric):
     np.testing.assert_allclose(np.asarray(dist), want_d, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
+def test_dim_sharded_search_matches_oracle(mesh8, rng, metric):
+    """D-axis contraction sharded over MODEL with psum'd partials
+    (SURVEY §5 "optionally the dimension axis"): exact results, tie
+    contract included, against the float oracle."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fenix_tpu.ops import topk2
+    from fenix_tpu.parallel.mesh import MODEL_AXIS
+
+    n, d, q, k = 3000, 32, 8, 10  # d divisible by the model axis (2)
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus[777] = corpus[13]  # tie spanning data shards
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    corpus_dev, mask_dev = psearch.shard_corpus_dim(mesh8, corpus, block=128)
+    n_pad = corpus_dev.shape[0]
+    full = np.zeros((n_pad, d), np.float32)
+    full[:n] = corpus
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+    # aux is a full-D per-row reduction — computed BEFORE placement
+    aux_mul, aux_add = topk2.prepare_aux(jnp.asarray(full), jnp.asarray(mask), metric)
+    aux_mul = jax.device_put(np.asarray(aux_mul), NamedSharding(mesh8, P("data")))
+    aux_add = jax.device_put(np.asarray(aux_add), NamedSharding(mesh8, P("data")))
+
+    qp = np.asarray(topk2.prepare_queries(jnp.asarray(queries), metric))
+    qp_dev = jax.device_put(qp, NamedSharding(mesh8, P(None, MODEL_AXIS)))
+    q_sq = jnp.asarray((queries.astype(np.float64) ** 2).sum(1).astype(np.float32))
+
+    fn = psearch.build_dim_sharded_search(mesh8, k=k, metric=metric)
+    dist, ids = topk2.unpack_result(
+        np.asarray(fn(corpus_dev, qp_dev, aux_mul, aux_add, q_sq))
+    )
+
+    want_d, want_i = oracles.topk(oracles.distance(queries, corpus, metric), k)
+    np.testing.assert_array_equal(ids, want_i)
+    np.testing.assert_allclose(dist, want_d, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_search_respects_mask(mesh8, rng):
     n, d, k = 1000, 16, 8
     corpus = rng.standard_normal((n, d)).astype(np.float32)
