@@ -5,8 +5,9 @@ global-id) pairs and must reduce them to the top k. Two contenders:
 
 - ``lax.top_k`` over the gathered row (what merge_candidates ships):
   XLA lowers to the native sort unit.
-- ``relational.radix_sort_kv``: LSD counting sort from one-hot prefix
-  sums, vmapped per query, descending order via the monotone uint32
+- an LSD radix counting sort from one-hot prefix sums (implemented
+  below — it lived in ops/relational until this measurement retired
+  it), vmapped per query, descending order via the monotone uint32
   bitcast of the score (then slice k).
 
 Measured at pod-scale S ∈ {8, 64, 256}, k ∈ {100, 1024}, Q=8. The
@@ -29,7 +30,34 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fenix_tpu.ops import relational
+    @functools.partial(jax.jit, static_argnames=("bits_per_pass",))
+    def radix_sort_kv(keys, values, bits_per_pass: int = 4):
+        """LSD radix sort of non-negative int32 keys with carried
+        values: each pass is a stable counting sort of one digit from
+        one-hot prefix sums — dense VPU work, no data-dependent
+        control flow."""
+        radix = 1 << bits_per_pass
+        num_passes = (32 + bits_per_pass - 1) // bits_per_pass
+
+        def one_pass(carry, shift):
+            k, v = carry
+            digit = (k >> shift) & (radix - 1)
+            onehot = (
+                digit[:, None] == jnp.arange(radix, dtype=digit.dtype)[None, :]
+            ).astype(jnp.int32)
+            within = jnp.cumsum(onehot, axis=0) - onehot
+            counts = jnp.sum(onehot, axis=0)
+            base = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+            )
+            pos = base[digit] + jnp.take_along_axis(within, digit[:, None], axis=1)[:, 0]
+            k = jnp.zeros_like(k).at[pos].set(k)
+            v = jnp.zeros_like(v).at[pos].set(v)
+            return (k, v), None
+
+        shifts = jnp.arange(num_passes, dtype=jnp.int32) * bits_per_pass
+        (k_out, v_out), _ = jax.lax.scan(one_pass, (keys, values), shifts)
+        return k_out, v_out
 
     rng = np.random.default_rng(0)
     q = 8
@@ -49,7 +77,7 @@ def main() -> None:
             scores >= 0, u | jnp.uint32(0x80000000), ~u
         )  # ascending uint == ascending float
         key = (~mono).astype(jnp.int32) & jnp.int32(0x7FFFFFFF)  # non-neg, desc float
-        sk, sv = jax.vmap(relational.radix_sort_kv)(key, gids)
+        sk, sv = jax.vmap(radix_sort_kv)(key, gids)
         return sk[:, :k], sv[:, :k]
 
     for s_shards in (8, 64, 256):

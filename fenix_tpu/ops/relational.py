@@ -37,41 +37,14 @@ def argsort_stable(keys: jax.Array) -> jax.Array:
     return perm
 
 
-@functools.partial(jax.jit, static_argnames=("bits_per_pass",))
-def radix_sort_kv(
-    keys: jax.Array, values: jax.Array, bits_per_pass: int = 4
-) -> tuple[jax.Array, jax.Array]:
-    """LSD radix sort of non-negative int32 keys with carried values.
-
-    Each pass is a stable counting sort of one digit, built from
-    one-hot prefix sums (rank-within-digit) + digit base offsets — all
-    dense VPU work, no data-dependent control flow. Complements
-    ``sort_kv`` (XLA's bitonic network): radix wins for wide batches of
-    narrow integer keys (the distributed top-k merge's (shard, score
-    -rank) keys and ordered scans over id columns).
-    """
-    n = keys.shape[0]
-    radix = 1 << bits_per_pass
-    num_passes = (32 + bits_per_pass - 1) // bits_per_pass
-
-    def one_pass(carry, shift):
-        k, v = carry
-        digit = (k >> shift) & (radix - 1)  # [N]
-        onehot = digit[:, None] == jnp.arange(radix, dtype=digit.dtype)[None, :]
-        onehot = onehot.astype(jnp.int32)  # [N, radix]
-        within = jnp.cumsum(onehot, axis=0) - onehot  # exclusive rank in digit
-        counts = jnp.sum(onehot, axis=0)  # [radix]
-        base = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
-        )  # [radix]
-        pos = base[digit] + jnp.take_along_axis(within, digit[:, None], axis=1)[:, 0]
-        k = jnp.zeros_like(k).at[pos].set(k)
-        v = jnp.zeros_like(v).at[pos].set(v)
-        return (k, v), None
-
-    shifts = jnp.arange(num_passes, dtype=jnp.int32) * bits_per_pass
-    (k_out, v_out), _ = jax.lax.scan(one_pass, (keys, values), shifts)
-    return k_out, v_out
+# A radix-sort merge contender (LSD counting sort from one-hot prefix
+# sums) was implemented and measured against all_gather + lax.top_k at
+# pod-scale S·k (benchmarks/exp_merge.py, which keeps the contender
+# implementation): top_k won every cell by 10-120× — TPU top_k lowers
+# to the native sort unit, while the radix one-hot cumsum is 8 passes
+# of dense [n, 16] work plus scatters. See docs/DESIGN.md "Multi-chip
+# execution"; the shipping merge (parallel/search.merge_candidates) is
+# the measured winner.
 
 
 # -- filter → compaction --------------------------------------------------
