@@ -1,0 +1,154 @@
+"""Attribute (and try to close) the config-1 literal-scale gap.
+
+BENCH_r02: 1M×128 sustained = 0.719 of spec HBM vs 0.841 at 8M, target
+≥0.80. Hypothesis (VERDICT r2 #5): a per-corpus-pass FIXED cost —
+phase-2 candidate rescore (kp·bucket row gather + fp32-true dot,
+N-independent) plus selection tail and MXU pipeline fill — that a
+512 MB pass cannot amortize but a 4 GB pass can.
+
+Measurements (one process, shared corpus arrays):
+  two_point  t(N) = fixed + bytes/BW fitted from the {1M, 8M}
+             sustained pair → fixed ms/pass, steady BW, and the
+             implied 1M bound
+  mid_sizes  2M and 4M sustained — the fit must PREDICT these
+             (a bad model shows up as prediction error)
+  pipe_1m    software-pipelined 1M variant: scan step i runs phase 1
+             of batch i and phase 2 of batch i−1 (independent ops in
+             one scan body) — if XLA overlaps them, the fixed cost
+             hides under the next pass's streaming and the 1M number
+             should close toward the 8M fraction
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bench import detect_hbm_bw
+    from fenix_tpu.ops import topk2
+
+    d, k = 128, 16
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    roofline = detect_hbm_bw(dev)
+
+    @functools.partial(jax.jit, static_argnames=("k_",))
+    def sustained(corpus_, qb, mul, add, k_):
+        def body(_, q):
+            return None, topk2.topk_two_phase(
+                corpus_, q, mul, add, k=k_, metric="cosine"
+            )
+
+        _, out = jax.lax.scan(body, None, qb, unroll=4)
+        return out
+
+    @functools.partial(jax.jit, static_argnames=("k_",))
+    def pipelined(corpus_, qb, mul, add, k_):
+        """Phase 1 of batch i + phase 2 of batch i−1 per scan step."""
+        n = corpus_.shape[0]
+        bucket = topk2.BUCKET
+        nb = n // bucket
+        kp = k_ + topk2.BUCKET_PAD
+
+        def phase1(q):
+            qp = topk2.prepare_queries(q, "cosine")
+            bm = topk2.bucket_scores_xla(qp, corpus_, mul, add, bucket)
+            return qp, topk2.topk_buckets(bm, kp)
+
+        def phase2(qp, bidx):
+            rows = corpus_.reshape(nb, bucket, d)[bidx]  # [Q, kp, bucket, D]
+            s = jnp.einsum(
+                "qd,qkbd->qkb", qp, rows,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            gids = bidx[:, :, None] * bucket + jnp.arange(bucket, dtype=jnp.int32)
+            q_ = qp.shape[0]
+            s = s.reshape(q_, kp * bucket) * jnp.take(mul, gids.reshape(q_, -1))
+            s = s + jnp.take(add, gids.reshape(q_, -1))
+            return topk2.topk_values_min_id(s, gids.reshape(q_, -1), k_)
+
+        def body(carry, q):
+            qp_prev, bidx_prev = carry
+            out_prev = phase2(qp_prev, bidx_prev)  # batch i−1
+            qp, bidx = phase1(q)  # batch i — independent of phase2 above
+            return (qp, bidx), out_prev
+
+        q0 = qb[0]
+        carry0 = phase1(q0)
+        (qp_l, bidx_l), outs = jax.lax.scan(body, carry0, qb[1:], unroll=2)
+        last = phase2(qp_l, bidx_l)
+        return outs, last
+
+    def fence(x):
+        np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+    def timeit(fn, iters, inner):
+        fence(fn())
+        start = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        fence(out)
+        return (time.perf_counter() - start) / (iters * inner)
+
+    results = {}
+    times = {}
+    big = jax.random.normal(jax.random.PRNGKey(7), (8 * 1_048_576, d), jnp.float32)
+    for m in (1, 2, 4, 8):
+        n = m * 1_048_576
+        corpus = big[:n]
+        mul, add = topk2.prepare_aux(corpus, None, "cosine")
+        inner = max(64 // m, 8)
+        qb = jnp.asarray(rng.standard_normal((inner, 8, d)).astype(np.float32))
+        t = timeit(lambda: sustained(corpus, qb, mul, add, k), 4, inner)
+        times[m] = t
+        results[f"t_{m}M_ms"] = round(t * 1e3, 4)
+        results[f"gbps_{m}M"] = round(n * d * 4 / t / 1e9, 1)
+
+    b1, b8 = 1_048_576 * d * 4, 8 * 1_048_576 * d * 4
+    bw = (b8 - b1) / (times[8] - times[1])
+    fixed = times[1] - b1 / bw
+    results["fit_bw_gbps"] = round(bw / 1e9, 1)
+    results["fit_fixed_ms"] = round(fixed * 1e3, 4)
+    for m in (2, 4):
+        pred = fixed + m * b1 / bw
+        results[f"fit_pred_err_{m}M_pct"] = round(
+            (times[m] - pred) / times[m] * 100, 1
+        )
+    results["bound_1M"] = round((b1 / bw) / times[1] * (bw / roofline), 4)
+    results["vs_spec_1M"] = round(b1 / times[1] / roofline, 4)
+    results["vs_spec_8M"] = round(b8 / times[8] / roofline, 4)
+
+    # pipelined 1M attempt
+    n = 1_048_576
+    corpus = big[:n]
+    mul, add = topk2.prepare_aux(corpus, None, "cosine")
+    inner = 64
+    qb = jnp.asarray(rng.standard_normal((inner, 8, d)).astype(np.float32))
+    t_pipe = timeit(lambda: pipelined(corpus, qb, mul, add, k), 4, inner)
+    results["t_1M_pipelined_ms"] = round(t_pipe * 1e3, 4)
+    results["vs_spec_1M_pipelined"] = round(n * d * 4 / t_pipe / roofline, 4)
+
+    # equality: pipelined ids must match production
+    d_ref, i_ref = sustained(corpus, qb[:4], mul, add, k)
+    (d_p, i_p), last = pipelined(corpus, qb[:4], mul, add, k)
+    ids_prod = np.asarray(i_ref)
+    # pipelined emits batch i−1 at step i then the last batch separately
+    s_pipe, i_pipe = np.asarray(d_p), np.asarray(i_p)
+    ids_pipe = np.concatenate([i_pipe, np.asarray(last[1])[None]], axis=0)
+    results["pipelined_ids_equal"] = bool((ids_prod == ids_pipe).all())
+
+    print(json.dumps({"metric": "exp_1m_gap", "extra": results}))
+
+
+if __name__ == "__main__":
+    main()
