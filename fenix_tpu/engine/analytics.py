@@ -235,6 +235,249 @@ def _fused_sharded_aggregate(
     return fused
 
 
+def _pack_groups_parted(groups, values, hit, agg: str, max_groups: int, int_values: bool):
+    """Per-shard PARTIAL group table for the partitioned-attrs join —
+    unlike :func:`_pack_groups` the lanes stay cross-shard COMBINABLE
+    (mean ships sum+count; int sums ship their exact limb lanes), so the
+    host can merge S partial tables without rounding."""
+    if int_values:
+        dev_agg = "mean" if agg in ("sum", "mean") else agg  # lanes incl. count
+        gk, lanes, n = relational.group_aggregate_int(
+            groups, values, max_groups=max_groups, agg=dev_agg, mask=hit
+        )
+        body = lanes.reshape(-1)
+    elif agg == "mean":
+        gk, s, n = relational.group_aggregate(
+            groups, values, max_groups=max_groups, agg="sum", mask=hit
+        )
+        _, c, _ = relational.group_aggregate(
+            groups, values, max_groups=max_groups, agg="count", mask=hit
+        )
+        body = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.int32),
+                jax.lax.bitcast_convert_type(c.astype(jnp.float32), jnp.int32),
+            ]
+        )
+    else:
+        gk, gv, n = relational.group_aggregate(
+            groups, values, max_groups=max_groups, agg=agg, mask=hit
+        )
+        body = jax.lax.bitcast_convert_type(gv.astype(jnp.float32), jnp.int32)
+    return jnp.concatenate([gk.astype(jnp.int32), body, n.astype(jnp.int32)[None]])
+
+
+def _parted_lanes(agg: str, int_values: bool) -> int:
+    if int_values:
+        return relational.int_agg_lanes("mean" if agg in ("sum", "mean") else agg)
+    return 2 if agg == "mean" else 1
+
+
+def _local_join_claim(left_keys, valid, pk_l, pi_l, bound_l, attr_rows):
+    """Local bsearch of replicated probe keys against this shard's
+    contiguous globally-sorted key range. A key's FIRST global match is
+    local iff the key exceeds the previous shard's last key (every key
+    on earlier shards is ≤ that boundary) — exactly one shard claims
+    each hit, duplicates included. Returns (hit, local sorted pos)."""
+    nloc = pk_l.shape[0]
+    pos = jnp.searchsorted(pk_l, left_keys, side="left")
+    pos = jnp.clip(pos, 0, nloc - 1)
+    hit = (pk_l[pos] == left_keys) & valid
+    hit = hit & (left_keys > bound_l[0])
+    hit = hit & (pi_l[pos] < attr_rows)
+    return hit, pos
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_parted_aggregate(
+    mesh, k_pad: int, metric: str, agg: str, max_groups: int,
+    use_value_col: bool, use_dist: bool, int_values: bool = False,
+):
+    """Search→join→aggregate with the ATTRIBUTE side partitioned: the
+    fact side row-shards as usual; the attr key column splits into
+    contiguous globally-sorted ranges (session.parted_key) with its
+    group/value columns laid out alongside — nothing dimension-side
+    replicates. Each shard joins the replicated winners against its
+    local range, aggregates its claims into a partial group table, and
+    the S tiny tables concatenate out for an exact host merge."""
+    from jax.sharding import PartitionSpec as P
+
+    from fenix_tpu.ops import topk2
+    from fenix_tpu.parallel import search as psearch
+    from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axes = (DATA_AXIS, MODEL_AXIS)
+    in_specs = (
+        P(axes, None),  # corpus
+        P(),            # queries
+        P(axes), P(axes),  # aux
+        P(), P(),       # num_queries, k_limit
+        P(axes),        # left_col
+        P(axes), P(axes), P(axes),  # parted keys / index / boundaries
+        P(),            # attr_rows
+        P(axes), P(axes),  # group / value columns (sort order, sharded)
+    )
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axes), check_vma=False
+    )
+    def fused(
+        corpus_l, queries, aux_mul_l, aux_add_l, num_queries, k_limit,
+        left_col_l, pk_l, pi_l, bound_l, attr_rows, group_l, value_l,
+    ):
+        rows_local = corpus_l.shape[0]
+        d, i = topk2.topk_two_phase(
+            corpus_l, queries, aux_mul_l, aux_add_l,
+            k=min(k_pad, rows_local), metric=metric,
+        )
+        dist, gids = psearch.merge_local_topk(d, i, k_pad, rows_local)
+        flat_gids = gids.reshape(-1)
+        valid = _winner_validity(
+            flat_gids, queries.shape[0], k_pad, num_queries, k_limit
+        )
+        left_keys = psearch.gather_rowsharded(left_col_l, flat_gids, valid)
+        hit, pos = _local_join_claim(left_keys, valid, pk_l, pi_l, bound_l, attr_rows)
+        safe = jnp.where(hit, pos, 0)
+        groups = jnp.take(group_l, safe).astype(jnp.int32)
+        if use_value_col:
+            taken = jnp.take(value_l, safe)
+            values = taken.astype(jnp.int32) if int_values else taken.astype(jnp.float32)
+        elif use_dist:
+            values = dist.reshape(-1)
+        elif int_values:
+            values = jnp.ones(flat_gids.shape, jnp.int32)
+        else:
+            values = jnp.ones(flat_gids.shape, jnp.float32)
+        return _pack_groups_parted(groups, values, hit, agg, max_groups, int_values)
+
+    return fused
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_parted_lookup(mesh, k_pad: int, metric: str):
+    """Partitioned-attrs enrichment: each shard resolves the winners it
+    can claim; one pmax combines the (unique) claims into the
+    replicated attr-row-index plane of the packed result."""
+    from jax.sharding import PartitionSpec as P
+
+    from fenix_tpu.ops import topk2
+    from fenix_tpu.parallel import search as psearch
+    from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axes = (DATA_AXIS, MODEL_AXIS)
+    in_specs = (
+        P(axes, None), P(), P(axes), P(axes),
+        P(axes),        # left_col
+        P(axes), P(axes), P(axes),  # parted keys / index / boundaries
+        P(),            # attr_rows
+    )
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+    )
+    def fused(
+        corpus_l, queries, aux_mul_l, aux_add_l,
+        left_col_l, pk_l, pi_l, bound_l, attr_rows,
+    ):
+        rows_local = corpus_l.shape[0]
+        d, i = topk2.topk_two_phase(
+            corpus_l, queries, aux_mul_l, aux_add_l,
+            k=min(k_pad, rows_local), metric=metric,
+        )
+        dist, gids = psearch.merge_local_topk(d, i, k_pad, rows_local)
+        q_pad = queries.shape[0]
+        flat_gids = gids.reshape(-1)
+        valid = flat_gids >= 0
+        left_keys = psearch.gather_rowsharded(left_col_l, flat_gids, valid)
+        hit, pos = _local_join_claim(left_keys, valid, pk_l, pi_l, bound_l, attr_rows)
+        claim = jnp.where(hit, pi_l[pos], -1)
+        ridx = jax.lax.pmax(claim, axes).reshape(q_pad, -1)
+        return jnp.stack(
+            [jax.lax.bitcast_convert_type(dist, jnp.int32), gids, ridx.astype(jnp.int32)]
+        )
+
+    return fused
+
+
+def _merge_parted_tables(
+    packed: np.ndarray, n_shards: int, max_groups: int, agg: str, int_values: bool
+) -> pa.Table:
+    """Exact host merge of S per-shard partial group tables (each at
+    most max_groups rows — S·max_groups ints total, one fetch). int
+    lanes recombine in int64; float partials combine in float64."""
+    g = max_groups
+    lanes = _parted_lanes(agg, int_values)
+    block = g + g * lanes + 1
+    acc: dict[int, object] = {}
+    for s in range(n_shards):
+        blk = packed[s * block : (s + 1) * block]
+        gk, body, n = blk[:g], blk[g : g + g * lanes], int(blk[g + g * lanes])
+        if int_values:
+            vals = body.reshape(g, lanes)
+            for i in range(n):
+                k_ = int(gk[i])
+                if agg in ("sum", "mean"):
+                    row = vals[i].astype(np.int64)
+                    prev = acc.get(k_)
+                    acc[k_] = row if prev is None else prev + row
+                elif agg in ("count",):
+                    acc[k_] = int(acc.get(k_, 0)) + int(vals[i, 0])
+                elif agg == "min":
+                    v = int(vals[i, 0])
+                    acc[k_] = v if k_ not in acc else min(int(acc[k_]), v)
+                else:
+                    v = int(vals[i, 0])
+                    acc[k_] = v if k_ not in acc else max(int(acc[k_]), v)
+        elif agg == "mean":
+            sums = body[:g].view(np.float32)
+            cnts = body[g:].view(np.float32)
+            for i in range(n):
+                k_ = int(gk[i])
+                s0, c0 = acc.get(k_, (0.0, 0.0))
+                acc[k_] = (s0 + float(sums[i]), c0 + float(cnts[i]))
+        else:
+            v_ = body.view(np.float32)
+            for i in range(n):
+                k_ = int(gk[i])
+                x = float(v_[i])
+                if k_ not in acc:
+                    acc[k_] = x
+                elif agg in ("sum", "count"):
+                    acc[k_] = float(acc[k_]) + x
+                elif agg == "min":
+                    acc[k_] = min(float(acc[k_]), x)
+                else:
+                    acc[k_] = max(float(acc[k_]), x)
+    if len(acc) > g:
+        raise ValueError(
+            f"aggregate produced {len(acc)} distinct groups but "
+            f"max_groups={g}; raise aggregate.max_groups"
+        )
+    keys = sorted(acc)
+    if int_values and agg in ("sum", "mean"):
+        merged = np.stack(
+            [acc[k_] for k_ in keys] if keys else [np.zeros(lanes, np.int64)]
+        ).astype(np.int64)[: len(keys)]
+        # recombination is lane-linear, so summed lanes unpack exactly
+        vals_np = relational.unpack_int_aggregate(merged, agg)
+        out_vals = pa.array(np.asarray(vals_np))
+    elif int_values:
+        out_vals = pa.array(np.asarray([int(acc[k_]) for k_ in keys], np.int64))
+    elif agg == "mean":
+        out_vals = pa.array(
+            np.asarray(
+                [acc[k_][0] / max(acc[k_][1], 1.0) for k_ in keys], np.float64
+            )
+        )
+    else:
+        out_vals = pa.array(np.asarray([float(acc[k_]) for k_ in keys], np.float64))
+    return pa.table(
+        {GROUP_COL: pa.array(np.asarray(keys, np.int64)), AGG_COL: out_vals}
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_sharded_lookup(mesh, k_pad: int, metric: str):
     """Mesh-sharded search + join-probe (enrichment): replicated
@@ -324,7 +567,14 @@ class JoinSpec:
     general SQL inner join — result rows duplicate per matching attr
     row, unmatched result rows drop; duplicated right keys produce one
     output pair each (relational.join_inner_sorted), bounded by
-    ``max_matches``."""
+    ``max_matches``.
+
+    ``partitioned``: under a serving mesh, shard the ATTRIBUTE side
+    across devices (sorted contiguous key ranges) instead of
+    replicating it — for dimension tables too large to hold per shard.
+    ``None`` (default) auto-routes by table size (FENIX_PART_ATTRS_MIN
+    rows, default 8M); ``True``/``False`` force. Applies to the fused
+    fp32 lookup/aggregate path; other routes replicate."""
 
     source: str | Sequence[str]
     right_on: str
@@ -332,6 +582,7 @@ class JoinSpec:
     columns: Sequence[str] | None = None  # None → all non-key columns
     how: str = "lookup"
     max_matches: int = 4096
+    partitioned: bool | None = None
 
     @staticmethod
     def from_dict(obj: dict) -> "JoinSpec":
@@ -345,6 +596,7 @@ class JoinSpec:
             columns=obj.get("columns"),
             how=how,
             max_matches=int(obj.get("max_matches", 4096)),
+            partitioned=obj.get("partitioned"),
         )
 
 
@@ -446,6 +698,50 @@ def _attrs_device_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
     return value
 
 
+def _use_partitioned(cache: DeviceCache, join: "JoinSpec") -> bool:
+    """Partitioned-attrs routing: explicit flag wins; otherwise tables
+    past FENIX_PART_ATTRS_MIN rows (default 8M — ~96 MB of int32 key+
+    group+value columns per replica) stop replicating."""
+    import os
+
+    if cache.mesh is None:
+        return False
+    if join.partitioned is not None:
+        return bool(join.partitioned)
+    threshold = int(os.environ.get("FENIX_PART_ATTRS_MIN", str(8 << 20)))
+    return cache.host_table(join.source).num_rows >= threshold
+
+
+def _attrs_parted_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
+    """Partitioned attribute-side device entries under ONE revision
+    (same stamp-stable idiom as :func:`_attrs_device_entries`)."""
+    from fenix_tpu.io.locks import read_stable
+
+    key = (join.source,) if isinstance(join.source, str) else tuple(join.source)
+
+    def read():
+        pk, pi, bounds, rows, _perm = cache.parted_key(join.source, join.right_on)
+        group_col = value_col = None
+        if aggregate is not None:
+            group_col = cache.parted_scalar(
+                join.source, aggregate.group_by, join.right_on
+            )
+            use_value = (
+                aggregate.value is not None and aggregate.value != executor.DIST_COL
+            )
+            value_col = (
+                cache.parted_scalar(join.source, aggregate.value, join.right_on)
+                if use_value
+                else group_col
+            )
+        return pk, pi, bounds, rows, group_col, value_col
+
+    value, _ = read_stable(
+        lambda: cache._mtimes(key), read, f"table {join.source!r}"
+    )
+    return value
+
+
 def _execute_fused(
     cache: DeviceCache,
     req: executor.SearchRequest,
@@ -511,9 +807,18 @@ def _execute_fused(
         )
         aux_add = executor._overlay_mask(aux_add, mask_dev)
 
-    sorted_keys, sorted_index, attr_rows, group_col, value_col = (
-        _attrs_device_entries(cache, join, aggregate)
-    )
+    parted = _use_partitioned(cache, join)
+    if parted:
+        from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+        METRICS.add("join.partitioned")
+        pk, pi, bounds, attr_rows, p_group, p_value = _attrs_parted_entries(
+            cache, join, aggregate
+        )
+    else:
+        sorted_keys, sorted_index, attr_rows, group_col, value_col = (
+            _attrs_device_entries(cache, join, aggregate)
+        )
 
     if aggregate is not None:
         use_value_col = (
@@ -523,8 +828,26 @@ def _execute_fused(
         agg = aggregate.agg
         if not use_value_col and not use_dist and agg == "count":
             agg = "sum"
-        int_values = _int_agg_mode(aggregate, value_col)
+        int_values = _int_agg_mode(aggregate, p_value if parted else value_col)
 
+        if parted:
+            fn = _fused_parted_aggregate(
+                cache.mesh, k_pad, metric, agg, aggregate.max_groups,
+                use_value_col, use_dist, int_values,
+            )
+            packed = np.asarray(
+                fn(
+                    corpus.data, queries, aux_mul, aux_add,
+                    jnp.int32(num_queries), jnp.int32(k),
+                    left_col.data.astype(jnp.int32),
+                    pk, pi, bounds, jnp.int32(attr_rows),
+                    p_group, p_value,
+                )
+            )
+            return _merge_parted_tables(
+                packed, int(cache.mesh.devices.size), aggregate.max_groups,
+                agg, int_values,
+            )
         if sharded:
             fn = _fused_sharded_aggregate(
                 cache.mesh, k_pad, metric, agg, aggregate.max_groups,
@@ -568,7 +891,16 @@ def _execute_fused(
         )
 
     # enrichment: one packed fetch of (dist, ids, attr row index)
-    if sharded:
+    if parted:
+        fn = _fused_parted_lookup(cache.mesh, k_pad, metric)
+        packed = np.asarray(
+            fn(
+                corpus.data, queries, aux_mul, aux_add,
+                left_col.data.astype(jnp.int32),
+                pk, pi, bounds, jnp.int32(attr_rows),
+            )
+        )
+    elif sharded:
         fn = _fused_sharded_lookup(cache.mesh, k_pad, metric)
         packed = np.asarray(
             fn(

@@ -809,6 +809,95 @@ class DeviceCache:
 
         return self._memo(self._device, (key, column, "sorted_key"), stamp, build)
 
+    def parted_key(self, source: str | Sequence[str], column: str):
+        """PARTITIONED build side of a lookup join, for attribute tables
+        too large to replicate on every shard (the star-schema limit):
+        the key column sorts GLOBALLY on the host, then splits into
+        contiguous sorted ranges over the serving mesh — shard ``s``
+        holds sorted positions ``[s·Ap/S, (s+1)·Ap/S)``. A probe key can
+        therefore bsearch each shard LOCALLY, and its first global match
+        lives on exactly one shard: the first shard whose range contains
+        the key (claimed via ``key > boundaries[s]``, the previous
+        shard's last key — every key on earlier shards is ≤ it).
+
+        Returns ``(sorted_keys [Ap row-sharded], sorted_index [Ap
+        row-sharded int32 original rows], boundaries [S row-sharded],
+        rows, perm [Ap] host np)`` — ``perm`` lets
+        :meth:`parted_scalar` lay value columns out in the same order."""
+        import jax
+
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            data = self.host_table(source)
+            host = ingest.scalar_column_to_numpy(data.column(column))
+            if host.dtype == np.int64 and host.size:
+                if host.max(initial=0) > np.iinfo(np.int32).max or host.min(
+                    initial=0
+                ) < np.iinfo(np.int32).min:
+                    raise ValueError(
+                        f"column {column!r} has int64 values outside the "
+                        "device int32 range; re-key the table below 2^31"
+                    )
+            host = host.astype(np.int32)
+            rows = host.shape[0]
+            n_shards = int(self.mesh.devices.size)
+            a_pad = max(ingest.round_up(rows, self._shard_block), self._shard_block)
+            keys = np.full(a_pad, np.iinfo(np.int32).max, np.int32)
+            keys[:rows] = host
+            perm = np.argsort(keys, kind="stable").astype(np.int32)
+            sk = keys[perm]
+            per = a_pad // n_shards
+            bounds = np.full(n_shards, np.iinfo(np.int32).min, np.int32)
+            if n_shards > 1:
+                bounds[1:] = sk[np.arange(1, n_shards) * per - 1]
+            sharding = self._row_sharding(1)
+            return (
+                jax.device_put(sk, sharding),
+                jax.device_put(perm, sharding),
+                jax.device_put(bounds, sharding),
+                rows,
+                perm,
+            )
+
+        return self._memo(self._device, (key, column, "parted_key"), stamp, build)
+
+    def parted_scalar(
+        self, source: str | Sequence[str], column: str, key_column: str
+    ):
+        """Scalar column permuted into :meth:`parted_key`'s sorted-key
+        order and row-sharded alongside it — a local join hit's sorted
+        position gathers its group/value locally, no replication."""
+        import jax
+
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            _, _, _, rows, perm = self.parted_key(source, key_column)
+            data = self.host_table(source)
+            host = ingest.scalar_column_to_numpy(data.column(column))
+            if host.dtype == np.int64 and host.size:
+                if host.max(initial=0) > np.iinfo(np.int32).max or host.min(
+                    initial=0
+                ) < np.iinfo(np.int32).min:
+                    raise ValueError(
+                        f"column {column!r} has int64 values outside the "
+                        "device int32 range; re-key the table below 2^31"
+                    )
+                host = host.astype(np.int32)
+            safe = np.where(perm < rows, perm, 0)
+            permuted = np.where(perm < rows, host[safe], 0).astype(host.dtype)
+            # jnp canonicalizes 64-bit host dtypes to the device's 32-bit
+            import jax.numpy as jnp
+
+            return jax.device_put(jnp.asarray(permuted), self._row_sharding(1))
+
+        return self._memo(
+            self._device, (key, column, "parted_scalar", key_column), stamp, build
+        )
+
     def clustered_meta(self, coding: str, source: str | Sequence[str], column: str):
         """Host side of the IVF-clustered layout: ``(perm, offsets)``.
 

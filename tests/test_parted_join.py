@@ -1,0 +1,177 @@
+"""Partitioned-attribute joins: the dimension side sharded over the
+mesh (sorted contiguous key ranges, session.parted_key) must return
+the same answers as the replicated star-schema path — for every
+aggregate, with duplicate keys straddling shard boundaries, and for
+enrichment. Closes the "distributed analytics assume star schemas"
+limit (docs/DESIGN.md Known limits)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fenix_tpu.engine import analytics, executor, session
+from fenix_tpu.io import ingest, table
+from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+ROWS, DIM, ATTRS = 2_000, 16, 5_000
+BLOCK = 128  # shard_block = 1024 on the 8-device mesh → attrs span 5 shards
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    root = str(tmp_path_factory.mktemp("parted_root"))
+    vecs = rng.standard_normal((ROWS, DIM)).astype(np.float32)
+    table.make(
+        root,
+        "vec",
+        pa.table(
+            {
+                "id": pa.array(np.arange(ROWS)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    # duplicate keys everywhere (5000 rows over 1500 distinct values) so
+    # runs straddle the 1024-row shard ranges; first-match semantics must
+    # still pick the globally smallest attr row per key
+    keys = rng.integers(0, 1500, ATTRS)
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(keys.astype(np.int64)),
+                "grp": pa.array((keys % 11).astype(np.int64)),
+                "weight": pa.array(
+                    rng.standard_normal(ATTRS).astype(np.float64) * 10.0
+                ),
+                # big enough that f32 sums would round (> 2^24), each
+                # value inside int32
+                "wint": pa.array((5_000_000 + keys).astype(np.int64)),
+            }
+        ).to_reader(),
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def cache(root):
+    return session.DeviceCache(root, block=BLOCK)
+
+
+def request(k=200):
+    rng = np.random.default_rng(7)
+    return executor.SearchRequest(
+        source="vec",
+        column="vector",
+        target=rng.standard_normal(DIM).astype(np.float32),
+        metric="l2",
+        maxval=k,
+    )
+
+
+def _run(cache, partitioned, aggregate=None, **join_kw):
+    join = analytics.JoinSpec(
+        source="attrs", right_on="key", partitioned=partitioned, **join_kw
+    )
+    return analytics.execute_search_join(cache, request(), join, aggregate)
+
+
+def _as_dict(t: pa.Table) -> dict:
+    return dict(
+        zip(
+            np.asarray(t.column(analytics.GROUP_COL)).tolist(),
+            np.asarray(t.column(analytics.AGG_COL)).tolist(),
+        )
+    )
+
+
+@pytest.mark.parametrize("agg", ["count", "sum", "mean", "min", "max"])
+def test_aggregate_matches_replicated_float(cache, agg):
+    spec = analytics.AggregateSpec(group_by="grp", value="weight", agg=agg)
+    rep = _as_dict(_run(cache, False, spec))
+    part = _as_dict(_run(cache, True, spec))
+    assert set(rep) == set(part)
+    for k in rep:
+        assert part[k] == pytest.approx(rep[k], rel=1e-5, abs=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["count", "sum", "mean", "min", "max"])
+def test_aggregate_matches_replicated_int(cache, agg):
+    spec = analytics.AggregateSpec(group_by="grp", value="wint", agg=agg)
+    rep = _as_dict(_run(cache, False, spec))
+    part = _as_dict(_run(cache, True, spec))
+    assert set(rep) == set(part)
+    for k in rep:
+        if agg == "mean":
+            assert part[k] == pytest.approx(rep[k], rel=1e-12)
+        else:
+            assert part[k] == rep[k]  # exact int64
+
+
+def test_int_sum_is_exact_past_f32(cache):
+    """The merged partitioned int sum must match a float64 host oracle
+    exactly — limb lanes recombine across shards without rounding."""
+    spec = analytics.AggregateSpec(group_by="grp", value="wint", agg="sum")
+    part = _as_dict(_run(cache, True, spec))
+    assert any(v > (1 << 24) for v in part.values())
+    assert all(float(v).is_integer() for v in part.values())
+
+
+def test_count_and_dist_value(cache):
+    for spec in (
+        analytics.AggregateSpec(group_by="grp", agg="count"),
+        analytics.AggregateSpec(group_by="grp", value=executor.DIST_COL, agg="sum"),
+    ):
+        rep = _as_dict(_run(cache, False, spec))
+        part = _as_dict(_run(cache, True, spec))
+        assert set(rep) == set(part)
+        for k in rep:
+            assert part[k] == pytest.approx(rep[k], rel=1e-5, abs=1e-5)
+
+
+def test_enrichment_matches_replicated(cache):
+    rep = _run(cache, False)
+    part = _run(cache, True)
+    assert rep.column_names == part.column_names
+    for name in rep.column_names:
+        a, b = rep.column(name).to_pylist(), part.column(name).to_pylist()
+        assert a == b, name
+
+
+def test_first_match_semantics(cache, root):
+    """Duplicate keys: the joined weight must come from the globally
+    FIRST attr row of each key, even when the claiming shard boundary
+    splits the run."""
+    part = _run(cache, True)
+    attrs = table.load(root, "attrs")
+    keys = np.asarray(attrs.column("key"))
+    weights = np.asarray(attrs.column("weight"))
+    first = {}
+    for i, k in enumerate(keys.tolist()):
+        first.setdefault(k, weights[i])
+    ids = np.asarray(part.column("id"))
+    got = part.column("weight").to_pylist()
+    for i, w in zip(ids.tolist(), got):
+        want = first.get(i)
+        if want is None:
+            assert w is None
+        else:
+            assert w == want
+
+
+def test_route_counter_and_auto_threshold(cache, monkeypatch):
+    spec = analytics.AggregateSpec(group_by="grp", agg="count")
+    before = METRICS.snapshot().get("join.partitioned", 0)
+    _run(cache, True, spec)
+    assert METRICS.snapshot().get("join.partitioned", 0) == before + 1
+
+    # auto routing: threshold below the table size engages partitioning
+    monkeypatch.setenv("FENIX_PART_ATTRS_MIN", "1")
+    _run(cache, None, spec)
+    assert METRICS.snapshot().get("join.partitioned", 0) == before + 2
+
+    monkeypatch.setenv("FENIX_PART_ATTRS_MIN", str(1 << 30))
+    _run(cache, None, spec)
+    assert METRICS.snapshot().get("join.partitioned", 0) == before + 2
