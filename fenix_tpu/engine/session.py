@@ -114,6 +114,28 @@ def _sharded_valid_fn(sharding):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _compact_fn(sharding):
+    """Device-side row compaction for delete-lineage refreshes: gather
+    the kept rows by a replicated ``[new_pad]`` int32 index and zero the
+    padding tail. With a sharding, the output re-places contiguously
+    across shards (the gather moves rows over the interconnect). No
+    donation — in-flight searches may still hold the old array."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(old, idx, rows):
+        take = jnp.take(old, idx, axis=0)
+        valid = (jnp.arange(idx.shape[0], dtype=jnp.int32) < rows)[:, None]
+        out = jnp.where(valid, take, jnp.zeros((), old.dtype))
+        if sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, sharding)
+        return out
+
+    return f
+
+
 def _grow_update(old, delta, old_rows: int, new_pad: int):
     """On-device buffer extension (ONE module-level jit keyed by the
     quantized shapes; no donation — in-flight searches may still hold
@@ -146,6 +168,9 @@ class DeviceCache:
         # count of append-only refreshes served by the incremental
         # device-buffer extension (observability + tests)
         self.incremental_refreshes: int = 0
+        # count of delete/compaction refreshes served by the keep-mask
+        # lineage (device-side gather; no corpus re-stream)
+        self.lineage_refreshes: int = 0
         # pushdown observability: device-mask builds (cold evaluations;
         # cache hits transfer nothing) — tests assert zero per-query
         # host mask uploads through these
@@ -310,14 +335,23 @@ class DeviceCache:
                 return hit[1]
             if hit is not None and len(key) == 1:
                 grown = self._grow_matrix(key[0], column, hit[0][0], hit[1], stamp[0])
+                shrunk = None
+                if grown is None:
+                    shrunk = self._shrink_matrix(
+                        key[0], column, hit[0][0], hit[1], stamp[0], sharded=False
+                    )
+                refreshed = grown if grown is not None else shrunk
                 # revalidate: a compaction between the stamp read and
                 # the part loads can fold AND REUSE part names (ids
                 # reset) — the grown buffer would then hold wrong rows
                 # under a stale stamp; rebuild instead
-                if grown is not None and self._mtimes(key) == stamp:
-                    self._device[ckey] = (stamp, grown)
-                    self.incremental_refreshes += 1
-                    return grown
+                if refreshed is not None and self._mtimes(key) == stamp:
+                    self._device[ckey] = (stamp, refreshed)
+                    if grown is not None:
+                        self.incremental_refreshes += 1
+                    else:
+                        self.lineage_refreshes += 1
+                    return refreshed
 
             # Full build with label↔content BINDING: the stamp stored
             # with the entry must describe the revision the rows came
@@ -386,6 +420,51 @@ class DeviceCache:
             data=_grow_update(old.data, jnp.asarray(delta), old.rows, new_pad),
             rows=new_rows,
         )
+
+    def _shrink_matrix(
+        self,
+        source: str,
+        column: str,
+        old_stamp,
+        old: ingest.DeviceColumn,
+        new_stamp,
+        *,
+        sharded: bool,
+    ) -> "ingest.DeviceColumn | None":
+        """Refresh a cached device matrix across a DELETE or COMPACTION
+        revision via the recorded keep-mask lineage
+        (fenix_tpu.io.table.record_lineage): kept rows gather ON DEVICE —
+        only the kept-row int32 index crosses the host link (4 B/row vs
+        4·D B/row for a re-stream), and identity hops (compactions)
+        reuse the buffer outright. Composes with the append grow when
+        parts sit on top of the hop (upsert = delete + append). None →
+        not this hop (caller rebuilds from the host)."""
+        lin = table.lineage(self.root, source)
+        if lin is None:
+            return None
+        lin_old, lin_new, keep = lin
+        if lin_old != old_stamp or keep.shape[0] != old.rows:
+            return None
+
+        import jax.numpy as jnp
+
+        if bool(keep.all()):
+            col = old  # compaction: same rows, new base
+        else:
+            block = self._shard_block if sharded else self.block
+            idx = np.nonzero(keep)[0].astype(np.int32)
+            new_rows = int(idx.size)
+            new_pad = max(ingest.round_up(new_rows, block), block)
+            idx_full = np.zeros(new_pad, np.int32)
+            idx_full[:new_rows] = idx
+            fn = _compact_fn(self._row_sharding(2) if sharded else None)
+            data = fn(old.data, jnp.asarray(idx_full), jnp.int32(new_rows))
+            col = ingest.DeviceColumn(data=data, rows=new_rows)
+        if new_stamp == lin_new:
+            return col
+        # parts on top of the hop: grow the shrunk buffer by the delta
+        grower = self._grow_sharded_matrix if sharded else self._grow_matrix
+        return grower(source, column, lin_new, col, new_stamp)
 
     def coded_ids(
         self,
@@ -556,12 +635,21 @@ class DeviceCache:
                 grown = self._grow_sharded_matrix(
                     key[0], column, hit[0][0], hit[1], stamp[0]
                 )
+                shrunk = None
+                if grown is None:
+                    shrunk = self._shrink_matrix(
+                        key[0], column, hit[0][0], hit[1], stamp[0], sharded=True
+                    )
+                refreshed = grown if grown is not None else shrunk
                 # revalidate like _grow_matrix: a compaction in the gap
                 # can fold and REUSE part names — rebuild instead
-                if grown is not None and self._mtimes(key) == stamp:
-                    self._device[ckey] = (stamp, grown)
-                    self.incremental_refreshes += 1
-                    return grown
+                if refreshed is not None and self._mtimes(key) == stamp:
+                    self._device[ckey] = (stamp, refreshed)
+                    if grown is not None:
+                        self.incremental_refreshes += 1
+                    else:
+                        self.lineage_refreshes += 1
+                    return refreshed
 
             from fenix_tpu.io.locks import read_stable
 

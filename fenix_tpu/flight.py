@@ -324,6 +324,9 @@ class Server(fl.FlightServerBase):
                 snap["cache.incremental_refreshes"] = float(
                     self.cache.incremental_refreshes
                 )
+                snap["cache.lineage_refreshes"] = float(
+                    self.cache.lineage_refreshes
+                )
                 return iter([fl.Result(_dumps(snap))])
 
             case "health":

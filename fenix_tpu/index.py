@@ -223,10 +223,16 @@ def delete_rows(root: str, source: str, filter: expr_mod.Expr) -> int:
                     "re-run sync_index before deleting"
                 )
 
+        old_stamp = table.stamp(root, source)
         table.rewrite(root, source, data.filter(keep).to_reader())
         for name, column in indexes:
             idx_path = path_of(root, name, source, column)
             arrow.make(idx_path, arrow.load(idx_path).filter(keep).to_reader())
+        # keep-mask lineage: device caches at the old revision compact
+        # their HBM buffers in place instead of re-streaming the corpus
+        table.record_lineage(
+            root, source, old_stamp, table.stamp(root, source), ~delete
+        )
         return int(delete.sum())
 
 

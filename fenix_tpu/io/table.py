@@ -31,6 +31,7 @@ import json
 import os
 from typing import Iterator, Literal, Sequence
 
+import numpy as np
 import pyarrow as pa
 
 from fenix_tpu.io import arrow
@@ -142,6 +143,55 @@ def append_delta(old_stamp: tuple, new_stamp: tuple) -> "list[str] | None":
     return [name for name, _ in new_parts[len(old_parts):]]
 
 
+def _lineage_path(root: str, name: str) -> str:
+    return path_of(root, name) + ".lineage"
+
+
+def record_lineage(
+    root: str, name: str, old_stamp: tuple, new_stamp: tuple, keep
+) -> None:
+    """One-hop revision lineage: "``new_stamp`` holds exactly
+    ``old_stamp``'s rows where ``keep`` is True, in order". Written by
+    deletes (the keep-mask) and compactions (all-True: same rows, new
+    base), so device caches holding the old revision COMPACT IN PLACE —
+    a gather index (4 B/kept row, device-side) instead of re-streaming
+    the corpus over the host link. Only the latest hop is kept; caches
+    more than one revision behind fall back to a full rebuild."""
+    path = _lineage_path(root, name)
+    tmp = path + ".tmp"
+    keep_arr = np.asarray(keep, dtype=bool)
+    with open(tmp, "wb") as fh:
+        np.savez(
+            fh,
+            old=np.array(json.dumps(old_stamp)),
+            new=np.array(json.dumps(new_stamp)),
+            keep=np.packbits(keep_arr),
+            rows=np.int64(keep_arr.shape[0]),
+        )
+    os.replace(tmp, path)
+
+
+def _stamp_from_json(s: str) -> tuple:
+    base, parts = json.loads(s)
+    return (tuple(base), tuple((n, m) for n, m in parts))
+
+
+def lineage(root: str, name: str):
+    """The latest recorded hop as ``(old_stamp, new_stamp, keep)`` or
+    None (absent / unreadable / partially written — all mean "rebuild
+    from the host", never an error)."""
+    path = _lineage_path(root, name)
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            old = _stamp_from_json(str(z["old"].item()))
+            new = _stamp_from_json(str(z["new"].item()))
+            rows = int(z["rows"])
+            keep = np.unpackbits(z["keep"])[:rows].astype(bool)
+        return old, new, keep
+    except (FileNotFoundError, OSError, KeyError, ValueError):
+        return None
+
+
 def load_parts(root: str, name: str, part_names: Sequence[str]) -> pa.Table:
     """Load specific delta parts (by file name, append order)."""
     parts_dir = _parts_dir(root, name)
@@ -247,6 +297,9 @@ def _clear_leftovers(root: str, name: str) -> None:
     marker = _marker_path(root, name)
     if os.path.exists(marker):
         os.unlink(marker)
+    lin = _lineage_path(root, name)
+    if os.path.exists(lin):
+        os.unlink(lin)
 
 
 def _publish_marker(root: str, name: str, parts: list[str]) -> None:
@@ -318,6 +371,7 @@ def compact(root: str, name: str) -> pa.Table:
         parts = _live_parts(root, name)
         if not parts:
             return arrow.load(path_of(root, name))
+        old_stamp = stamp(root, name)
         combined = pa.concat_tables(
             [arrow.load(path_of(root, name)), *[arrow.load(p) for p in parts]]
         )
@@ -326,6 +380,12 @@ def compact(root: str, name: str) -> pa.Table:
         for p in parts:
             os.unlink(p)
         os.unlink(_marker_path(root, name))
+        # identity lineage: same rows, new base — device caches keep
+        # their buffers verbatim instead of re-streaming the corpus
+        record_lineage(
+            root, name, old_stamp, stamp(root, name),
+            np.ones(combined.num_rows, bool),
+        )
         return out
 
 

@@ -62,7 +62,8 @@ def test_append_refreshes_incrementally(tmp_path, rng):
     q = rng.standard_normal(DIM).astype(np.float32)
     assert _search(cache, q, maxval=10) == _search(cold, q, maxval=10)
 
-    # a delete is NOT append-only: full rebuild, counter unchanged
+    # a delete is not append-only: it refreshes via the keep-mask
+    # LINEAGE (device-side compaction), not the grow path
     from fenix_tpu import index as index_mod
 
     deleted = index_mod.delete_rows(root, "t", expr.field("id") >= 1400)
@@ -71,6 +72,7 @@ def test_append_refreshes_incrementally(tmp_path, rng):
     assert out.num_rows == 1000
     assert (np.asarray(out.column("id")) < 1400).all()
     assert cache.incremental_refreshes == 2
+    assert cache.lineage_refreshes == 1
 
 
 def test_incremental_refresh_under_mesh(tmp_path, rng, monkeypatch):
@@ -124,7 +126,8 @@ def test_incremental_refresh_under_mesh(tmp_path, rng, monkeypatch):
     assert meshed.incremental_refreshes == 2
     assert full_builds, "compacted revision must fall back to a full rebuild"
 
-    # a delete is NOT append-only either: full rebuild, counter unchanged
+    # a delete refreshes via the keep-mask lineage: the kept rows gather
+    # ON DEVICE (re-placed across shards) — no host re-stream
     from fenix_tpu import index as index_mod
 
     full_builds.clear()
@@ -132,7 +135,8 @@ def test_incremental_refresh_under_mesh(tmp_path, rng, monkeypatch):
     out = _search(meshed, big[11], maxval=1)
     assert int(np.asarray(out.column("id"))[0]) == 839
     assert meshed.incremental_refreshes == 2
-    assert full_builds, "delete must fall back to a full rebuild"
+    assert meshed.lineage_refreshes == 1
+    assert not full_builds, "delete must compact on device, not re-ingest"
 
 
 def test_concurrent_appends_and_searches(tmp_path, rng):
