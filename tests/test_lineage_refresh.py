@@ -112,6 +112,46 @@ def test_upsert_composes_shrink_and_grow(tmp_path, rng, monkeypatch):
     assert _search(cache, q, maxval=20) == _search(cold, q, maxval=20)
 
 
+def test_corrupt_lineage_falls_back(tmp_path, rng, monkeypatch):
+    """A truncated/garbage lineage file must read as None (full rebuild),
+    never as an error or a wrong refresh."""
+    root = str(tmp_path)
+    vecs = rng.standard_normal((400, DIM)).astype(np.float32)
+    table.make(root, "t", _tbl(np.arange(400), vecs).to_reader())
+    cache = session.DeviceCache(root, block=128, mesh=None)
+    _search(cache, vecs[0])  # warm
+
+    assert index.delete_rows(root, "t", expr.field("id") >= 300) == 100
+    lin_path = table._lineage_path(root, "t")
+    with open(lin_path, "wb") as fh:
+        fh.write(b"\x00garbage")
+    assert table.lineage(root, "t") is None
+
+    builds = _no_full_builds(monkeypatch)
+    out = _search(cache, vecs[4], maxval=400)
+    assert out.num_rows == 300
+    assert cache.lineage_refreshes == 0
+    assert builds, "corrupt lineage must force a full rebuild"
+
+    cold = session.DeviceCache(root, block=128, mesh=None)
+    q = rng.standard_normal(DIM).astype(np.float32)
+    assert _search(cache, q, maxval=20) == _search(cold, q, maxval=20)
+
+
+def test_lineage_cleared_on_drop_and_recreate(tmp_path, rng):
+    """drop() removes the lineage file; a recreated same-name table must
+    not inherit a stale hop."""
+    root = str(tmp_path)
+    vecs = rng.standard_normal((300, DIM)).astype(np.float32)
+    table.make(root, "t", _tbl(np.arange(300), vecs).to_reader())
+    assert index.delete_rows(root, "t", expr.field("id") >= 200) == 100
+    import os
+
+    assert os.path.exists(table._lineage_path(root, "t"))
+    table.drop(root, "t")
+    assert not os.path.exists(table._lineage_path(root, "t"))
+
+
 def test_two_hops_behind_falls_back(tmp_path, rng, monkeypatch):
     """Only the latest hop is recorded: a cache two delete revisions
     behind cannot prove its rows and must rebuild from the host."""
