@@ -247,11 +247,8 @@ def _pack_groups_parted(groups, values, hit, agg: str, max_groups: int, int_valu
         )
         body = lanes.reshape(-1)
     elif agg == "mean":
-        gk, s, n = relational.group_aggregate(
-            groups, values, max_groups=max_groups, agg="sum", mask=hit
-        )
-        _, c, _ = relational.group_aggregate(
-            groups, values, max_groups=max_groups, agg="count", mask=hit
+        gk, s, c, n = relational.group_sum_count(
+            groups, values, max_groups=max_groups, mask=hit
         )
         body = jnp.concatenate(
             [
@@ -273,19 +270,32 @@ def _parted_lanes(agg: str, int_values: bool) -> int:
     return 2 if agg == "mean" else 1
 
 
-def _local_join_claim(left_keys, valid, pk_l, pi_l, bound_l, attr_rows):
+def _local_join_claim(left_keys, valid, pk_l, pi_l, bound_l, attr_rows, is_first):
     """Local bsearch of replicated probe keys against this shard's
     contiguous globally-sorted key range. A key's FIRST global match is
     local iff the key exceeds the previous shard's last key (every key
     on earlier shards is ≤ that boundary) — exactly one shard claims
-    each hit, duplicates included. Returns (hit, local sorted pos)."""
+    each hit, duplicates included. The first shard has no predecessor,
+    so it claims on the bare local match (``is_first``) — an int32
+    sentinel boundary cannot be strictly below INT32_MIN, which is a
+    legal key. Returns (hit, local sorted pos)."""
     nloc = pk_l.shape[0]
     pos = jnp.searchsorted(pk_l, left_keys, side="left")
     pos = jnp.clip(pos, 0, nloc - 1)
     hit = (pk_l[pos] == left_keys) & valid
-    hit = hit & (left_keys > bound_l[0])
+    hit = hit & (is_first | (left_keys > bound_l[0]))
     hit = hit & (pi_l[pos] < attr_rows)
     return hit, pos
+
+
+def _is_first_shard():
+    """True on the first shard of the flattened (data, model) order —
+    matching the host-side flat shard indexing of parted boundaries."""
+    from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    return (jax.lax.axis_index(DATA_AXIS) == 0) & (
+        jax.lax.axis_index(MODEL_AXIS) == 0
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -337,7 +347,9 @@ def _fused_parted_aggregate(
             flat_gids, queries.shape[0], k_pad, num_queries, k_limit
         )
         left_keys = psearch.gather_rowsharded(left_col_l, flat_gids, valid)
-        hit, pos = _local_join_claim(left_keys, valid, pk_l, pi_l, bound_l, attr_rows)
+        hit, pos = _local_join_claim(
+            left_keys, valid, pk_l, pi_l, bound_l, attr_rows, _is_first_shard()
+        )
         safe = jnp.where(hit, pos, 0)
         groups = jnp.take(group_l, safe).astype(jnp.int32)
         if use_value_col:
@@ -391,7 +403,9 @@ def _fused_parted_lookup(mesh, k_pad: int, metric: str):
         flat_gids = gids.reshape(-1)
         valid = flat_gids >= 0
         left_keys = psearch.gather_rowsharded(left_col_l, flat_gids, valid)
-        hit, pos = _local_join_claim(left_keys, valid, pk_l, pi_l, bound_l, attr_rows)
+        hit, pos = _local_join_claim(
+            left_keys, valid, pk_l, pi_l, bound_l, attr_rows, _is_first_shard()
+        )
         claim = jnp.where(hit, pi_l[pos], -1)
         ridx = jax.lax.pmax(claim, axes).reshape(q_pad, -1)
         return jnp.stack(
@@ -410,71 +424,70 @@ def _merge_parted_tables(
     g = max_groups
     lanes = _parted_lanes(agg, int_values)
     block = g + g * lanes + 1
-    acc: dict[int, object] = {}
+
+    all_keys, all_lanes = [], []
     for s in range(n_shards):
         blk = packed[s * block : (s + 1) * block]
         gk, body, n = blk[:g], blk[g : g + g * lanes], int(blk[g + g * lanes])
+        # n is the TRUE distinct-group count — it can exceed the g-slot
+        # table; fail actionably like the replicated path, never index
+        # past the table
+        if n > g:
+            raise ValueError(
+                f"aggregate produced {n} distinct groups but "
+                f"max_groups={g}; raise aggregate.max_groups"
+            )
+        all_keys.append(gk[:n])
         if int_values:
-            vals = body.reshape(g, lanes)
-            for i in range(n):
-                k_ = int(gk[i])
-                if agg in ("sum", "mean"):
-                    row = vals[i].astype(np.int64)
-                    prev = acc.get(k_)
-                    acc[k_] = row if prev is None else prev + row
-                elif agg in ("count",):
-                    acc[k_] = int(acc.get(k_, 0)) + int(vals[i, 0])
-                elif agg == "min":
-                    v = int(vals[i, 0])
-                    acc[k_] = v if k_ not in acc else min(int(acc[k_]), v)
-                else:
-                    v = int(vals[i, 0])
-                    acc[k_] = v if k_ not in acc else max(int(acc[k_]), v)
+            all_lanes.append(body.reshape(g, lanes)[:n].astype(np.int64))
         elif agg == "mean":
-            sums = body[:g].view(np.float32)
-            cnts = body[g:].view(np.float32)
-            for i in range(n):
-                k_ = int(gk[i])
-                s0, c0 = acc.get(k_, (0.0, 0.0))
-                acc[k_] = (s0 + float(sums[i]), c0 + float(cnts[i]))
+            all_lanes.append(
+                np.stack(
+                    [body[:g].view(np.float32)[:n], body[g:].view(np.float32)[:n]],
+                    axis=1,
+                ).astype(np.float64)
+            )
         else:
-            v_ = body.view(np.float32)
-            for i in range(n):
-                k_ = int(gk[i])
-                x = float(v_[i])
-                if k_ not in acc:
-                    acc[k_] = x
-                elif agg in ("sum", "count"):
-                    acc[k_] = float(acc[k_]) + x
-                elif agg == "min":
-                    acc[k_] = min(float(acc[k_]), x)
-                else:
-                    acc[k_] = max(float(acc[k_]), x)
-    if len(acc) > g:
+            all_lanes.append(body.view(np.float32)[:n].astype(np.float64)[:, None])
+
+    keys_cat = np.concatenate(all_keys) if all_keys else np.empty(0, np.int64)
+    lanes_cat = (
+        np.concatenate(all_lanes)
+        if all_lanes
+        else np.empty((0, lanes), np.float64)
+    )
+    uniq, inv = np.unique(keys_cat, return_inverse=True)
+    if uniq.size > g:
         raise ValueError(
-            f"aggregate produced {len(acc)} distinct groups but "
+            f"aggregate produced {uniq.size} distinct groups but "
             f"max_groups={g}; raise aggregate.max_groups"
         )
-    keys = sorted(acc)
-    if int_values and agg in ("sum", "mean"):
-        merged = np.stack(
-            [acc[k_] for k_ in keys] if keys else [np.zeros(lanes, np.int64)]
-        ).astype(np.int64)[: len(keys)]
-        # recombination is lane-linear, so summed lanes unpack exactly
-        vals_np = relational.unpack_int_aggregate(merged, agg)
-        out_vals = pa.array(np.asarray(vals_np))
-    elif int_values:
-        out_vals = pa.array(np.asarray([int(acc[k_]) for k_ in keys], np.int64))
-    elif agg == "mean":
-        out_vals = pa.array(
-            np.asarray(
-                [acc[k_][0] / max(acc[k_][1], 1.0) for k_ in keys], np.float64
-            )
-        )
+    additive = int_values and agg in ("sum", "mean", "count") or (
+        not int_values and agg in ("sum", "count", "mean")
+    )
+    merged = np.zeros((uniq.size, lanes_cat.shape[1]), lanes_cat.dtype)
+    if additive:
+        np.add.at(merged, inv, lanes_cat)
+    elif agg == "min":
+        merged[:] = lanes_cat.max() if lanes_cat.size else 0
+        np.minimum.at(merged, inv, lanes_cat)
     else:
-        out_vals = pa.array(np.asarray([float(acc[k_]) for k_ in keys], np.float64))
+        merged[:] = lanes_cat.min() if lanes_cat.size else 0
+        np.maximum.at(merged, inv, lanes_cat)
+
+    if int_values and agg in ("sum", "mean"):
+        # recombination is lane-linear, so summed lanes unpack exactly
+        out_vals = pa.array(
+            np.asarray(relational.unpack_int_aggregate(merged, agg))
+        )
+    elif int_values:
+        out_vals = pa.array(merged[:, 0].astype(np.int64))
+    elif agg == "mean":
+        out_vals = pa.array(merged[:, 0] / np.maximum(merged[:, 1], 1.0))
+    else:
+        out_vals = pa.array(merged[:, 0])
     return pa.table(
-        {GROUP_COL: pa.array(np.asarray(keys, np.int64)), AGG_COL: out_vals}
+        {GROUP_COL: pa.array(uniq.astype(np.int64)), AGG_COL: out_vals}
     )
 
 

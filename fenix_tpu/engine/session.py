@@ -33,6 +33,22 @@ def _source_key(source: str | Sequence[str]) -> tuple[str, ...]:
     return (source,) if isinstance(source, str) else tuple(source)
 
 
+def _require_int32(host: np.ndarray, column: str) -> np.ndarray:
+    """int64 host columns must fit the device's int32 lanes (jax x64 is
+    off). Guard loudly instead of silently wrapping (aliased join keys /
+    group ids); non-int64 columns pass through untouched."""
+    if host.dtype == np.int64 and host.size:
+        if host.max(initial=0) > np.iinfo(np.int32).max or host.min(
+            initial=0
+        ) < np.iinfo(np.int32).min:
+            raise ValueError(
+                f"column {column!r} has int64 values outside the "
+                "device int32 range; re-key the table below 2^31"
+            )
+        return host.astype(np.int32)
+    return host
+
+
 def _grow_jit(old, delta, start, new_pad: int):
     import jax
     import jax.numpy as jnp
@@ -507,18 +523,9 @@ class DeviceCache:
 
         def build() -> ingest.DeviceColumn:
             data = self.host_table(source)
-            host = ingest.scalar_column_to_numpy(data.column(column))
-            if host.dtype == np.int64 and host.size:
-                # jax x64 is off: device ints are int32. Guard instead of
-                # silently wrapping (aliased join keys / group ids).
-                if host.max(initial=0) > np.iinfo(np.int32).max or host.min(
-                    initial=0
-                ) < np.iinfo(np.int32).min:
-                    raise ValueError(
-                        f"column {column!r} has int64 values outside the "
-                        "device int32 range; re-key the table below 2^31"
-                    )
-                host = host.astype(np.int32)
+            host = _require_int32(
+                ingest.scalar_column_to_numpy(data.column(column)), column
+            )
             return ingest.to_device_vector(
                 host,
                 block=self._shard_block if sharded else self.block,
@@ -919,16 +926,9 @@ class DeviceCache:
 
         def build():
             data = self.host_table(source)
-            host = ingest.scalar_column_to_numpy(data.column(column))
-            if host.dtype == np.int64 and host.size:
-                if host.max(initial=0) > np.iinfo(np.int32).max or host.min(
-                    initial=0
-                ) < np.iinfo(np.int32).min:
-                    raise ValueError(
-                        f"column {column!r} has int64 values outside the "
-                        "device int32 range; re-key the table below 2^31"
-                    )
-            host = host.astype(np.int32)
+            host = _require_int32(
+                ingest.scalar_column_to_numpy(data.column(column)), column
+            ).astype(np.int32)
             rows = host.shape[0]
             n_shards = int(self.mesh.devices.size)
             a_pad = max(ingest.round_up(rows, self._shard_block), self._shard_block)
@@ -965,16 +965,9 @@ class DeviceCache:
         def build():
             _, _, _, rows, perm = self.parted_key(source, key_column)
             data = self.host_table(source)
-            host = ingest.scalar_column_to_numpy(data.column(column))
-            if host.dtype == np.int64 and host.size:
-                if host.max(initial=0) > np.iinfo(np.int32).max or host.min(
-                    initial=0
-                ) < np.iinfo(np.int32).min:
-                    raise ValueError(
-                        f"column {column!r} has int64 values outside the "
-                        "device int32 range; re-key the table below 2^31"
-                    )
-                host = host.astype(np.int32)
+            host = _require_int32(
+                ingest.scalar_column_to_numpy(data.column(column)), column
+            )
             safe = np.where(perm < rows, perm, 0)
             permuted = np.where(perm < rows, host[safe], 0).astype(host.dtype)
             # jnp canonicalizes 64-bit host dtypes to the device's 32-bit

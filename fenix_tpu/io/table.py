@@ -180,6 +180,8 @@ def lineage(root: str, name: str):
     """The latest recorded hop as ``(old_stamp, new_stamp, keep)`` or
     None (absent / unreadable / partially written — all mean "rebuild
     from the host", never an error)."""
+    import zipfile
+
     path = _lineage_path(root, name)
     try:
         with np.load(path, allow_pickle=False) as z:
@@ -188,7 +190,14 @@ def lineage(root: str, name: str):
             rows = int(z["rows"])
             keep = np.unpackbits(z["keep"])[:rows].astype(bool)
         return old, new, keep
-    except (FileNotFoundError, OSError, KeyError, ValueError):
+    except (
+        FileNotFoundError,
+        OSError,
+        KeyError,
+        ValueError,
+        EOFError,  # zero-length file (torn write before the data block)
+        zipfile.BadZipFile,  # truncated npz
+    ):
         return None
 
 

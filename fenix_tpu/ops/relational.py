@@ -267,6 +267,28 @@ def group_aggregate(
     return group_keys, out, n_groups
 
 
+@functools.partial(jax.jit, static_argnames=("max_groups",))
+def group_sum_count(
+    keys: jax.Array,
+    values: jax.Array,
+    max_groups: int,
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(group_keys, sums, counts, n) in ONE sort pass — the
+    cross-shard-combinable partial for a distributed mean (sum and
+    count ship separately; the division happens after the merge).
+    Two :func:`group_aggregate` calls would redo the device sort."""
+    sk, sv, gid, new_group = _group_prep(keys, values, mask)
+    s = jax.ops.segment_sum(sv.astype(jnp.float32), gid, num_segments=max_groups)
+    c = jax.ops.segment_sum(
+        jnp.ones_like(sv, dtype=jnp.float32), gid, num_segments=max_groups
+    )
+    group_keys, n_groups, valid = _group_keys_count(
+        sk, gid, new_group, max_groups, mask is not None
+    )
+    return group_keys, jnp.where(valid, s, 0), jnp.where(valid, c, 0), n_groups
+
+
 # Exact integer aggregation: TPU vector lanes are 32-bit (no native
 # int64/float64), so exact int64 sums come from LIMB DECOMPOSITION —
 # the uint32 reinterpretation of each value splits into 6-bit limbs,

@@ -126,6 +126,12 @@ def test_corrupt_lineage_falls_back(tmp_path, rng, monkeypatch):
     with open(lin_path, "wb") as fh:
         fh.write(b"\x00garbage")
     assert table.lineage(root, "t") is None
+    with open(lin_path, "wb"):
+        pass  # zero-length (torn write before the data block)
+    assert table.lineage(root, "t") is None
+    with open(lin_path, "wb") as fh:
+        fh.write(b"PK\x03\x04" + b"\x00" * 8)  # truncated zip header
+    assert table.lineage(root, "t") is None
 
     builds = _no_full_builds(monkeypatch)
     out = _search(cache, vecs[4], maxval=400)

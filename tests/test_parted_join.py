@@ -13,6 +13,8 @@ from fenix_tpu.engine import analytics, executor, session
 from fenix_tpu.io import ingest, table
 from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
+# grp has 11 distinct values — the overflow test relies on 11 > 4
+
 ROWS, DIM, ATTRS = 2_000, 16, 5_000
 BLOCK = 128  # shard_block = 1024 on the 8-device mesh → attrs span 5 shards
 
@@ -159,6 +161,73 @@ def test_first_match_semantics(cache, root):
             assert w is None
         else:
             assert w == want
+
+
+def test_int32_min_key_claimed(tmp_path_factory):
+    """INT32_MIN is a legal key (the range guard admits ≥ −2^31); the
+    first shard must claim it on the bare local match — a strict
+    'key > previous boundary' test can never be true against an int32
+    sentinel."""
+    rng = np.random.default_rng(5)
+    root = str(tmp_path_factory.mktemp("minkey_root"))
+    lo = np.iinfo(np.int32).min
+    n = 256
+    jkeys = np.arange(n).astype(np.int64)
+    jkeys[7] = lo  # the row a nearby query will win
+    table.make(
+        root,
+        "vec",
+        pa.table(
+            {
+                "id": pa.array(np.arange(n)),
+                "jkey": pa.array(jkeys),
+                "vector": ingest.numpy_to_fixed_size_list(
+                    rng.standard_normal((n, DIM)).astype(np.float32), pa.float32()
+                ),
+            }
+        ).to_reader(),
+    )
+    akeys = np.concatenate([[lo], np.arange(0, 200)]).astype(np.int64)
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(akeys),
+                "grp": pa.array((np.abs(akeys) % 5).astype(np.int64)),
+                "weight": pa.array(np.arange(len(akeys)).astype(np.float64)),
+            }
+        ).to_reader(),
+    )
+    cache = session.DeviceCache(root, block=BLOCK)
+    req = executor.SearchRequest(
+        source="vec", column="vector",
+        target=np.asarray(
+            ingest.fixed_size_list_to_numpy(table.load(root, "vec").column("vector"))
+        )[7],
+        metric="l2", maxval=4,
+    )
+    for partitioned in (False, True):
+        out = analytics.execute_search_join(
+            cache, req,
+            analytics.JoinSpec(
+                source="attrs", right_on="key", left_on="jkey",
+                partitioned=partitioned,
+            ),
+        )
+        row = {i: w for i, w in zip(out.column("id").to_pylist(),
+                                    out.column("weight").to_pylist())}
+        assert row[7] == 0.0, f"partitioned={partitioned}: INT32_MIN key lost"
+
+
+def test_group_overflow_raises_actionably(cache):
+    """More distinct groups than max_groups must raise the same
+    actionable ValueError as the replicated path, not an IndexError."""
+    spec = analytics.AggregateSpec(group_by="grp", agg="count", max_groups=4)
+    with pytest.raises(ValueError, match="max_groups"):
+        _run(cache, True, spec)
+    with pytest.raises(ValueError, match="max_groups"):
+        _run(cache, False, spec)
 
 
 def test_route_counter_and_auto_threshold(cache, monkeypatch):
