@@ -415,6 +415,74 @@ def _fused_parted_lookup(mesh, k_pad: int, metric: str):
     return fused
 
 
+@functools.lru_cache(maxsize=None)
+def _parted_post_aggregate(
+    mesh, agg: str, max_groups: int, use_value_col: bool, int_values: bool
+):
+    """Join+aggregate AGAINST PARTITIONED ATTRS for result rows already
+    on the host (the two-step route: coded/bf16/int8 searches) — the
+    probe keys replicate, each shard claims its local range and ships a
+    partial table, like :func:`_fused_parted_aggregate` minus the
+    search."""
+    from jax.sharding import PartitionSpec as P
+
+    from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axes = (DATA_AXIS, MODEL_AXIS)
+    in_specs = (
+        P(), P(),       # left_keys, left_values (replicated)
+        P(axes), P(axes), P(axes),  # parted keys / index / boundaries
+        P(),            # attr_rows
+        P(axes), P(axes),  # group / value columns
+    )
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axes), check_vma=False
+    )
+    def fused(left_keys, left_values, pk_l, pi_l, bound_l, attr_rows, group_l, value_l):
+        valid = jnp.ones(left_keys.shape, bool)
+        hit, pos = _local_join_claim(
+            left_keys, valid, pk_l, pi_l, bound_l, attr_rows, _is_first_shard()
+        )
+        safe = jnp.where(hit, pos, 0)
+        groups = jnp.take(group_l, safe).astype(jnp.int32)
+        if use_value_col:
+            taken = jnp.take(value_l, safe)
+            values = taken.astype(jnp.int32) if int_values else taken.astype(jnp.float32)
+        else:
+            values = left_values
+        return _pack_groups_parted(groups, values, hit, agg, max_groups, int_values)
+
+    return fused
+
+
+@functools.lru_cache(maxsize=None)
+def _parted_post_lookup(mesh):
+    """Enrichment row-index resolution against partitioned attrs for
+    host-resident probe keys: one pmax combines the unique claims."""
+    from jax.sharding import PartitionSpec as P
+
+    from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axes = (DATA_AXIS, MODEL_AXIS)
+    in_specs = (P(), P(axes), P(axes), P(axes), P())
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+    )
+    def fused(left_keys, pk_l, pi_l, bound_l, attr_rows):
+        valid = jnp.ones(left_keys.shape, bool)
+        hit, pos = _local_join_claim(
+            left_keys, valid, pk_l, pi_l, bound_l, attr_rows, _is_first_shard()
+        )
+        claim = jnp.where(hit, pi_l[pos], -1)
+        return jax.lax.pmax(claim, axes)
+
+    return fused
+
+
 def _merge_parted_tables(
     packed: np.ndarray, n_shards: int, max_groups: int, agg: str, int_values: bool
 ) -> pa.Table:
@@ -1003,6 +1071,14 @@ def execute_search_join(
             f"join key {join.left_on!r} has values outside the device "
             "int32 range; re-key below 2^31"
         )
+
+    if _use_partitioned(cache, join):
+        # two-step route against PARTITIONED attrs: the result rows'
+        # keys replicate (they are host-resident already), each shard
+        # claims its sorted key range — same claim/merge machinery as
+        # the fused path, minus the search
+        return _execute_parted_post(cache, result, left_keys_np, join, aggregate)
+
     sorted_keys, sorted_index, attr_rows, group_col, value_col = (
         _attrs_device_entries(cache, join, aggregate)
     )
@@ -1050,6 +1126,62 @@ def execute_search_join(
     ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
     ridx_np = np.asarray(ridx)
     ridx_np = np.where(ridx_np < attr_rows, ridx_np, -1)
+    return _attach_join_columns(result, cache.host_table(join.source), ridx_np, join)
+
+
+def _execute_parted_post(
+    cache: DeviceCache,
+    result: pa.Table,
+    left_keys_np: np.ndarray,
+    join: JoinSpec,
+    aggregate: AggregateSpec | None,
+) -> pa.Table:
+    """Two-step lookup join / aggregate with the attribute side
+    partitioned over the mesh (coded/bf16/int8 searches reach here —
+    the fused fp32 path has its own kernels). Inner joins keep the
+    replicated route (bounded-expansion output is per-shard shapeless)."""
+    from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+    METRICS.add("join.partitioned")
+    pk, pi, bounds, attr_rows, p_group, p_value = _attrs_parted_entries(
+        cache, join, aggregate
+    )
+    left_keys = jnp.asarray(left_keys_np.astype(np.int32))
+
+    if aggregate is not None:
+        use_value_col = (
+            aggregate.value is not None and aggregate.value != executor.DIST_COL
+        )
+        int_values = _int_agg_mode(aggregate, p_value)
+        if use_value_col:
+            left_values = jnp.zeros((max(left_keys.shape[0], 1),), jnp.float32)
+            agg = aggregate.agg
+        elif aggregate.value == executor.DIST_COL:
+            left_values = jnp.asarray(
+                np.asarray(result.column(executor.DIST_COL), dtype=np.float32)
+            )
+            agg = aggregate.agg
+        else:  # count semantics
+            left_values = jnp.ones(
+                (max(left_keys.shape[0], 1),), jnp.int32 if int_values else jnp.float32
+            )
+            agg = "sum" if aggregate.agg == "count" else aggregate.agg
+        fn = _parted_post_aggregate(
+            cache.mesh, agg, aggregate.max_groups, use_value_col, int_values
+        )
+        packed = np.asarray(
+            fn(
+                left_keys, left_values, pk, pi, bounds,
+                jnp.int32(attr_rows), p_group, p_value,
+            )
+        )
+        return _merge_parted_tables(
+            packed, int(cache.mesh.devices.size), aggregate.max_groups,
+            agg, int_values,
+        )
+
+    fn = _parted_post_lookup(cache.mesh)
+    ridx_np = np.asarray(fn(left_keys, pk, pi, bounds, jnp.int32(attr_rows)))
     return _attach_join_columns(result, cache.host_table(join.source), ridx_np, join)
 
 

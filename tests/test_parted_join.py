@@ -230,6 +230,46 @@ def test_group_overflow_raises_actionably(cache):
         _run(cache, False, spec)
 
 
+def test_two_step_route_partitioned(cache):
+    """coded/bf16/int8 searches take the two-step join (search first,
+    then the join probe); the partitioned attrs must give the same
+    answers there too."""
+    rng = np.random.default_rng(11)
+    req = executor.SearchRequest(
+        source="vec", column="vector",
+        target=rng.standard_normal(DIM).astype(np.float32),
+        metric="l2", maxval=150, precision="int8",
+    )
+    for aggregate in (
+        None,
+        analytics.AggregateSpec(group_by="grp", agg="count"),
+        analytics.AggregateSpec(group_by="grp", value="weight", agg="sum"),
+        analytics.AggregateSpec(group_by="grp", value="wint", agg="sum"),
+        analytics.AggregateSpec(
+            group_by="grp", value=executor.DIST_COL, agg="mean"
+        ),
+    ):
+        rep = analytics.execute_search_join(
+            cache, req,
+            analytics.JoinSpec(source="attrs", right_on="key", partitioned=False),
+            aggregate,
+        )
+        part = analytics.execute_search_join(
+            cache, req,
+            analytics.JoinSpec(source="attrs", right_on="key", partitioned=True),
+            aggregate,
+        )
+        if aggregate is None:
+            assert rep.column_names == part.column_names
+            for name in rep.column_names:
+                assert rep.column(name).to_pylist() == part.column(name).to_pylist()
+        else:
+            dr, dp = _as_dict(rep), _as_dict(part)
+            assert set(dr) == set(dp)
+            for k in dr:
+                assert dp[k] == pytest.approx(dr[k], rel=1e-5, abs=1e-5)
+
+
 def test_route_counter_and_auto_threshold(cache, monkeypatch):
     spec = analytics.AggregateSpec(group_by="grp", agg="count")
     before = METRICS.snapshot().get("join.partitioned", 0)
