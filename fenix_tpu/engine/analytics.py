@@ -458,6 +458,91 @@ def _parted_post_aggregate(
 
 
 @functools.lru_cache(maxsize=None)
+def _parted_inner_pairs(mesh, max_matches: int):
+    """General inner-join expansion against PARTITIONED attrs: each
+    shard expands the probe keys' matches inside its local sorted
+    range (runs straddling a boundary contribute each shard's segment)
+    and emits up to ``max_matches`` (left row, attr row, global sorted
+    position) triples plus its true local total. The host concatenates,
+    bounds-checks, and orders by (left row, global sorted position) —
+    identical pair order to the replicated join_inner_sorted."""
+    from jax.sharding import PartitionSpec as P
+
+    from fenix_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axes = (DATA_AXIS, MODEL_AXIS)
+    model = mesh.shape[MODEL_AXIS]
+    in_specs = (P(), P(axes), P(axes), P())
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axes), check_vma=False
+    )
+    def fused(left_keys, pk_l, pi_l, attr_rows):
+        nloc = pk_l.shape[0]
+        flat = jax.lax.axis_index(DATA_AXIS) * model + jax.lax.axis_index(MODEL_AXIS)
+        lo = jnp.searchsorted(pk_l, left_keys, side="left")
+        hi = jnp.searchsorted(pk_l, left_keys, side="right")
+        counts = (hi - lo).astype(jnp.int32)
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)[:-1]]
+        )
+        total = counts.sum(dtype=jnp.int32)
+        out_iota = jnp.arange(max_matches, dtype=jnp.int32)
+        owner = jnp.searchsorted(starts + counts, out_iota, side="right").astype(
+            jnp.int32
+        )
+        owner = jnp.clip(owner, 0, left_keys.shape[0] - 1)
+        lpos = jnp.clip(lo[owner] + (out_iota - starts[owner]), 0, nloc - 1)
+        ri = pi_l[lpos]
+        valid = (out_iota < total) & (ri < attr_rows)
+        gpos = flat * nloc + lpos
+        return jnp.concatenate(
+            [
+                jnp.where(valid, owner, -1),
+                jnp.where(valid, ri, -1),
+                jnp.where(valid, gpos, 0),
+                total[None],
+            ]
+        )
+
+    return fused
+
+
+def _parted_inner_expand(
+    cache: DeviceCache, left_keys_np: np.ndarray, join: "JoinSpec"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(left idx, attr row idx, total) for the partitioned inner join,
+    in the replicated path's deterministic pair order."""
+    pk, pi, bounds, attr_rows, _, _ = _attrs_parted_entries(cache, join, None)
+    m = join.max_matches
+    fn = _parted_inner_pairs(cache.mesh, m)
+    packed = np.asarray(
+        fn(jnp.asarray(left_keys_np.astype(np.int32)), pk, pi, jnp.int32(attr_rows))
+    )
+    n_shards = int(cache.mesh.devices.size)
+    block = 3 * m + 1
+    li, ri, gpos, total = [], [], [], 0
+    for s in range(n_shards):
+        blk = packed[s * block : (s + 1) * block]
+        total += int(blk[3 * m])
+        v = blk[:m] >= 0
+        li.append(blk[:m][v])
+        ri.append(blk[m : 2 * m][v])
+        gpos.append(blk[2 * m : 3 * m][v])
+    li = np.concatenate(li) if li else np.empty(0, np.int64)
+    ri = np.concatenate(ri) if ri else np.empty(0, np.int64)
+    gpos = np.concatenate(gpos) if gpos else np.empty(0, np.int64)
+    if total > m:
+        raise ValueError(
+            f"inner join produced {total} pairs but max_matches={m}; "
+            "raise join.max_matches"
+        )
+    order = np.lexsort((gpos, li))
+    return li[order], ri[order], total
+
+
+@functools.lru_cache(maxsize=None)
 def _parted_post_lookup(mesh):
     """Enrichment row-index resolution against partitioned attrs for
     host-resident probe keys: one pmax combines the unique claims."""
@@ -1138,8 +1223,8 @@ def _execute_parted_post(
 ) -> pa.Table:
     """Two-step lookup join / aggregate with the attribute side
     partitioned over the mesh (coded/bf16/int8 searches reach here —
-    the fused fp32 path has its own kernels). Inner joins keep the
-    replicated route (bounded-expansion output is per-shard shapeless)."""
+    the fused fp32 path has its own kernels; inner joins route through
+    :func:`_parted_inner_expand`)."""
     from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
     METRICS.add("join.partitioned")
@@ -1212,6 +1297,68 @@ def _inner_join_aggregate_device(
     return jnp.concatenate([packed, total.astype(jnp.int32)[None]])
 
 
+def _inner_aggregate_host(
+    cache: DeviceCache,
+    result: pa.Table,
+    li: np.ndarray,
+    ri: np.ndarray,
+    join: "JoinSpec",
+    aggregate: "AggregateSpec",
+) -> pa.Table:
+    """Aggregate over inner-join MATCH PAIRS on the host: the pairs are
+    already fetched (partitioned route), so the finish is plain numpy —
+    int64 value columns accumulate natively exact, floats in float64."""
+    attrs = cache.host_table(join.source)
+    groups = np.asarray(attrs.column(aggregate.group_by))[ri].astype(np.int64)
+    use_value_col = (
+        aggregate.value is not None and aggregate.value != executor.DIST_COL
+    )
+    agg = aggregate.agg
+    if use_value_col:
+        values = np.asarray(attrs.column(aggregate.value))[ri]
+        int_values = np.issubdtype(values.dtype, np.integer)
+    elif aggregate.value == executor.DIST_COL:
+        values = np.asarray(result.column(executor.DIST_COL), dtype=np.float64)[li]
+        int_values = False
+    else:  # count semantics: one unit per match pair
+        values = np.ones(len(ri), np.int64)
+        int_values = True
+        agg = "sum" if agg == "count" else agg
+    values = values.astype(np.int64 if int_values else np.float64)
+
+    uniq, inv = np.unique(groups, return_inverse=True)
+    g = aggregate.max_groups
+    if uniq.size > g:
+        raise ValueError(
+            f"aggregate produced {uniq.size} distinct groups but "
+            f"max_groups={g}; raise aggregate.max_groups"
+        )
+    if agg in ("sum", "count"):
+        out = np.zeros(uniq.size, values.dtype)
+        np.add.at(out, inv, values)
+    elif agg == "mean":
+        s = np.zeros(uniq.size, np.float64)
+        c = np.zeros(uniq.size, np.float64)
+        np.add.at(s, inv, values.astype(np.float64))
+        np.add.at(c, inv, 1.0)
+        out = s / np.maximum(c, 1.0)
+        int_values = False
+    elif agg == "min":
+        out = np.full(uniq.size, values.max(initial=0), values.dtype)
+        np.minimum.at(out, inv, values)
+    elif agg == "max":
+        out = np.full(uniq.size, values.min(initial=0), values.dtype)
+        np.maximum.at(out, inv, values)
+    else:
+        raise ValueError(f"unknown agg {aggregate.agg!r}")
+    return pa.table(
+        {
+            GROUP_COL: pa.array(uniq),
+            AGG_COL: pa.array(out if int_values else out.astype(np.float64)),
+        }
+    )
+
+
 def _execute_inner_join(
     cache: DeviceCache,
     req: executor.SearchRequest,
@@ -1240,6 +1387,19 @@ def _execute_inner_join(
             f"join key {join.left_on!r} has values outside the device "
             "int32 range; re-key below 2^31"
         )
+
+    if _use_partitioned(cache, join):
+        from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+        METRICS.add("join.partitioned")
+        li, ri, _total = _parted_inner_expand(cache, left_keys_np, join)
+        if aggregate is not None:
+            return _inner_aggregate_host(cache, result, li, ri, join, aggregate)
+        expanded = result.take(pa.array(li.astype(np.int64)))
+        return _attach_join_columns(
+            expanded, cache.host_table(join.source), ri.astype(np.int64), join
+        )
+
     sorted_keys, sorted_index, attr_rows, group_col, value_col = (
         _attrs_device_entries(cache, join, aggregate)
     )

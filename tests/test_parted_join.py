@@ -270,6 +270,51 @@ def test_two_step_route_partitioned(cache):
                 assert dp[k] == pytest.approx(dr[k], rel=1e-5, abs=1e-5)
 
 
+def test_inner_join_partitioned(cache):
+    """General inner joins (result rows duplicate per matching attr
+    row) must produce identical expanded tables and pair aggregates on
+    the partitioned route — including duplicate runs straddling shard
+    boundaries and the max_matches overflow contract."""
+    rng = np.random.default_rng(13)
+    req = executor.SearchRequest(
+        source="vec", column="vector",
+        target=rng.standard_normal(DIM).astype(np.float32),
+        metric="l2", maxval=40,
+    )
+
+    def run(partitioned, aggregate=None, max_matches=4096):
+        return analytics.execute_search_join(
+            cache, req,
+            analytics.JoinSpec(
+                source="attrs", right_on="key", how="inner",
+                partitioned=partitioned, max_matches=max_matches,
+            ),
+            aggregate,
+        )
+
+    rep, part = run(False), run(True)
+    assert rep.column_names == part.column_names
+    assert rep.num_rows == part.num_rows and rep.num_rows > 40  # expansion
+    for name in rep.column_names:
+        assert rep.column(name).to_pylist() == part.column(name).to_pylist(), name
+
+    for spec in (
+        analytics.AggregateSpec(group_by="grp", agg="count"),
+        analytics.AggregateSpec(group_by="grp", value="wint", agg="sum"),
+        analytics.AggregateSpec(group_by="grp", value="weight", agg="mean"),
+        analytics.AggregateSpec(group_by="grp", value=executor.DIST_COL, agg="min"),
+    ):
+        dr, dp = _as_dict(run(False, spec)), _as_dict(run(True, spec))
+        assert set(dr) == set(dp)
+        for k in dr:
+            assert dp[k] == pytest.approx(dr[k], rel=1e-5, abs=1e-5), spec.agg
+
+    with pytest.raises(ValueError, match="max_matches"):
+        run(True, max_matches=8)
+    with pytest.raises(ValueError, match="max_matches"):
+        run(False, max_matches=8)
+
+
 def test_route_counter_and_auto_threshold(cache, monkeypatch):
     spec = analytics.AggregateSpec(group_by="grp", agg="count")
     before = METRICS.snapshot().get("join.partitioned", 0)
