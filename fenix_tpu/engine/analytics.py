@@ -511,10 +511,14 @@ def _parted_inner_pairs(mesh, max_matches: int):
 
 def _parted_inner_expand(
     cache: DeviceCache, left_keys_np: np.ndarray, join: "JoinSpec"
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """(left idx, attr row idx, total) for the partitioned inner join,
-    in the replicated path's deterministic pair order."""
-    pk, pi, bounds, attr_rows, _, _ = _attrs_parted_entries(cache, join, None)
+) -> tuple[np.ndarray, np.ndarray, int, pa.Table]:
+    """(left idx, attr row idx, total, attrs host snapshot) for the
+    partitioned inner join, in the replicated path's deterministic pair
+    order. The snapshot is the revision the indices were minted
+    against — gather from it, not a fresh host_table read."""
+    pk, pi, bounds, attr_rows, _, _, attrs_host = _attrs_parted_entries(
+        cache, join, None
+    )
     m = join.max_matches
     fn = _parted_inner_pairs(cache.mesh, m)
     packed = np.asarray(
@@ -539,7 +543,7 @@ def _parted_inner_expand(
             "raise join.max_matches"
         )
     order = np.lexsort((gpos, li))
-    return li[order], ri[order], total
+    return li[order], ri[order], total, attrs_host
 
 
 @functools.lru_cache(maxsize=None)
@@ -856,7 +860,11 @@ def _attrs_device_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
                 if use_value
                 else group_col.data
             )
-        return sorted_keys, sorted_index, attr_rows, group_col, value_col
+        # the host snapshot rides in the SAME stable scope: the
+        # enrichment attach gathers from it with row indices minted
+        # against these entries — fetching it later could pair rev-A
+        # indices with a rev-B table (IndexError / silently wrong rows)
+        return sorted_keys, sorted_index, attr_rows, group_col, value_col, cache.host_table(join.source)
 
     value, _ = read_stable(
         lambda: cache._mtimes(key), read, f"table {join.source!r}"
@@ -900,7 +908,10 @@ def _attrs_parted_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
                 if use_value
                 else group_col
             )
-        return pk, pi, bounds, rows, group_col, value_col
+        # host snapshot in the same stable scope (see
+        # _attrs_device_entries) — downstream attaches/aggregates gather
+        # from it with row indices minted against these entries
+        return pk, pi, bounds, rows, group_col, value_col, cache.host_table(join.source)
 
     value, _ = read_stable(
         lambda: cache._mtimes(key), read, f"table {join.source!r}"
@@ -978,11 +989,11 @@ def _execute_fused(
         from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
         METRICS.add("join.partitioned")
-        pk, pi, bounds, attr_rows, p_group, p_value = _attrs_parted_entries(
-            cache, join, aggregate
+        pk, pi, bounds, attr_rows, p_group, p_value, attrs_host = (
+            _attrs_parted_entries(cache, join, aggregate)
         )
     else:
-        sorted_keys, sorted_index, attr_rows, group_col, value_col = (
+        sorted_keys, sorted_index, attr_rows, group_col, value_col, attrs_host = (
             _attrs_device_entries(cache, join, aggregate)
         )
 
@@ -1099,7 +1110,7 @@ def _execute_fused(
     result = executor.gather_results(data, select, dists, ids, value_dtype)
     # ridx flattened in the same (query-major, valid-only) order that
     # gather_results keeps
-    return _attach_join_columns(result, cache.host_table(join.source), ridx[ids >= 0], join)
+    return _attach_join_columns(result, attrs_host, ridx[ids >= 0], join)
 
 
 def _attach_join_columns(
@@ -1164,7 +1175,7 @@ def execute_search_join(
         # the fused path, minus the search
         return _execute_parted_post(cache, result, left_keys_np, join, aggregate)
 
-    sorted_keys, sorted_index, attr_rows, group_col, value_col = (
+    sorted_keys, sorted_index, attr_rows, group_col, value_col, attrs_host = (
         _attrs_device_entries(cache, join, aggregate)
     )
     left_keys = jnp.asarray(left_keys_np.astype(sorted_keys.dtype))
@@ -1211,7 +1222,7 @@ def execute_search_join(
     ridx = relational.join_lookup_sorted(left_keys, sorted_keys, sorted_index)
     ridx_np = np.asarray(ridx)
     ridx_np = np.where(ridx_np < attr_rows, ridx_np, -1)
-    return _attach_join_columns(result, cache.host_table(join.source), ridx_np, join)
+    return _attach_join_columns(result, attrs_host, ridx_np, join)
 
 
 def _execute_parted_post(
@@ -1228,8 +1239,8 @@ def _execute_parted_post(
     from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
     METRICS.add("join.partitioned")
-    pk, pi, bounds, attr_rows, p_group, p_value = _attrs_parted_entries(
-        cache, join, aggregate
+    pk, pi, bounds, attr_rows, p_group, p_value, attrs_host = (
+        _attrs_parted_entries(cache, join, aggregate)
     )
     left_keys = jnp.asarray(left_keys_np.astype(np.int32))
 
@@ -1267,7 +1278,7 @@ def _execute_parted_post(
 
     fn = _parted_post_lookup(cache.mesh)
     ridx_np = np.asarray(fn(left_keys, pk, pi, bounds, jnp.int32(attr_rows)))
-    return _attach_join_columns(result, cache.host_table(join.source), ridx_np, join)
+    return _attach_join_columns(result, attrs_host, ridx_np, join)
 
 
 @functools.partial(
@@ -1298,17 +1309,17 @@ def _inner_join_aggregate_device(
 
 
 def _inner_aggregate_host(
-    cache: DeviceCache,
+    attrs: pa.Table,
     result: pa.Table,
     li: np.ndarray,
     ri: np.ndarray,
-    join: "JoinSpec",
     aggregate: "AggregateSpec",
 ) -> pa.Table:
     """Aggregate over inner-join MATCH PAIRS on the host: the pairs are
     already fetched (partitioned route), so the finish is plain numpy —
-    int64 value columns accumulate natively exact, floats in float64."""
-    attrs = cache.host_table(join.source)
+    int64 value columns accumulate natively exact, floats in float64.
+    ``attrs`` is the revision snapshot the row indices were minted
+    against."""
     groups = np.asarray(attrs.column(aggregate.group_by))[ri].astype(np.int64)
     use_value_col = (
         aggregate.value is not None and aggregate.value != executor.DIST_COL
@@ -1392,15 +1403,15 @@ def _execute_inner_join(
         from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
         METRICS.add("join.partitioned")
-        li, ri, _total = _parted_inner_expand(cache, left_keys_np, join)
+        li, ri, _total, attrs_host = _parted_inner_expand(cache, left_keys_np, join)
         if aggregate is not None:
-            return _inner_aggregate_host(cache, result, li, ri, join, aggregate)
+            return _inner_aggregate_host(attrs_host, result, li, ri, aggregate)
         expanded = result.take(pa.array(li.astype(np.int64)))
         return _attach_join_columns(
-            expanded, cache.host_table(join.source), ri.astype(np.int64), join
+            expanded, attrs_host, ri.astype(np.int64), join
         )
 
-    sorted_keys, sorted_index, attr_rows, group_col, value_col = (
+    sorted_keys, sorted_index, attr_rows, group_col, value_col, attrs_host = (
         _attrs_device_entries(cache, join, aggregate)
     )
     left_keys = jnp.asarray(left_keys_np.astype(np.int32)).astype(sorted_keys.dtype)
@@ -1455,9 +1466,7 @@ def _execute_inner_join(
         )
     valid = (li_np >= 0) & (ri_np >= 0) & (ri_np < attr_rows)
     expanded = result.take(pa.array(li_np[valid].astype(np.int64)))
-    return _attach_join_columns(
-        expanded, cache.host_table(join.source), ri_np[valid], join
-    )
+    return _attach_join_columns(expanded, attrs_host, ri_np[valid], join)
 
 
 

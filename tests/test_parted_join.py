@@ -315,6 +315,83 @@ def test_inner_join_partitioned(cache):
         run(False, max_matches=8)
 
 
+def test_concurrent_attr_mutations_and_parted_joins(tmp_path, rng):
+    """Writers mutate the ATTRIBUTE table while partitioned joins serve:
+    every query must see a coherent revision (read_stable + per-entry
+    stamps), never a torn pairing of old keys with new group columns."""
+    import concurrent.futures
+
+    root = str(tmp_path)
+    n = 1024
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    table.make(
+        root,
+        "vec",
+        pa.table(
+            {
+                "id": pa.array(np.arange(n)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    # grp == key % 7 ALWAYS: any coherent revision satisfies the
+    # invariant; a torn read pairs keys with a foreign grp column
+    keys0 = rng.integers(0, n, 2000)
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(keys0.astype(np.int64)),
+                "grp": pa.array((keys0 % 7).astype(np.int64)),
+            }
+        ).to_reader(),
+    )
+    cache = session.DeviceCache(root, block=64)
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            keys = rng.integers(0, n, 2000 + i * 16)
+            table.rewrite(
+                root,
+                "attrs",
+                pa.table(
+                    {
+                        "key": pa.array(keys.astype(np.int64)),
+                        "grp": pa.array((keys % 7).astype(np.int64)),
+                    }
+                ).to_reader(),
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader(q: np.ndarray) -> None:
+        try:
+            out = analytics.execute_search_join(
+                cache,
+                executor.SearchRequest(
+                    source="vec", column="vector", target=q,
+                    metric="l2", maxval=64,
+                ),
+                analytics.JoinSpec(source="attrs", right_on="key", partitioned=True),
+            )
+            ids = np.asarray(out.column("id"))
+            grp = out.column("grp").to_pylist()
+            for i, g in zip(ids.tolist(), grp):
+                if g is not None:
+                    assert g == i % 7, (i, g)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    queries = rng.standard_normal((16, DIM)).astype(np.float32)
+    with concurrent.futures.ThreadPoolExecutor(10) as pool:
+        futs = [pool.submit(writer, i) for i in range(6)]
+        futs += [pool.submit(reader, q) for q in queries]
+        [f.result() for f in futs]
+    assert not errors, errors[:3]
+
+
 def test_route_counter_and_auto_threshold(cache, monkeypatch):
     spec = analytics.AggregateSpec(group_by="grp", agg="count")
     before = METRICS.snapshot().get("join.partitioned", 0)
