@@ -124,10 +124,76 @@ def main() -> None:
         parts, _ = native.hash_partition(k_local.astype(np.int64), n_dev)
         assert (parts == s).all(), (s, set(parts.tolist()))
 
+    # --- partitioned-attrs join+aggregate over the boundary ------------
+    # (the non-star-schema analytics route: attr key ranges sharded
+    # ACROSS PROCESSES, per-shard partial group tables, exact merge)
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from fenix_tpu.engine import analytics as ana
+
+    A, G = n_dev * 64, 8
+    akeys = rng.integers(0, 512, A).astype(np.int32)  # heavy duplicates
+    perm = np.argsort(akeys, kind="stable").astype(np.int32)
+    sk = akeys[perm]
+    grp_perm = (akeys % 5).astype(np.int32)[perm]
+    per_shard = A // n_dev
+    bounds = np.full(n_dev, np.iinfo(np.int32).min, np.int32)
+    bounds[1:] = sk[np.arange(1, n_dev) * per_shard - 1]
+
+    rs1 = mesh_mod.row_sharding(mesh, 1)
+    per_proc_a = A // nproc
+    sl = slice(pid * per_proc_a, (pid + 1) * per_proc_a)
+    pk = jax.make_array_from_process_local_data(rs1, sk[sl])
+    pi = jax.make_array_from_process_local_data(rs1, perm[sl])
+    gcol = jax.make_array_from_process_local_data(rs1, grp_perm[sl])
+    bnd = jax.make_array_from_process_local_data(
+        rs1, bounds[pid * local_dev : (pid + 1) * local_dev]
+    )
+    left_keys = rng.integers(0, 600, 64).astype(np.int32)  # some miss
+    left_vals = rng.standard_normal(64).astype(np.float32)
+    axes = (mesh_mod.DATA_AXIS, mesh_mod.MODEL_AXIS)
+
+    @jax.jit
+    @_partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(axes), P(axes), P(axes)),
+        out_specs=P(), check_vma=False,
+    )
+    def parted_sum(lk, lv, pk_l, pi_l, bound_l, group_l):
+        valid = jnp.ones(lk.shape, bool)
+        hit, pos = ana._local_join_claim(
+            lk, valid, pk_l, pi_l, bound_l, jnp.int32(A), ana._is_first_shard()
+        )
+        groups = jnp.take(group_l, jnp.where(hit, pos, 0)).astype(jnp.int32)
+        packed = ana._pack_groups_parted(groups, lv, hit, "sum", G, False)
+        return jax.lax.all_gather(packed, axes, axis=0, tiled=True)
+
+    packed = np.asarray(
+        parted_sum(jnp.asarray(left_keys), jnp.asarray(left_vals), pk, pi, bnd, gcol)
+    )
+    tbl = ana._merge_parted_tables(packed, n_dev, G, "sum", False)
+    join_gk = np.asarray(tbl.column(ana.GROUP_COL))
+    join_gv = np.asarray(tbl.column(ana.AGG_COL))
+
+    first: dict[int, int] = {}
+    for i, kk in enumerate(akeys.tolist()):
+        first.setdefault(kk, i)
+    want: dict[int, float] = {}
+    for kk, vv in zip(left_keys.tolist(), left_vals.tolist()):
+        if kk in first:
+            g = kk % 5
+            want[g] = want.get(g, 0.0) + float(vv)
+    assert set(join_gk.tolist()) == set(want), (join_gk, want)
+    for g_, v_ in zip(join_gk.tolist(), join_gv.tolist()):
+        assert abs(v_ - want[g_]) < 1e-4, (g_, v_, want[g_])
+
     os.makedirs(out_dir, exist_ok=True)
     np.savez(
         os.path.join(out_dir, f"proc{pid}.npz"),
         ids=ids, dist=dist, codebooks=codebooks,
+        join_gk=join_gk, join_gv=join_gv,
     )
     print(f"worker {pid}: OK", flush=True)
 

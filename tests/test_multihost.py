@@ -65,6 +65,10 @@ def test_two_process_mesh(tmp_path):
     np.testing.assert_array_equal(r0["ids"], r1["ids"])
     np.testing.assert_array_equal(r0["dist"], r1["dist"])
     np.testing.assert_array_equal(r0["codebooks"], r1["codebooks"])
+    # partitioned-join group table (worker asserts the oracle; here:
+    # both processes agree bitwise)
+    np.testing.assert_array_equal(r0["join_gk"], r1["join_gk"])
+    np.testing.assert_array_equal(r0["join_gv"], r1["join_gv"])
 
     # ... and identical to the same computation on the driver's
     # single-process 8-device mesh (boundary must not change the math)
