@@ -64,12 +64,20 @@ def main() -> None:
         client = fenix_tpu.Flight(host="127.0.0.1", port=port)
         deadline = time.time() + 120
         while True:
+            if server.poll() is not None:  # crashed at startup: fail fast
+                raise RuntimeError(
+                    f"server exited rc={server.returncode}; see "
+                    f"{os.path.join(root, 'server.log')}"
+                )
             try:
                 client.health()
                 break
             except Exception:
                 if time.time() > deadline:
-                    raise RuntimeError("server did not come up")
+                    raise RuntimeError(
+                        "server did not come up; see "
+                        f"{os.path.join(root, 'server.log')}"
+                    )
                 time.sleep(1.0)
 
         vecs = common.make_corpus(n, d)

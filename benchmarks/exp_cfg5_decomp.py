@@ -79,4 +79,6 @@ def main():
     import json
     print(json.dumps(out))
 
-main()
+
+if __name__ == "__main__":
+    main()

@@ -483,6 +483,14 @@ def _parted_inner_pairs(mesh, max_matches: int):
         flat = jax.lax.axis_index(DATA_AXIS) * model + jax.lax.axis_index(MODEL_AXIS)
         lo = jnp.searchsorted(pk_l, left_keys, side="left")
         hi = jnp.searchsorted(pk_l, left_keys, side="right")
+        # padding occupies the global sorted tail (stable sort puts real
+        # INT32_MAX keys before the INT32_MAX sentinels), so valid
+        # entries are a PREFIX of this shard — clamp the match ranges to
+        # it, or a legal INT32_MAX probe key counts every padding slot
+        # into `total` and spuriously trips the max_matches bound
+        n_valid = (pi_l < attr_rows).sum(dtype=jnp.int32)
+        lo = jnp.minimum(lo, n_valid)
+        hi = jnp.minimum(hi, n_valid)
         counts = (hi - lo).astype(jnp.int32)
         starts = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)[:-1]]
@@ -619,11 +627,8 @@ def _merge_parted_tables(
             f"aggregate produced {uniq.size} distinct groups but "
             f"max_groups={g}; raise aggregate.max_groups"
         )
-    additive = int_values and agg in ("sum", "mean", "count") or (
-        not int_values and agg in ("sum", "count", "mean")
-    )
     merged = np.zeros((uniq.size, lanes_cat.shape[1]), lanes_cat.dtype)
-    if additive:
+    if agg in ("sum", "count", "mean"):  # lanes are additive partials
         np.add.at(merged, inv, lanes_cat)
     elif agg == "min":
         merged[:] = lanes_cat.max() if lanes_cat.size else 0
@@ -743,8 +748,10 @@ class JoinSpec:
     across devices (sorted contiguous key ranges) instead of
     replicating it — for dimension tables too large to hold per shard.
     ``None`` (default) auto-routes by table size (FENIX_PART_ATTRS_MIN
-    rows, default 8M); ``True``/``False`` force. Applies to the fused
-    fp32 lookup/aggregate path; other routes replicate."""
+    rows, default 8M); ``True``/``False`` force. Covers every route:
+    the fused fp32 lookup/aggregate kernels, the two-step
+    coded/bf16/int8 path (post-search claim on the winners' keys), and
+    general inner joins (per-shard bounded expansion)."""
 
     source: str | Sequence[str]
     right_on: str
@@ -1157,6 +1164,14 @@ def execute_search_join(
         return _execute_fused(cache, req, join, aggregate)
 
     result = executor.execute_search(cache, req)
+    if result.num_rows == 0:  # empty probe side: nothing to join
+        if aggregate is not None:
+            return pa.table(
+                {GROUP_COL: pa.array([], pa.int64()), AGG_COL: pa.array([], pa.float64())}
+            )
+        return _attach_join_columns(
+            result, cache.host_table(join.source), np.empty(0, np.int32), join
+        )
 
     left_keys_np = np.asarray(result.column(join.left_on)).astype(np.int64)
     if left_keys_np.size and (
@@ -1294,7 +1309,7 @@ def _inner_join_aggregate_device(
     dispatch; same packed (keys, aggregates, count) carrier as
     _join_aggregate_device, plus the pair total appended."""
     li, ri, total = relational.join_inner_sorted(
-        left_keys, sorted_keys, sorted_index, max_matches
+        left_keys, sorted_keys, sorted_index, max_matches, n_valid=attr_rows
     )
     hit = (ri >= 0) & (ri < attr_rows)
     safe_r = jnp.where(hit, ri, 0)
@@ -1456,7 +1471,8 @@ def _execute_inner_join(
         )
 
     li, ri, total = relational.join_inner_sorted(
-        left_keys, sorted_keys, sorted_index, join.max_matches
+        left_keys, sorted_keys, sorted_index, join.max_matches,
+        n_valid=jnp.int32(attr_rows),
     )
     li_np, ri_np, total = np.asarray(li), np.asarray(ri), int(total)
     if total > join.max_matches:

@@ -132,6 +132,7 @@ def join_inner_sorted(
     sorted_keys: jax.Array,
     sorted_index: jax.Array,
     max_matches: int,
+    n_valid: "jax.Array | None" = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """General inner join against a PRE-SORTED build side — the
     cacheable form the engine serves (``DeviceCache.sorted_key`` builds
@@ -142,10 +143,20 @@ def join_inner_sorted(
     order, duplicates in right-row order — fully deterministic.
     Searchsorted + bounded expansion (the TPU-shaped analog of a hash
     join probe; static ``max_matches`` replaces dynamic output).
+
+    ``n_valid``: length of the VALID PREFIX of the sorted build side,
+    when it carries an int-max padding tail (sorted_key pads device
+    blocks that way; stable sort keeps real INT32_MAX keys ahead of
+    the sentinels). Without the clamp a legal INT32_MAX probe key
+    counts every padding slot as a match, inflating ``count`` past
+    ``max_matches``.
     """
     n_right = sorted_keys.shape[0]
     lo = jnp.searchsorted(sorted_keys, left_keys, side="left")
     hi = jnp.searchsorted(sorted_keys, left_keys, side="right")
+    if n_valid is not None:
+        lo = jnp.minimum(lo, n_valid)
+        hi = jnp.minimum(hi, n_valid)
     counts = (hi - lo).astype(jnp.int32)  # matches per left row
 
     starts = jnp.concatenate(

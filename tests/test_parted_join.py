@@ -315,6 +315,96 @@ def test_inner_join_partitioned(cache):
         run(False, max_matches=8)
 
 
+def test_empty_search_result_joins(cache):
+    """A search whose filter matches nothing must join/aggregate to an
+    EMPTY table on every two-step route, not crash on zero-length
+    device shapes."""
+    from fenix_tpu import expr
+
+    rng = np.random.default_rng(21)
+    req = executor.SearchRequest(
+        source="vec", column="vector",
+        target=rng.standard_normal(DIM).astype(np.float32),
+        metric="l2", maxval=10, precision="int8",
+        filter=expr.field("id") < 0,  # matches nothing
+    )
+    for partitioned in (False, True):
+        join = analytics.JoinSpec(
+            source="attrs", right_on="key", partitioned=partitioned
+        )
+        out = analytics.execute_search_join(cache, req, join, None)
+        assert out.num_rows == 0
+        for spec in (
+            analytics.AggregateSpec(group_by="grp", agg="count"),
+            analytics.AggregateSpec(group_by="grp", value="weight", agg="sum"),
+            analytics.AggregateSpec(
+                group_by="grp", value=executor.DIST_COL, agg="mean"
+            ),
+        ):
+            out = analytics.execute_search_join(cache, req, join, spec)
+            assert out.num_rows == 0, (partitioned, spec.agg)
+
+
+def test_inner_join_int32_max_key(tmp_path_factory):
+    """INT32_MAX is a legal key but also the padding sentinel: the
+    partitioned inner join must not count the padding tail as matches
+    (it previously inflated `total` past max_matches)."""
+    rng = np.random.default_rng(17)
+    root = str(tmp_path_factory.mktemp("maxkey_root"))
+    hi = np.iinfo(np.int32).max
+    n = 128
+    jkeys = np.arange(n).astype(np.int64)
+    jkeys[5] = hi
+    table.make(
+        root,
+        "vec",
+        pa.table(
+            {
+                "id": pa.array(np.arange(n)),
+                "jkey": pa.array(jkeys),
+                "vector": ingest.numpy_to_fixed_size_list(
+                    rng.standard_normal((n, DIM)).astype(np.float32), pa.float32()
+                ),
+            }
+        ).to_reader(),
+    )
+    akeys = np.concatenate([[hi, hi], np.arange(0, 99)]).astype(np.int64)
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(akeys),
+                "weight": pa.array(np.arange(len(akeys)).astype(np.float64)),
+            }
+        ).to_reader(),
+    )
+    cache = session.DeviceCache(root, block=BLOCK)
+    req = executor.SearchRequest(
+        source="vec", column="vector",
+        target=np.asarray(
+            ingest.fixed_size_list_to_numpy(table.load(root, "vec").column("vector"))
+        )[5],
+        metric="l2", maxval=4,
+    )
+    outs = {}
+    for partitioned in (False, True):
+        out = analytics.execute_search_join(
+            cache, req,
+            analytics.JoinSpec(
+                source="attrs", right_on="key", left_on="jkey", how="inner",
+                # tight bound: counting even a few padding slots as
+                # matches would trip it on either route
+                partitioned=partitioned, max_matches=16,
+            ),
+        )
+        outs[partitioned] = out
+    assert outs[False].to_pylist() == outs[True].to_pylist()
+    # the INT32_MAX probe row expanded to exactly its two real matches
+    ids = outs[True].column("id").to_pylist()
+    assert ids.count(5) == 2
+
+
 def test_concurrent_attr_mutations_and_parted_joins(tmp_path, rng):
     """Writers mutate the ATTRIBUTE table while partitioned joins serve:
     every query must see a coherent revision (read_stable + per-entry
