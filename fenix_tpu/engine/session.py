@@ -220,6 +220,34 @@ class DeviceCache:
             store[ckey] = (stamp, value)
             return value
 
+    def device_bytes(self) -> int:
+        """Total HBM bytes held by cached device entries (deduplicated
+        by buffer identity — derived entries may alias). Capacity
+        observability: the usable HBM on a serving chip bounds corpus +
+        scan copies + clustered layouts (measured ~8-9 GB through this
+        environment's tunnel device, benchmarks/exp_16m.py) — surfaced
+        as ``cache.device_bytes`` in the Flight stats action."""
+        import jax
+
+        total = 0
+        seen: set[int] = set()
+
+        def add(x) -> None:
+            nonlocal total
+            if isinstance(x, ingest.DeviceColumn):
+                add(x.data)
+            elif isinstance(x, (tuple, list)):
+                for y in x:
+                    add(y)
+            elif isinstance(x, jax.Array) and id(x) not in seen:
+                seen.add(id(x))
+                total += x.nbytes
+
+        with self._lock:
+            for _, value in self._device.values():
+                add(value)
+        return total
+
     def host_table(self, source: str | Sequence[str]) -> pa.Table:
         key = _source_key(source)
         stamp = self._mtimes(key)

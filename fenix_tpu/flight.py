@@ -327,6 +327,7 @@ class Server(fl.FlightServerBase):
                 snap["cache.lineage_refreshes"] = float(
                     self.cache.lineage_refreshes
                 )
+                snap["cache.device_bytes"] = float(self.cache.device_bytes())
                 return iter([fl.Result(_dumps(snap))])
 
             case "health":

@@ -170,6 +170,9 @@ def test_stats_counts_queries(flight):
     stats = flight.stats()
     assert stats["search.count"] >= 1
     assert stats["put.count"] >= 1
+    # HBM capacity observability: warmed searches leave the corpus
+    # matrix (+ aux) resident — at least rows × dim × 4 bytes
+    assert stats["cache.device_bytes"] > 0
 
 
 def test_fault_injection_and_retry(server, flight, rng):
