@@ -200,6 +200,37 @@ class DeviceCache:
         # single lock serializes cache fills (first query per column) —
         # steady-state hits only read the dicts.
         self._lock = threading.RLock()
+        # capacity-aware eviction (FENIX_HBM_BUDGET bytes, 0 = off):
+        # recency stamp per entry + eviction count
+        self._recency: dict = {}
+        self._access = 0
+        self.evictions: int = 0
+
+    def _touch(self, ckey) -> None:
+        self._access += 1
+        self._recency[ckey] = self._access
+
+    def _maybe_evict(self, keep) -> None:
+        """Capacity-aware LRU eviction: when FENIX_HBM_BUDGET (bytes) is
+        set and cached device entries exceed it, drop the least recently
+        used entries (never the one just built). Usable HBM is the
+        binding single-chip limit (~8-9 GB through this environment's
+        device — benchmarks/exp_16m.py); without a budget a server
+        holding many tables' matrices + scan copies OOMs with no
+        recourse. Safe under concurrency: eviction only drops dict
+        references — in-flight requests keep the arrays alive."""
+        budget = int(os.environ.get("FENIX_HBM_BUDGET", "0"))
+        if budget <= 0:
+            return
+        with self._lock:
+            while self.device_bytes() > budget:
+                candidates = [k for k in self._device if k != keep]
+                if not candidates:
+                    return
+                victim = min(candidates, key=lambda k: self._recency.get(k, 0))
+                del self._device[victim]
+                self._recency.pop(victim, None)
+                self.evictions += 1
 
     # -- host tables ------------------------------------------------------
 
@@ -211,13 +242,20 @@ class DeviceCache:
         """Double-checked locked memoization keyed by file mtimes."""
         hit = store.get(ckey)
         if hit is not None and hit[0] == stamp:
+            if store is self._device:
+                self._touch(ckey)
             return hit[1]
         with self._lock:
             hit = store.get(ckey)
             if hit is not None and hit[0] == stamp:
+                if store is self._device:
+                    self._touch(ckey)
                 return hit[1]
             value = build()
             store[ckey] = (stamp, value)
+            if store is self._device:
+                self._touch(ckey)
+                self._maybe_evict(ckey)
             return value
 
     def device_bytes(self) -> int:
@@ -371,6 +409,7 @@ class DeviceCache:
 
         hit = self._device.get(ckey)
         if hit is not None and hit[0] == stamp:
+            self._touch(ckey)
             return hit[1]
 
         with self._lock:  # serialize fills like _memo (one grow/build)
@@ -391,6 +430,8 @@ class DeviceCache:
                 # under a stale stamp; rebuild instead
                 if refreshed is not None and self._mtimes(key) == stamp:
                     self._device[ckey] = (stamp, refreshed)
+                    self._touch(ckey)
+                    self._maybe_evict(ckey)
                     if grown is not None:
                         self.incremental_refreshes += 1
                     else:
@@ -416,6 +457,8 @@ class DeviceCache:
                 f"table {source!r}",
             )
             self._device[ckey] = (s1, value)
+            self._touch(ckey)
+            self._maybe_evict(ckey)
             return value
 
     def _grow_matrix(
@@ -660,6 +703,7 @@ class DeviceCache:
 
         hit = self._device.get(ckey)
         if hit is not None and hit[0] == stamp:
+            self._touch(ckey)
             return hit[1]
 
         with self._lock:
@@ -680,6 +724,8 @@ class DeviceCache:
                 # can fold and REUSE part names — rebuild instead
                 if refreshed is not None and self._mtimes(key) == stamp:
                     self._device[ckey] = (stamp, refreshed)
+                    self._touch(ckey)
+                    self._maybe_evict(ckey)
                     if grown is not None:
                         self.incremental_refreshes += 1
                     else:
@@ -700,6 +746,8 @@ class DeviceCache:
                 f"table {source!r}",
             )
             self._device[ckey] = (s1, value)
+            self._touch(ckey)
+            self._maybe_evict(ckey)
             return value
 
     def _grow_sharded_matrix(

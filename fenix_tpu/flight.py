@@ -328,6 +328,7 @@ class Server(fl.FlightServerBase):
                     self.cache.lineage_refreshes
                 )
                 snap["cache.device_bytes"] = float(self.cache.device_bytes())
+                snap["cache.evictions"] = float(self.cache.evictions)
                 return iter([fl.Result(_dumps(snap))])
 
             case "health":

@@ -1,0 +1,88 @@
+"""Capacity-aware LRU eviction: with FENIX_HBM_BUDGET set, the device
+cache drops least-recently-used entries instead of growing without
+bound (usable HBM is the binding single-chip limit — exp_16m.py).
+Evicted tables must rebuild transparently with identical results."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fenix_tpu.engine import executor as ex
+from fenix_tpu.engine import session
+from fenix_tpu.io import ingest, table
+
+DIM = 32
+ROWS = 2048
+
+
+def _make(root, name, rng):
+    vecs = rng.standard_normal((ROWS, DIM)).astype(np.float32)
+    table.make(
+        root,
+        name,
+        pa.table(
+            {
+                "id": pa.array(np.arange(ROWS)),
+                "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    return vecs
+
+
+def _search(cache, source, target):
+    return ex.execute_search(
+        cache,
+        ex.SearchRequest(
+            source=source, column="vector", target=target, metric="l2", maxval=3
+        ),
+    )
+
+
+def test_lru_eviction_under_budget(tmp_path, rng, monkeypatch):
+    root = str(tmp_path)
+    v1 = _make(root, "t1", rng)
+    v2 = _make(root, "t2", rng)
+    # budget fits ~one table's matrix+aux but not two full working sets
+    one_table = ROWS * DIM * 4
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(int(one_table * 1.5)))
+
+    cache = session.DeviceCache(root, block=256, mesh=None)
+    out1 = _search(cache, "t1", v1[7])
+    assert int(np.asarray(out1.column("id"))[0]) == 7
+    assert cache.evictions == 0 or cache.device_bytes() <= int(one_table * 1.5)
+
+    out2 = _search(cache, "t2", v2[9])
+    assert int(np.asarray(out2.column("id"))[0]) == 9
+    assert cache.evictions > 0, "second table must evict the first"
+    assert cache.device_bytes() <= int(one_table * 1.5) + one_table  # newest kept
+
+    # the evicted table rebuilds transparently, identical results
+    out1b = _search(cache, "t1", v1[7])
+    assert out1.to_pylist() == out1b.to_pylist()
+
+
+def test_no_budget_no_eviction(tmp_path, rng, monkeypatch):
+    monkeypatch.delenv("FENIX_HBM_BUDGET", raising=False)
+    root = str(tmp_path)
+    v1 = _make(root, "t1", rng)
+    v2 = _make(root, "t2", rng)
+    cache = session.DeviceCache(root, block=256, mesh=None)
+    _search(cache, "t1", v1[0])
+    _search(cache, "t2", v2[0])
+    assert cache.evictions == 0
+
+
+def test_recency_protects_hot_entries(tmp_path, rng, monkeypatch):
+    """The HOT table (touched most recently) survives; the cold one
+    goes."""
+    root = str(tmp_path)
+    v1 = _make(root, "t1", rng)
+    v2 = _make(root, "t2", rng)
+    one_table = ROWS * DIM * 4
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(int(one_table * 1.5)))
+    cache = session.DeviceCache(root, block=256, mesh=None)
+    _search(cache, "t1", v1[0])
+    _search(cache, "t2", v2[0])  # evicts t1's entries
+    key_t2 = (("t2",), "vector", "matrix")
+    assert key_t2 in cache._device, "most recent table must survive"
