@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 import functools
+import os
 
 import jax
 
@@ -27,6 +28,7 @@ from fenix_tpu.engine import executor
 from fenix_tpu.engine.session import DeviceCache
 from fenix_tpu.io import ingest
 from fenix_tpu.ops import relational
+from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
 GROUP_COL = "__GROUP__"
 AGG_COL = "__AGG__"
@@ -883,8 +885,6 @@ def _use_partitioned(cache: DeviceCache, join: "JoinSpec") -> bool:
     """Partitioned-attrs routing: explicit flag wins; otherwise tables
     past FENIX_PART_ATTRS_MIN rows (default 8M — ~96 MB of int32 key+
     group+value columns per replica) stop replicating."""
-    import os
-
     if cache.mesh is None:
         return False
     if join.partitioned is not None:
@@ -993,8 +993,6 @@ def _execute_fused(
 
     parted = _use_partitioned(cache, join)
     if parted:
-        from fenix_tpu.utils.metrics import GLOBAL as METRICS
-
         METRICS.add("join.partitioned")
         pk, pi, bounds, attr_rows, p_group, p_value, attrs_host = (
             _attrs_parted_entries(cache, join, aggregate)
@@ -1251,8 +1249,6 @@ def _execute_parted_post(
     partitioned over the mesh (coded/bf16/int8 searches reach here —
     the fused fp32 path has its own kernels; inner joins route through
     :func:`_parted_inner_expand`)."""
-    from fenix_tpu.utils.metrics import GLOBAL as METRICS
-
     METRICS.add("join.partitioned")
     pk, pi, bounds, attr_rows, p_group, p_value, attrs_host = (
         _attrs_parted_entries(cache, join, aggregate)
@@ -1415,8 +1411,6 @@ def _execute_inner_join(
         )
 
     if _use_partitioned(cache, join):
-        from fenix_tpu.utils.metrics import GLOBAL as METRICS
-
         METRICS.add("join.partitioned")
         li, ri, _total, attrs_host = _parted_inner_expand(cache, left_keys_np, join)
         if aggregate is not None:
