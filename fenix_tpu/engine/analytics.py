@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 import functools
+import logging
 import os
 
 import jax
@@ -811,6 +812,30 @@ def _int_agg_mode(aggregate: "AggregateSpec", value_col) -> bool:
     return aggregate.value is None and aggregate.agg == "count"
 
 
+def _empty_groups_table(cache: DeviceCache, join: "JoinSpec", aggregate) -> pa.Table:
+    """Schema-stable empty aggregate result: the AGG_COL dtype matches
+    what a NON-empty run of the same query would produce (int64 for the
+    exact-integer lane path, float64 for mean and float columns) — an
+    empty probe side must not flip the result schema under a
+    schema-sensitive consumer (e.g. concatenating batched results)."""
+    int_lane = False
+    use_value_col = (
+        aggregate.value is not None and aggregate.value != executor.DIST_COL
+    )
+    if use_value_col:
+        try:
+            field = cache.host_table(join.source).schema.field(aggregate.value)
+            int_lane = pa.types.is_integer(field.type)
+        except KeyError:
+            int_lane = False
+    else:
+        int_lane = aggregate.value is None and aggregate.agg == "count"
+    agg_type = pa.int64() if int_lane and aggregate.agg != "mean" else pa.float64()
+    return pa.table(
+        {GROUP_COL: pa.array([], pa.int64()), AGG_COL: pa.array([], agg_type)}
+    )
+
+
 def _groups_table(
     packed: np.ndarray, max_groups: int, int_agg: str | None = None
 ) -> pa.Table:
@@ -883,9 +908,24 @@ def _attrs_device_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
 
 def _use_partitioned(cache: DeviceCache, join: "JoinSpec") -> bool:
     """Partitioned-attrs routing: explicit flag wins; otherwise tables
-    past FENIX_PART_ATTRS_MIN rows (default 8M — ~96 MB of int32 key+
-    group+value columns per replica) stop replicating."""
+    past FENIX_PART_ATTRS_MIN rows stop replicating. The default
+    (8M rows — ~96 MB of int32 key+group+value columns per replica) is
+    MEASURED: on the 8-device virtual mesh the partitioned build+probe
+    crosses below the replicated path between 4M and 8M attr rows
+    (benchmarks/exp_parted_threshold.py) — below that, replicated
+    probes win on per-query latency once built."""
     if cache.mesh is None:
+        if join.partitioned:
+            # Partitioning REQUIRES a mesh; a single-device/FENIX_MESH=off
+            # server can only replicate. Downgrade loudly — silence here
+            # hides a misconfiguration for dimension tables sized beyond
+            # one device (ADVICE r3).
+            METRICS.add("join.partitioned_downgraded")
+            logging.getLogger("fenix_tpu").warning(
+                "join.partitioned=True but no serving mesh is active "
+                "(FENIX_MESH=off or one device) — replicating %r instead",
+                join.source,
+            )
         return False
     if join.partitioned is not None:
         return bool(join.partitioned)
@@ -1164,9 +1204,7 @@ def execute_search_join(
     result = executor.execute_search(cache, req)
     if result.num_rows == 0:  # empty probe side: nothing to join
         if aggregate is not None:
-            return pa.table(
-                {GROUP_COL: pa.array([], pa.int64()), AGG_COL: pa.array([], pa.float64())}
-            )
+            return _empty_groups_table(cache, join, aggregate)
         return _attach_join_columns(
             result, cache.host_table(join.source), np.empty(0, np.int32), join
         )
@@ -1393,9 +1431,7 @@ def _execute_inner_join(
     result = executor.execute_search(cache, req)
     if result.num_rows == 0:  # empty probe side: nothing to expand
         if aggregate is not None:
-            return pa.table(
-                {GROUP_COL: pa.array([], pa.int64()), AGG_COL: pa.array([], pa.float64())}
-            )
+            return _empty_groups_table(cache, join, aggregate)
         return _attach_join_columns(
             result, cache.host_table(join.source), np.empty(0, np.int32), join
         )

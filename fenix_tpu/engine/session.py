@@ -12,6 +12,7 @@ are invalidated by file mtime.
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 import threading
 from collections import OrderedDict
@@ -201,14 +202,17 @@ class DeviceCache:
         # steady-state hits only read the dicts.
         self._lock = threading.RLock()
         # capacity-aware eviction (FENIX_HBM_BUDGET bytes, 0 = off):
-        # recency stamp per entry + eviction count
+        # recency stamp per entry + eviction count. The stamp source is
+        # itertools.count (atomic under the GIL) because _touch runs on
+        # the LOCK-FREE memo fast path — a plain `self._n += 1` would
+        # lose increments across concurrent readers and skew the LRU
+        # order (a hot entry could look cold and be evicted).
         self._recency: dict = {}
-        self._access = 0
+        self._access = itertools.count(1)
         self.evictions: int = 0
 
     def _touch(self, ckey) -> None:
-        self._access += 1
-        self._recency[ckey] = self._access
+        self._recency[ckey] = next(self._access)
 
     def _maybe_evict(self, keep) -> None:
         """Capacity-aware LRU eviction: when FENIX_HBM_BUDGET (bytes) is

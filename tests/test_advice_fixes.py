@@ -94,6 +94,95 @@ def test_quint8_like_clips_to_recorded_qmax(rng):
     assert arr2.type == arr.type  # append schema check passes
 
 
+# -- ADVICE r3 #1: empty-probe aggregate keeps the non-empty schema ------
+
+
+@pytest.fixture
+def agg_root(tmp_path, rng):
+    from fenix_tpu.io import ingest as _ingest
+
+    root = str(tmp_path)
+    vecs = rng.standard_normal((256, 8)).astype(np.float32)
+    table.make(
+        root,
+        "vec",
+        pa.table(
+            {
+                "id": pa.array(np.arange(256)),
+                "vector": _ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+            }
+        ).to_reader(),
+    )
+    table.make(
+        root,
+        "attrs",
+        pa.table(
+            {
+                "key": pa.array(np.arange(256, dtype=np.int64)),
+                "grp": pa.array((np.arange(256) % 5).astype(np.int64)),
+                "iv": pa.array(np.arange(256, dtype=np.int64)),
+                "fv": pa.array(np.arange(256, dtype=np.float64)),
+            }
+        ).to_reader(),
+    )
+    return root
+
+
+@pytest.mark.parametrize(
+    "value,agg,how",
+    [
+        ("iv", "sum", "left"),
+        ("iv", "mean", "left"),
+        ("fv", "sum", "left"),
+        (None, "count", "left"),
+        ("iv", "sum", "inner"),
+    ],
+)
+def test_empty_probe_aggregate_schema_matches_nonempty(agg_root, rng, value, agg, how):
+    from fenix_tpu import expr
+    from fenix_tpu.engine import analytics, executor
+
+    cache = executor.get_cache(agg_root)
+    target = rng.standard_normal(8).astype(np.float32)
+    join = analytics.JoinSpec(source="attrs", right_on="key", how=how)
+    spec = analytics.AggregateSpec(group_by="grp", value=value, agg=agg, max_groups=16)
+
+    def run(filt):
+        req = executor.SearchRequest(
+            source="vec", column="vector", target=target, metric="l2",
+            maxval=20, filter=filt,
+        )
+        return analytics.execute_search_join(cache, req, join, spec)
+
+    full = run(None)
+    empty = run(expr.field("id") < 0)
+    assert empty.num_rows == 0
+    assert empty.schema == full.schema, (empty.schema, full.schema)
+
+
+# -- ADVICE r3 #2: partitioned=True without a mesh downgrades LOUDLY ------
+
+
+def test_partitioned_without_mesh_counts_downgrade(agg_root, rng):
+    from fenix_tpu.engine import analytics, executor
+    from fenix_tpu.engine.session import DeviceCache
+    from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+    cache = DeviceCache(agg_root, mesh=None)
+    target = rng.standard_normal(8).astype(np.float32)
+    req = executor.SearchRequest(
+        source="vec", column="vector", target=target, metric="l2", maxval=10
+    )
+    before = METRICS.snapshot().get("join.partitioned_downgraded", 0)
+    out = analytics.execute_search_join(
+        cache,
+        req,
+        analytics.JoinSpec(source="attrs", right_on="key", partitioned=True),
+    )
+    assert out.num_rows == 10  # replicated path still serves the query
+    assert METRICS.snapshot().get("join.partitioned_downgraded", 0) == before + 1
+
+
 def test_quint8_qmax_round_trips_metadata(rng):
     x = rng.standard_normal((4, 8)).astype(np.float32)
     t = quint8.QUInt8TensorArray.from_numpy(x).type
