@@ -204,31 +204,52 @@ _AGG_INIT = {
 
 def _group_prep(keys, values, mask):
     """Shared sort + group-id machinery: returns (sorted keys, sorted
-    values, ascending group index, new-group flags). Masked rows get
-    the max-int sentinel key, sorting last as one droppable group."""
-    if mask is not None:
-        sentinel = jnp.iinfo(keys.dtype).max
-        keys = jnp.where(mask, keys, sentinel)
-    sk, sv = jax.lax.sort((keys, values), dimension=0, is_stable=True, num_keys=1)
-    new_group = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
+    values, ascending group index, new-group flags, dropped-group
+    count). Row validity is carried OUT-OF-BAND as the primary sort
+    key — masked rows sort after every valid row regardless of key
+    value, collapse to one trailing group, and the count of that group
+    (0 or 1) comes back for the caller to subtract. An in-band max-int
+    sentinel key (the previous scheme) silently merged masked rows
+    with a REAL group keyed exactly INT32_MAX (VERDICT r3 #4)."""
+    if mask is None:
+        sk, sv = jax.lax.sort(
+            (keys, values), dimension=0, is_stable=True, num_keys=1
+        )
+        new_group = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
+        )
+        gid = jnp.cumsum(new_group) - 1  # [N] group index, ascending
+        return sk, sv, gid, new_group, jnp.int32(0)
+
+    inval = jnp.where(mask, 0, 1).astype(jnp.int32)
+    # masked rows' keys are never read again — collapse them to one
+    # constant so they form exactly ONE trailing group
+    keys = jnp.where(mask, keys, 0)
+    inval_s, sk, sv = jax.lax.sort(
+        (inval, keys, values), dimension=0, is_stable=True, num_keys=2
     )
-    gid = jnp.cumsum(new_group) - 1  # [N] group index, ascending
-    return sk, sv, gid, new_group
+    new_group = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.int32),
+            ((sk[1:] != sk[:-1]) | (inval_s[1:] != inval_s[:-1])).astype(jnp.int32),
+        ]
+    )
+    gid = jnp.cumsum(new_group) - 1
+    return sk, sv, gid, new_group, inval_s[-1]  # 1 iff any masked row
 
 
-def _group_keys_count(sk, gid, new_group, max_groups: int, masked: bool):
-    """(group_keys [g], n_groups, valid-slot mask) for prepped groups."""
+def _group_keys_count(sk, gid, new_group, max_groups: int, dropped):
+    """(group_keys [g], n_groups, valid-slot mask) for prepped groups.
+    ``dropped`` is _group_prep's masked-group count (0 or 1), subtracted
+    from the distinct-group total. Slots ≥ n_groups carry the max-int
+    PADDING marker — consumers must slice by the returned count (a real
+    group keyed INT32_MAX is a valid slot below it)."""
     group_keys = jax.ops.segment_max(
         jnp.where(new_group == 1, sk, jnp.iinfo(sk.dtype).min),
         gid,
         num_segments=max_groups,
     )
-    n_groups = gid[-1] + 1
-    if masked:
-        # the sentinel group (masked rows) sorts last; drop it
-        has_sentinel = (sk[-1] == jnp.iinfo(sk.dtype).max).astype(jnp.int32)
-        n_groups = n_groups - has_sentinel
+    n_groups = gid[-1] + 1 - dropped
     slot = jnp.arange(max_groups, dtype=jnp.int32)
     valid = slot < n_groups
     group_keys = jnp.where(valid, group_keys, jnp.iinfo(sk.dtype).max)
@@ -251,7 +272,7 @@ def group_aggregate(
     float32 — use :func:`group_aggregate_int` for integer value
     columns (f32 rounds integer sums past 2^24).
     """
-    sk, sv, gid, new_group = _group_prep(keys, values, mask)
+    sk, sv, gid, new_group, dropped = _group_prep(keys, values, mask)
 
     if agg == "count":
         contrib = jnp.ones_like(sv, dtype=jnp.float32)
@@ -272,7 +293,7 @@ def group_aggregate(
         raise ValueError(f"unknown agg {agg!r}")
 
     group_keys, n_groups, valid = _group_keys_count(
-        sk, gid, new_group, max_groups, mask is not None
+        sk, gid, new_group, max_groups, dropped
     )
     out = jnp.where(valid, out, 0)
     return group_keys, out, n_groups
@@ -289,13 +310,13 @@ def group_sum_count(
     cross-shard-combinable partial for a distributed mean (sum and
     count ship separately; the division happens after the merge).
     Two :func:`group_aggregate` calls would redo the device sort."""
-    sk, sv, gid, new_group = _group_prep(keys, values, mask)
+    sk, sv, gid, new_group, dropped = _group_prep(keys, values, mask)
     s = jax.ops.segment_sum(sv.astype(jnp.float32), gid, num_segments=max_groups)
     c = jax.ops.segment_sum(
         jnp.ones_like(sv, dtype=jnp.float32), gid, num_segments=max_groups
     )
     group_keys, n_groups, valid = _group_keys_count(
-        sk, gid, new_group, max_groups, mask is not None
+        sk, gid, new_group, max_groups, dropped
     )
     return group_keys, jnp.where(valid, s, 0), jnp.where(valid, c, 0), n_groups
 
@@ -334,7 +355,7 @@ def group_aggregate_int(
             f"(got {values.shape[0]}): int32 limb sums would overflow"
         )
     values = values.astype(jnp.int32)
-    sk, sv, gid, new_group = _group_prep(keys, values, mask)
+    sk, sv, gid, new_group, dropped = _group_prep(keys, values, mask)
 
     if agg in ("sum", "mean"):
         u = sv.astype(jnp.uint32)
@@ -367,7 +388,7 @@ def group_aggregate_int(
         raise ValueError(f"unknown agg {agg!r}")
 
     group_keys, n_groups, valid = _group_keys_count(
-        sk, gid, new_group, max_groups, mask is not None
+        sk, gid, new_group, max_groups, dropped
     )
     out = jnp.where(valid[:, None], out, 0)
     return group_keys, out, n_groups
