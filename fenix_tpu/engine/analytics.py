@@ -267,10 +267,13 @@ def _pack_groups_parted(groups, values, hit, agg: str, max_groups: int, int_valu
     return jnp.concatenate([gk.astype(jnp.int32), body, n.astype(jnp.int32)[None]])
 
 
-def _parted_lanes(agg: str, int_values: bool) -> int:
-    if int_values:
-        return relational.int_agg_lanes("mean" if agg in ("sum", "mean") else agg)
-    return 2 if agg == "mean" else 1
+def _parted_lanes(packed_len: int, n_shards: int, max_groups: int) -> int:
+    """Lane count per group slot, inferred from the packed carrier's
+    size — the int-lane limb count is row-count-dependent
+    (relational._limb_plan), so the wire shape is self-describing
+    rather than a static constant."""
+    block = packed_len // n_shards
+    return (block - max_groups - 1) // max_groups
 
 
 def _local_join_claim(left_keys, valid, pk_l, pi_l, bound_l, attr_rows, is_first):
@@ -590,7 +593,7 @@ def _merge_parted_tables(
     most max_groups rows — S·max_groups ints total, one fetch). int
     lanes recombine in int64; float partials combine in float64."""
     g = max_groups
-    lanes = _parted_lanes(agg, int_values)
+    lanes = _parted_lanes(len(packed), n_shards, g)
     block = g + g * lanes + 1
 
     all_keys, all_lanes = [], []
@@ -848,7 +851,9 @@ def _groups_table(
     g = max_groups
     gk = packed[:g]
     if int_agg is not None:
-        lanes = relational.int_agg_lanes(int_agg)
+        # lane count inferred from the carrier length — the int-lane
+        # limb count depends on the (static) device row count
+        lanes = (len(packed) - g - 1) // g
         vals = relational.unpack_int_aggregate(
             packed[g : g + g * lanes].reshape(g, lanes), int_agg
         )

@@ -1,5 +1,7 @@
 """Relational device operators vs numpy oracles (exact-match)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -139,3 +141,67 @@ def test_hash_partition_balanced(rng):
 # (benchmarks/exp_merge.py; docs/DESIGN.md "Multi-chip execution") —
 # the contender implementation and its oracle checks live with the
 # benchmark now.
+
+
+# -- limb-plan widening (rows past the old 2^25 bound, VERDICT r3 #9) ------
+
+
+def test_limb_plan_covers_all_widths():
+    """bits→limbs is bijective and exact-by-construction: per-group limb
+    sums n·(2^b−1) stay below 2^31 at every plan boundary."""
+    from fenix_tpu.ops.relational import _limb_plan
+
+    for n, want_bits in [
+        (1, 6), (2**25, 6), (2**25 + 1, 5), (2**26, 5), (2**27, 4),
+        (100_000_000, 4), (2**28, 3), (2**29, 2), (2**30, 1),
+    ]:
+        bits, limbs = _limb_plan(n)
+        assert bits == want_bits, (n, bits, want_bits)
+        assert limbs * bits >= 32
+        assert n * (2**bits - 1) < 2**31, (n, bits)
+        # unpack infers bits back from the lane count alone
+        assert -(-32 // limbs) == bits, (bits, limbs)
+    with pytest.raises(ValueError, match="2\\^30"):
+        _limb_plan(2**30 + 1)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 5, 6])
+def test_unpack_matches_every_limb_width(rng, bits):
+    """Decompose→sum→recombine round-trips int32 values exactly at every
+    limb width (the narrow plans only engage past 2^25 device rows, too
+    slow for the default CPU suite — the arithmetic is identical)."""
+    limbs = -(-32 // bits)
+    vals = rng.integers(-(2**31), 2**31, 4096, dtype=np.int64).astype(np.int32)
+    u = vals.astype(np.uint32)
+    lanes = np.stack(
+        [((u >> (bits * j)) & ((1 << bits) - 1)).astype(np.int64) for j in range(limbs)]
+        + [(vals < 0).astype(np.int64), np.ones_like(vals, dtype=np.int64)],
+        axis=1,
+    )
+    # single group: host-merge partials like the parted path does
+    merged = lanes.sum(axis=0, keepdims=True)
+    got = rel.unpack_int_aggregate(merged, "sum")
+    assert got[0] == vals.astype(np.int64).sum()
+    got_mean = rel.unpack_int_aggregate(merged, "mean")
+    np.testing.assert_allclose(got_mean[0], vals.astype(np.int64).sum() / len(vals))
+
+
+@pytest.mark.skipif(
+    os.environ.get("FENIX_SLOW_TESTS") != "1",
+    reason="100M-row device aggregate takes ~200 s on the CPU backend "
+    "(measured exact 2026-08-21: sum of 50M×(2^31−1)+50M×1 = "
+    "107374182400000000, 4-bit limbs, 10 lanes); set FENIX_SLOW_TESTS=1",
+)
+def test_group_aggregate_int_100m_single_group():
+    import jax.numpy as jnp
+
+    n = 100_000_000
+    keys = jnp.zeros(n, jnp.int32)
+    vals_np = np.empty(n, np.int32)
+    vals_np[0::2] = 2**31 - 1
+    vals_np[1::2] = 1
+    gk, lanes, cnt = rel.group_aggregate_int(
+        keys, jnp.asarray(vals_np), max_groups=4, agg="sum"
+    )
+    got = rel.unpack_int_aggregate(np.asarray(lanes), "sum")
+    assert got[0] == vals_np.astype(np.int64).sum()
