@@ -524,6 +524,11 @@ class SearchRequest:
     # scan with exact fp32 rescore of candidates (recall ≈ 1, not
     # guaranteed).
     precision: str = "fp32"
+    # "auto" = best residency mode that fits the HBM budget; "dual" /
+    # "int8" / "stream" force one (engine/residency.py): int8 keeps only
+    # the int8 copy in HBM and rescores exactly on the host; stream
+    # scans corpora larger than HBM in double-buffered chunks.
+    residency: str = "auto"
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -571,6 +576,15 @@ def execute_search(cache: DeviceCache, req: SearchRequest) -> pa.Table:
 
 
 def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
+    # --- residency routing: corpora past the HBM budget serve through
+    # the host-corpus modes (int8-resident / streaming) BEFORE any
+    # device fp32 residency is built (engine/residency.py) -----------------
+    from fenix_tpu.engine import residency
+
+    mode = residency.plan(cache, req)
+    if mode != residency.DUAL:
+        return residency.execute_solo(cache, req, mode)
+
     # --- host-side table (for result gather and schema parity),
     # snapshot-consistent with the device-resident matrix -----------------
     data, corpus, snap_stamp = cache.snapshot(req.source, req.column, coding=req.coding)
@@ -882,6 +896,7 @@ def batch_key(req: SearchRequest) -> tuple:
         req.column,
         distance_ops.canonical_metric(req.metric),
         req.precision,
+        req.residency,
         req.coding,
         req.probes,
         expr_mod.dumps(req.filter),
@@ -913,6 +928,16 @@ def _execute_search_batched_once(
     cache: DeviceCache, reqs: Sequence[SearchRequest], defer: bool
 ) -> "list[pa.Table] | Callable[[], list[pa.Table]]":
     r0 = reqs[0]
+
+    from fenix_tpu.engine import residency
+
+    mode = residency.plan(cache, r0)
+    if mode != residency.DUAL:
+        # host-corpus modes: one stacked dispatch, results split per
+        # request (batch_key carries residency, so the group is uniform)
+        tables = residency.execute_many(cache, reqs, mode)
+        return (lambda: tables) if defer else tables
+
     data, corpus, snap_stamp = cache.snapshot(r0.source, r0.column, coding=r0.coding)
     column_type = ingest.vector_type(data.schema.field(r0.column).type)
     value_dtype = column_type.value_type.to_pandas_dtype()

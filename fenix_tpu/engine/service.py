@@ -29,6 +29,8 @@ def request_from_config(config: dict[str, Any], target: Any) -> executor.SearchR
         maxval=config.get("maxval"),
         probes=config.get("probes"),
         precision=config.get("precision") or "fp32",
+        residency=config.get("residency") or "auto",
+        extra=config.get("extra") or {},
     )
 
 

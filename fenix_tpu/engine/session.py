@@ -65,6 +65,25 @@ def _grow_jit(old, delta, start, new_pad: int):
 _GROW_COMPILED = None
 _GROW_INIT_LOCK = threading.Lock()
 
+_INT8_UPLOAD = None
+
+
+def _int8_upload_fn():
+    """Donated chunk writer for the int8-solo upload: the int8 buffer
+    is the ONLY corpus-sized device allocation alive during the build
+    (donation reuses it across chunk writes). jit'd once lazily."""
+    global _INT8_UPLOAD
+    if _INT8_UPLOAD is None:
+        import jax
+
+        with _GROW_INIT_LOCK:
+            if _INT8_UPLOAD is None:
+                _INT8_UPLOAD = jax.jit(
+                    lambda buf, c, s: jax.lax.dynamic_update_slice(buf, c, (s, 0)),
+                    donate_argnums=0,
+                )
+    return _INT8_UPLOAD
+
 # device masks memoize per full predicate (literals included); bound the
 # cache — parametric per-query literals would otherwise grow it forever
 _MASK_CACHE_LIMIT = 128
@@ -322,6 +341,144 @@ class DeviceCache:
             return table.load(self.root, key if len(key) > 1 else key[0])
 
         return self._memo(self._host, key, stamp, build)
+
+    # -- host-resident corpus (int8-resident / streaming modes) ------------
+
+    def host_matrix(self, source: str | Sequence[str], column: str) -> np.ndarray:
+        """Host-resident ``[N, D]`` fp32 view of the vector column —
+        the exact-rescore side of the int8-resident serving mode and
+        the source of the larger-than-HBM streaming scan (VERDICT r3
+        #1/#3). Zero-copy off the Arrow mmap for single-part fp32
+        tables; memoized per revision either way."""
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build() -> np.ndarray:
+            data = self.host_table(source)
+            host = ingest.fixed_size_list_to_numpy(data.column(column))
+            return np.ascontiguousarray(host, dtype=np.float32)
+
+        return self._memo(self._host, (key, column, "host_matrix"), stamp, build)
+
+    def host_aux(self, source: str | Sequence[str], column: str, metric: str):
+        """Host (aux_mul [N], aux_add [N]) fp32 — numpy mirror of
+        ops.topk2.prepare_aux over the HOST corpus (no mask; request
+        filters overlay per query). One corpus pass per revision."""
+        from fenix_tpu.ops import distance as distance_ops
+
+        canonical = distance_ops.canonical_metric(metric)
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            host = self.host_matrix(source, column)
+            sq = np.einsum("nd,nd->n", host, host, dtype=np.float32)
+            if canonical == "l2":
+                return np.ones_like(sq), -sq
+            if canonical == "cosine":
+                return (
+                    (1.0 / np.maximum(np.sqrt(sq), 1e-12)).astype(np.float32),
+                    np.zeros_like(sq),
+                )
+            return np.ones_like(sq), np.zeros_like(sq)
+
+        return self._memo(self._host, (key, column, "host_aux", canonical), stamp, build)
+
+    def host_filter_mask(self, source: str | Sequence[str], filt) -> np.ndarray:
+        """Host ``[N]`` bool mask for a predicate, memoized per
+        (predicate, revision) in the bounded mask LRU — the host-rescore
+        and streaming paths re-apply validity per candidate row and must
+        not re-evaluate an O(N) Arrow predicate per request."""
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+        ckey = (key, "host", filt.to_json())
+        with self._lock:
+            hit = self._masks.get(ckey)
+            if hit is not None and hit[0] == stamp:
+                self._masks.move_to_end(ckey)
+                return hit[1]
+        mask = np.asarray(filt.mask(self.host_table(source)), dtype=bool)
+        with self._lock:
+            self._masks[ckey] = (stamp, mask)
+            self._masks.move_to_end(ckey)
+            while len(self._masks) > _MASK_CACHE_LIMIT:
+                self._masks.popitem(last=False)
+        return mask
+
+    def int8_solo(self, source: str | Sequence[str], column: str):
+        """Per-row symmetric int8 device copy ``(v8, sv)`` built WITHOUT
+        fp32 device residency: scales and codes are computed on the host
+        and uploaded in donated chunks, so peak HBM is the int8 copy
+        alone (~N·D bytes) — the dual-residency route
+        (:meth:`matrix_int8`) quantizes FROM a resident fp32 matrix and
+        cannot fit the 10M×768 at-spec corpus on a 16 GB chip
+        (VERDICT r3 #1; measured RESOURCE_EXHAUSTED in
+        benchmarks/exp_16m.py). Quantization matches
+        ops.topk2.quantize_corpus_int8 bit-for-bit (same round/clip)."""
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            import jax
+            import jax.numpy as jnp
+
+            host = self.host_matrix(source, column)
+            rows, d = host.shape
+            n_pad = max(ingest.round_up(rows, self.block), self.block)
+            chunk = min(n_pad, 32 * self.block)
+            # chunked scale pass: np.abs over the whole corpus would
+            # materialize a second corpus-sized host array
+            sv_np = np.full(n_pad, 1e-30, np.float32)
+            for s in range(0, rows, chunk):
+                e = min(s + chunk, rows)
+                sv_np[s:e] = np.maximum(
+                    np.abs(host[s:e]).max(axis=1, initial=0.0) / 127.0, 1e-30
+                )
+
+            upd = _int8_upload_fn()
+            v8 = jnp.zeros((n_pad, d), jnp.int8)
+            for s in range(0, rows, chunk):
+                e = min(s + chunk, rows)
+                c8 = np.clip(
+                    np.round(host[s:e] / sv_np[s:e, None]), -127, 127
+                ).astype(np.int8)
+                if e - s != chunk:  # ragged tail: pad to the compiled shape
+                    c8 = np.concatenate(
+                        [c8, np.zeros((min(chunk, n_pad - s) - (e - s), d), np.int8)]
+                    )
+                v8 = upd(v8, jnp.asarray(c8), np.int32(s))
+            return (
+                ingest.DeviceColumn(data=v8, rows=rows),
+                ingest.DeviceColumn(data=jnp.asarray(sv_np), rows=rows),
+            )
+
+        return self._memo(self._device, (key, column, "int8_solo"), stamp, build)
+
+    def int8_solo_aux(self, source: str | Sequence[str], column: str, metric: str):
+        """Device ``(aux_mul, aux_add)`` [N_pad] for the int8-resident
+        scan, uploaded FROM the host aux (8 B/row — the corpus itself
+        never lands on device in fp32). Padding rows carry −inf."""
+        import jax.numpy as jnp
+
+        from fenix_tpu.ops import distance as distance_ops
+
+        canonical = distance_ops.canonical_metric(metric)
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            mul, add = self.host_aux(source, column, canonical)
+            rows = mul.shape[0]
+            n_pad = max(ingest.round_up(rows, self.block), self.block)
+            mul_p = np.ones(n_pad, np.float32)
+            mul_p[:rows] = mul
+            add_p = np.full(n_pad, np.float32(distance_ops.NEG_INF), np.float32)
+            add_p[:rows] = add
+            return jnp.asarray(mul_p), jnp.asarray(add_p)
+
+        return self._memo(
+            self._device, (key, column, "int8_solo_aux", canonical), stamp, build
+        )
 
     def _coded_paths(self, coding: str, key: tuple[str, ...], column: str) -> list[str]:
         from fenix_tpu import index as index_mod

@@ -568,9 +568,11 @@ class Flight:
         join: dict | None = None,
         aggregate: dict | None = None,
         precision: str = "fp32",
+        residency: str = "auto",
     ) -> pa.Table:
         assert metric in METRICS_SET, f"metric must be one of {sorted(METRICS_SET)}"
         assert precision in ("fp32", "bf16", "int8"), precision
+        assert residency in ("auto", "dual", "int8", "stream"), residency
         if filter is not None and not isinstance(filter, expr_mod.Expr):
             raise TypeError("filter must be a fenix_tpu.expr.Expr")
 
@@ -588,6 +590,7 @@ class Flight:
                     "join": join,
                     "aggregate": aggregate,
                     "precision": precision,
+                    "residency": residency,
                 }
             )
         )

@@ -1202,3 +1202,99 @@ def topk_two_phase(
     dist = jnp.where(top_s == NEG_INF, jnp.inf, dist)
     top_ids = jnp.where(top_s == NEG_INF, -1, top_ids)
     return dist, top_ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "metric"))
+def topk_window_int8(
+    v8: jax.Array,  # [N_pad, D] int8 scan copy
+    sv: jax.Array,  # [N_pad] f32 per-row quantization scale
+    queries: jax.Array,  # [Q, D] fp32
+    aux_mul: jax.Array,  # [N_pad] f32
+    aux_add: jax.Array,  # [N_pad] f32 (−inf on masked/padding rows)
+    k: int,
+    w: int,
+    metric: str,
+) -> jax.Array:  # [Q, W] int32 global row ids
+    """Phase A of the int8-resident (host-rescore) pipeline: int8 phase-1
+    bucket scan → hierarchical selection of ``kp`` candidate buckets →
+    NARROWING rescore (fp32 prepared query × dequantized int8 rows, with
+    the EXACT per-row aux from the fp32 host corpus) → top-``W`` global
+    row ids per query.
+
+    This is the engine form of the composition measured at spec in
+    benchmarks/config2_fullscale.py (VERDICT r3 #1): the fp32 corpus
+    never touches the device — the host gathers the returned window rows
+    and rescores exactly (engine/residency.py). The narrowing dot's only
+    error is the row-side quantization residual (query side is fp32),
+    so the true top-k needs a multi-σ excursion to fall outside a
+    W ≫ k window; recall is asserted against a float64 oracle in the
+    full-scale benchmark and pinned exact in CPU tests where W ≥ N.
+
+    Returned width is ``min(w, kp·bucket, n)`` — callers read the
+    result shape. May include masked/padding rows when fewer than W
+    candidates score above −inf; the host rescore re-applies validity.
+    """
+    metric = canonical_metric(metric)
+    n, d = v8.shape
+    q = queries.shape[0]
+
+    queries_p = prepare_queries(queries, metric)
+    q8, inv_sq = quantize_queries_int8(queries_p)
+    ams = aux_mul * sv
+
+    bucket = bucket_for(q, n)
+    n_buckets = n // bucket
+    # enough buckets to fill the window, plus the int8 selection margin
+    kp = min(max(k, -(-w // bucket)) + 2 * BUCKET_PAD, n_buckets)
+    ww = min(w, kp * bucket)
+
+    if q > ONESHOT_MAX_Q and _bigq_eligible(n, q, d, 1, int8_mode=True):
+        bm_nbq = bucket_scores_pallas_bigq(
+            q8, v8, ams, aux_add, inv_sq=inv_sq, bucket=bucket, transpose=False
+        )
+        bidx = topk_buckets_nbq(bm_nbq, kp)
+    else:
+        bucket_max = bucket_scores_scan_int8(q8, v8, ams, aux_add, inv_sq, bucket)
+        bidx = topk_buckets(bucket_max, kp)
+    bidx = jnp.sort(bidx, axis=-1)  # ascending bucket order (stable ids)
+
+    rows8 = v8.reshape(n_buckets, bucket, d)
+    mul_b = ams.reshape(n_buckets, bucket)
+    add_b = aux_add.reshape(n_buckets, bucket)
+    lane_iota = jnp.arange(bucket, dtype=jnp.int32)[None, None, :]
+
+    def window_chunk(args):
+        qp_c, bidx_c = args  # [C, D], [C, kp]
+        cand8 = rows8[bidx_c]  # [C, kp, bucket, D] int8
+        # narrowing score: fp32 query × dequantized row + exact aux —
+        # the row scale folds into mul_b, the exact −‖v‖² rides add_b
+        s = jnp.einsum(
+            "qd,qkbd->qkb",
+            qp_c,
+            cand8.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * mul_b[bidx_c] + add_b[bidx_c]
+        c = qp_c.shape[0]
+        s = s.reshape(c, kp * bucket)
+        ids = (bidx_c[:, :, None] * bucket + lane_iota).reshape(c, kp * bucket)
+        _, pos = jax.lax.top_k(s, ww)
+        return jnp.take_along_axis(ids, pos, axis=1)
+
+    per_query = kp * bucket * d * 4
+    chunk = min(q, max(8, _RESCORE_GATHER_CAP // per_query))
+    pad_rows = (-q) % chunk
+    if pad_rows:
+        queries_p2 = jnp.concatenate(
+            [queries_p, jnp.zeros((pad_rows, d), queries_p.dtype)]
+        )
+        bidx2 = jnp.concatenate([bidx, jnp.zeros((pad_rows, kp), bidx.dtype)])
+    else:
+        queries_p2, bidx2 = queries_p, bidx
+
+    nc = queries_p2.shape[0] // chunk
+    win = jax.lax.map(
+        window_chunk,
+        (queries_p2.reshape(nc, chunk, d), bidx2.reshape(nc, chunk, kp)),
+    )
+    return win.reshape(nc * chunk, ww)[:q]
