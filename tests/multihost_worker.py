@@ -189,11 +189,88 @@ def main() -> None:
     for g_, v_ in zip(join_gk.tolist(), join_gv.tolist()):
         assert abs(v_ - want[g_]) < 1e-4, (g_, v_, want[g_])
 
+    # --- ring search over the boundary (VERDICT r3 #5) -----------------
+    # query blocks ppermute around the shard ring ACROSS THE PROCESS
+    # boundary; each process asserts its addressable query rows against
+    # the host oracle and ships them for the driver's cross-process +
+    # single-process equality checks
+    rng_r = np.random.default_rng(42)
+    q_ring = n_dev * 2
+    ring_queries = rng_r.standard_normal((q_ring, D)).astype(np.float32)
+    aux_mul, aux_add = psearch.shard_aux(corpus_dev, mask_dev, "l2")
+    per_proc_q = q_ring // nproc
+    q_sharded = jax.make_array_from_process_local_data(
+        mesh_mod.row_sharding(mesh, 2),
+        ring_queries[pid * per_proc_q : (pid + 1) * per_proc_q],
+    )
+    ring_packed = psearch.build_ring_search(mesh, k=K, metric="l2")(
+        corpus_dev, q_sharded, aux_mul, aux_add
+    )
+    parts = sorted(
+        ring_packed.addressable_shards, key=lambda s: s.index[1].start or 0
+    )
+    local_packed = np.concatenate([np.asarray(s.data) for s in parts], axis=1)
+    q_start = min(s.index[1].start or 0 for s in parts)
+    ring_ids = local_packed[1]
+    ring_dist = local_packed[0].view(np.float32)
+    ring_oracle = np.sqrt(
+        ((ring_queries[:, None, :] - corpus[None, :, :]) ** 2).sum(-1)
+    )
+    ring_want = np.argsort(ring_oracle, axis=1, kind="stable")[:, :K]
+    assert (
+        ring_ids == ring_want[q_start : q_start + ring_ids.shape[0]]
+    ).all(), (pid, q_start)
+
+    # --- dim-sharded search over the boundary (VERDICT r3 #5) ----------
+    # D columns over MODEL (2), rows over DATA (4): the per-step psum
+    # assembling exact scores crosses the process boundary
+    mesh_dim = mesh_mod.make_mesh(model_parallel=2)
+    from jax.sharding import NamedSharding
+
+    from fenix_tpu.ops import topk2 as topk2_ops
+
+    n_pad = corpus.shape[0]  # N divides the mesh blocks here
+    half_rows = n_pad // nproc
+    corpus_local = corpus[pid * half_rows : (pid + 1) * half_rows]
+    corpus_dim = jax.make_array_from_process_local_data(
+        NamedSharding(mesh_dim, P(mesh_mod.DATA_AXIS, mesh_mod.MODEL_AXIS)),
+        corpus_local,
+    )
+    full_mask = np.ones(n_pad, bool)
+    am, aa = topk2_ops.prepare_aux(jnp.asarray(corpus), jnp.asarray(full_mask), "l2")
+    aux_mul_d = jax.make_array_from_process_local_data(
+        NamedSharding(mesh_dim, P(mesh_mod.DATA_AXIS)),
+        np.asarray(am)[pid * half_rows : (pid + 1) * half_rows],
+    )
+    aux_add_d = jax.make_array_from_process_local_data(
+        NamedSharding(mesh_dim, P(mesh_mod.DATA_AXIS)),
+        np.asarray(aa)[pid * half_rows : (pid + 1) * half_rows],
+    )
+    qp = np.asarray(topk2_ops.prepare_queries(jnp.asarray(queries), "l2"))
+    qp_dev = jax.make_array_from_process_local_data(
+        NamedSharding(mesh_dim, P(None, mesh_mod.MODEL_AXIS)), qp
+    )
+    q_sq = jax.make_array_from_process_local_data(
+        NamedSharding(mesh_dim, P()),
+        (queries.astype(np.float64) ** 2).sum(1).astype(np.float32),
+    )
+    dim_packed = np.asarray(
+        psearch.build_dim_sharded_search(mesh_dim, k=K, metric="l2")(
+            corpus_dim, qp_dev, aux_mul_d, aux_add_d, q_sq
+        )
+    )  # replicated output: fully addressable on every process
+    dim_ids = dim_packed[1]
+    dim_dist = dim_packed[0].view(np.float32)
+    dim_want = np.argsort(oracle, axis=1, kind="stable")[:, :K]
+    assert (dim_ids == dim_want).all(), (pid, dim_ids, dim_want)
+
     os.makedirs(out_dir, exist_ok=True)
     np.savez(
         os.path.join(out_dir, f"proc{pid}.npz"),
         ids=ids, dist=dist, codebooks=codebooks,
         join_gk=join_gk, join_gv=join_gv,
+        ring_ids=ring_ids, ring_dist=ring_dist, ring_q_start=np.int64(q_start),
+        dim_ids=dim_ids, dim_dist=dim_dist,
     )
     print(f"worker {pid}: OK", flush=True)
 

@@ -100,3 +100,53 @@ def test_two_process_mesh(tmp_path):
         )
     )
     np.testing.assert_allclose(codebooks, r0["codebooks"], atol=1e-6)
+
+    # ring leg: each process held its own query rows; concatenated in
+    # q_start order they must equal the single-process ring bitwise
+    from fenix_tpu.ops import topk2
+    from fenix_tpu.parallel.mesh import (
+        MODEL_AXIS,
+        NamedSharding,
+        P,
+        row_sharding,
+    )
+
+    order = sorted([r0, r1], key=lambda r: int(r["ring_q_start"]))
+    ring_ids_2p = np.concatenate([r["ring_ids"] for r in order], axis=0)
+    ring_dist_2p = np.concatenate([r["ring_dist"] for r in order], axis=0)
+
+    rng_r = np.random.default_rng(42)
+    ring_queries = rng_r.standard_normal((16, D)).astype(np.float32)
+    aux_mul, aux_add = psearch.shard_aux(corpus_dev, mask_dev, "l2")
+    q_sharded = jax.device_put(ring_queries, row_sharding(mesh, 2))
+    ring_packed = np.asarray(
+        psearch.build_ring_search(mesh, k=K, metric="l2")(
+            corpus_dev, q_sharded, aux_mul, aux_add
+        )
+    )
+    np.testing.assert_array_equal(ring_packed[1], ring_ids_2p)
+    np.testing.assert_array_equal(ring_packed[0].view(np.float32), ring_dist_2p)
+
+    # dim-sharded leg: replicated output — identical across processes
+    # and to the single-process (4, 2) mesh
+    np.testing.assert_array_equal(r0["dim_ids"], r1["dim_ids"])
+    np.testing.assert_array_equal(r0["dim_dist"], r1["dim_dist"])
+    mesh_dim = mesh_mod.make_mesh(devices=jax.devices()[:8], model_parallel=2)
+    corpus_dim = jax.device_put(
+        corpus, NamedSharding(mesh_dim, P(mesh_mod.DATA_AXIS, MODEL_AXIS))
+    )
+    am, aa = topk2.prepare_aux(
+        jnp.asarray(corpus), jnp.ones(N, bool), "l2"
+    )
+    aux_mul_d = jax.device_put(np.asarray(am), NamedSharding(mesh_dim, P(mesh_mod.DATA_AXIS)))
+    aux_add_d = jax.device_put(np.asarray(aa), NamedSharding(mesh_dim, P(mesh_mod.DATA_AXIS)))
+    qp = np.asarray(topk2.prepare_queries(jnp.asarray(queries), "l2"))
+    qp_dev = jax.device_put(qp, NamedSharding(mesh_dim, P(None, MODEL_AXIS)))
+    q_sq = jnp.asarray((queries.astype(np.float64) ** 2).sum(1).astype(np.float32))
+    dim_packed = np.asarray(
+        psearch.build_dim_sharded_search(mesh_dim, k=K, metric="l2")(
+            corpus_dim, qp_dev, aux_mul_d, aux_add_d, q_sq
+        )
+    )
+    np.testing.assert_array_equal(dim_packed[1], r0["dim_ids"])
+    np.testing.assert_array_equal(dim_packed[0].view(np.float32), r0["dim_dist"])
