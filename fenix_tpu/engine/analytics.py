@@ -913,12 +913,20 @@ def _attrs_device_entries(cache: DeviceCache, join: "JoinSpec", aggregate):
 
 def _use_partitioned(cache: DeviceCache, join: "JoinSpec") -> bool:
     """Partitioned-attrs routing: explicit flag wins; otherwise tables
-    past FENIX_PART_ATTRS_MIN rows stop replicating. The default
-    (8M rows — ~96 MB of int32 key+group+value columns per replica) is
-    MEASURED: on the 8-device virtual mesh the partitioned build+probe
-    crosses below the replicated path between 4M and 8M attr rows
-    (benchmarks/exp_parted_threshold.py) — below that, replicated
-    probes win on per-query latency once built."""
+    past FENIX_PART_ATTRS_MIN rows (default 1M) stop replicating.
+
+    MEASURED (benchmarks/exp_parted_threshold.py, 8-device virtual
+    mesh, 2026-08-21): the partitioned route is never slower at any
+    size tried — warm latency flat at ~7-11 ms from 64k to 8M attr
+    rows while the replicated probe grows 9 → 252 ms (the growth is
+    partly a CPU-backend artifact: replicated [A] arrays re-copy into
+    every virtual-device dispatch, where real chips hold them in HBM),
+    and builds are cheaper too (4.5 s vs 6.5 s at 8M). The 1M default
+    is therefore memory-driven with measured latency cover: above it,
+    S-fold replication costs real HBM (≥24 MB/replica for key+group+
+    value at 8 B each) for no measured latency win; below it,
+    replication is kept only because its per-replica cost is noise and
+    the partitioned layout pads to a _shard_block minimum."""
     if cache.mesh is None:
         if join.partitioned:
             # Partitioning REQUIRES a mesh; a single-device/FENIX_MESH=off
@@ -934,7 +942,7 @@ def _use_partitioned(cache: DeviceCache, join: "JoinSpec") -> bool:
         return False
     if join.partitioned is not None:
         return bool(join.partitioned)
-    threshold = int(os.environ.get("FENIX_PART_ATTRS_MIN", str(8 << 20)))
+    threshold = int(os.environ.get("FENIX_PART_ATTRS_MIN", str(1 << 20)))
     return cache.host_table(join.source).num_rows >= threshold
 
 

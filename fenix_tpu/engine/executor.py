@@ -604,6 +604,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     metric = distance_ops.canonical_metric(metric)
 
     n_pad, rows = corpus.rows_padded, corpus.rows
+    views = cache.host_column_views(req.source, data, snap_stamp, req.coding)
 
     # Filter plan: device pushdown when the predicate is device-
     # evaluable (no per-query mask transfer), host mask fallback
@@ -620,7 +621,7 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
     if req.maxval is None:
         return _execute_nomax(
             cache, req, data, corpus, plan, coding_data, metric,
-            target, value_dtype, select, snap_stamp,
+            target, value_dtype, select, snap_stamp, views,
         )
 
     # --- top-k path ------------------------------------------------------
@@ -656,7 +657,8 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
             dists, ids = topk2.unpack_result(packed)
             return gather_results(
-                data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
+                data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype,
+                views=views,
             )
 
         use_clustered = _clustered_eligible(coding_data)
@@ -685,7 +687,8 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
             _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
             dists, ids = topk2.unpack_result(packed)
             return gather_results(
-                data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
+                data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype,
+                views=views,
             )
 
         corpus_s, coded_s, orig_ids = cache.clustered(req.coding, req.source, req.column)
@@ -745,7 +748,10 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
 
     _check_revision(cache, req.source, req.column, req.coding, snap_stamp)
     dists, ids = topk2.unpack_result(packed)  # single roundtrip fetch
-    return gather_results(data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype)
+    return gather_results(
+        data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype,
+        views=views,
+    )
 
 
 def _execute_nomax(
@@ -760,6 +766,7 @@ def _execute_nomax(
     value_dtype,
     select: Sequence[str],
     snap_stamp: tuple,
+    views: "dict | None" = None,
 ) -> pa.Table:
     """No-top-k read (``maxval=None``): every selected row with its
     exact distance, streamed through the device (fenix_tpu.ops.select) —
@@ -868,7 +875,7 @@ def _execute_nomax(
         # (table) order — the reference's filter-preserved order
         ids_all = np.concatenate(ids_parts, axis=1)
         d_all = np.concatenate(dist_parts, axis=1)
-    return gather_results(data, select, d_all, ids_all, value_dtype)
+    return gather_results(data, select, d_all, ids_all, value_dtype, views=views)
 
 
 def batchable(req: SearchRequest) -> bool:
@@ -944,6 +951,7 @@ def _execute_search_batched_once(
     dim = column_type.list_size
     metric = distance_ops.canonical_metric(r0.metric)
     rows = corpus.rows
+    views = cache.host_column_views(r0.source, data, snap_stamp, r0.coding)
 
     targets = [normalize_target(r.target, dim) for r in reqs]
     counts = [t.shape[0] for t in targets]
@@ -1067,6 +1075,7 @@ def _execute_search_batched_once(
                     dists[offset : offset + c, :m],
                     ids[offset : offset + c, :m],
                     value_dtype,
+                    views=views,
                 )
             )
             offset += c
@@ -1081,25 +1090,55 @@ def gather_results(
     dists: np.ndarray,  # [Q, k]
     ids: np.ndarray,  # [Q, k] (−1 padding)
     value_dtype,
+    views: "dict | None" = None,
 ) -> pa.Table:
     """Host-side result materialization: take winning rows, append the
     distance column, add ``__QUERY_ID__`` for multi-query batches.
 
-    One ``take`` over the concatenated id list — per-query takes cost
-    ~Q Arrow kernel dispatches per batch and dominated large-batch
-    serving."""
+    Fast path (``views`` from session.host_column_views): columns with
+    zero-copy numpy views gather via the threaded native path and wrap
+    straight into single-chunk Arrow arrays — the full-table Arrow
+    ``take`` measured 4.2 ms of a config-5 batch on chip
+    (benchmarks/exp_cfg5_decomp.py; VERDICT r3 weak #3). Columns
+    without a view (strings, extension types, nullable) fall back to a
+    per-column Arrow take, preserving their exact result types."""
+    from fenix_tpu import native
     from fenix_tpu.utils import profiling
 
     with profiling.annotate("fenix.result_gather"):
         num_queries, k = ids.shape
         valid = ids >= 0  # [Q, k]
         row_ids = ids[valid].astype(np.int64)
-        out = data.take(pa.array(row_ids))
-        out = out.append_column(DIST_COL, pa.array(dists[valid].astype(value_dtype)))
-        out = out.select(select)
+
+        names: list[str] = []
+        arrays: list[pa.Array | pa.ChunkedArray] = []
+        ids_arr: pa.Array | None = None
+        for name in select:
+            if name == DIST_COL:
+                names.append(DIST_COL)
+                arrays.append(pa.array(dists[valid].astype(value_dtype)))
+                continue
+            view = views.get(name) if views is not None else None
+            if view is not None:
+                v, value_type = view
+                if v.ndim == 2:
+                    gathered = native.gather_rows(v, row_ids)
+                    arr = ingest.numpy_to_fixed_size_list(gathered, value_type)
+                else:
+                    arr = pa.array(v[row_ids])
+            else:
+                if ids_arr is None:
+                    ids_arr = pa.array(row_ids)
+                arr = data.column(name).take(ids_arr)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()  # result-sized, cheap
+            names.append(name)
+            arrays.append(arr)
+
         if num_queries > 1:
             qids = np.broadcast_to(
                 np.arange(num_queries, dtype=np.int64)[:, None], (num_queries, k)
             )[valid]
-            out = out.append_column(QUERY_COL, pa.array(qids))
-        return out.combine_chunks()
+            names.append(QUERY_COL)
+            arrays.append(pa.array(qids))
+        return pa.table(dict(zip(names, arrays)))

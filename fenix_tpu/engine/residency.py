@@ -450,6 +450,7 @@ def execute_many(cache, reqs: Sequence, mode: str) -> "list[pa.Table]":
         if cache.snapshot_stamp(r0.source, r0.column) != stamp:
             continue
 
+        views = cache.host_column_views(r0.source, data, stamp)
         out = []
         offset = 0
         for req, c in zip(reqs, counts):
@@ -463,6 +464,7 @@ def execute_many(cache, reqs: Sequence, mode: str) -> "list[pa.Table]":
                     dist[offset : offset + c, :m],
                     ids[offset : offset + c, :m],
                     value_dtype,
+                    views=views,
                 )
             )
             offset += c

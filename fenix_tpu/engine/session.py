@@ -405,6 +405,61 @@ class DeviceCache:
                 self._masks.popitem(last=False)
         return mask
 
+    def host_column_views(
+        self,
+        source: str | Sequence[str],
+        data: pa.Table,
+        token,
+        variant: "str | None" = None,
+    ) -> dict:
+        """Zero-copy numpy views of the RESULT-GATHERABLE host columns
+        of ``data``: null-free int/float/bool primitives (1-D views) and
+        plain float FixedSizeList vectors ([N, D] views).
+
+        Feeds the executor's numpy result-materialization fast path
+        (gather_results): Arrow ``take`` over the full table measured
+        4.2 ms of a config-5 batch on chip (benchmarks/
+        exp_cfg5_decomp.py, VERDICT r3 weak #3) — a threaded native
+        gather over pre-combined views does the same materialization in
+        a fraction. Extension-typed, string, and nullable columns are
+        ABSENT from the dict; the executor falls back to Arrow take per
+        column (dequantizing a quint8 column into a plain float result
+        would silently change the result schema).
+
+        Views are built FROM THE CALLER'S snapshot table and memoized
+        under the caller's revision ``token`` (``variant`` separates
+        the plain and coded-table shapes) — a concurrent mutation can
+        never pair a newer view with older row ids, the same binding
+        rule as every other snapshot consumer."""
+        key = _source_key(source)
+        ckey = (key, "host_column_views", variant)
+
+        def build() -> dict:
+            views: dict = {}
+            for name in data.column_names:
+                col = data.column(name)
+                t = col.type
+                try:
+                    if col.null_count:
+                        continue
+                    if isinstance(t, pa.ExtensionType):
+                        continue
+                    if pa.types.is_fixed_size_list(t) and pa.types.is_floating(
+                        t.value_type
+                    ):
+                        views[name] = (ingest.fixed_size_list_to_numpy(col), t.value_type)
+                    elif (
+                        pa.types.is_integer(t)
+                        or pa.types.is_floating(t)
+                        or pa.types.is_boolean(t)
+                    ):
+                        views[name] = (ingest.scalar_column_to_numpy(col), None)
+                except (pa.ArrowInvalid, ValueError):
+                    continue  # non-viewable layout: Arrow take fallback
+            return views
+
+        return self._memo(self._host, ckey, token, build)
+
     def int8_solo(self, source: str | Sequence[str], column: str):
         """Per-row symmetric int8 device copy ``(v8, sv)`` built WITHOUT
         fp32 device residency: scales and codes are computed on the host
