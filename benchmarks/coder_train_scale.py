@@ -1,0 +1,129 @@
+"""Coder (k-means) training at config-2 scale (VERDICT r3 #4).
+
+Chip leg: streaming multi-codebook training over a 10M×768 HOST corpus
+(ops.kmeans.train_streaming — the path coder.make routes to past the
+HBM budget, pinned in tests/test_coder_index.py): rows/s, epoch wall.
+The reference trains the same loop on CPU from a memory-mapped file
+(coder.py:94-127) — this measures the TPU rewrite's claim at a scale
+the reference's own tests never reach (100k rows).
+
+Mesh leg (--mesh-curve, CPU): train_sharded epoch time at 1/2/4/8
+virtual devices over 1M×128 — the data-parallel efficiency curve
+(per-step Lloyd statistics psum over the mesh).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python -m benchmarks.coder_train_scale
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python -m benchmarks.coder_train_scale --mesh-curve
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from benchmarks import common
+
+
+def main() -> None:
+    p = common.parser("coder training at scale")
+    p.add_argument("--mesh-curve", action="store_true")
+    p.add_argument("--books", type=int, default=2)
+    p.add_argument("--k", type=int, default=256)
+    p.add_argument("--batch", type=int, default=1024)
+    args = p.parse_args()
+    if args.mesh_curve:
+        return mesh_curve()
+
+    from fenix_tpu.ops import kmeans
+
+    n = int(10_000_000 * min(args.scale, 1.0)) // 128 * 128 or 12800
+    d = 768
+    chunk = min(n, 524_288)
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    corpus = np.empty((n, d), np.float32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        corpus[s:e] = rng.standard_normal((e - s, d), dtype=np.float32)
+    print(f"# gen {corpus.nbytes/1e9:.1f} GB in {time.perf_counter()-t0:.0f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    cbs = kmeans.train_streaming(
+        corpus, 0,
+        num_codebooks=args.books, codebook_size=args.k,
+        batch_size=args.batch, num_epochs=1, metric="l2",
+    )
+    cbs_np = np.asarray(cbs)
+    epoch_s = time.perf_counter() - t0
+    assert np.isfinite(cbs_np).all()
+
+    rows_per_step = args.books * args.batch
+    steps = n // rows_per_step
+    rows_consumed = steps * rows_per_step
+    common.emit(
+        "coder_train_rows_per_sec_10Mx768",
+        rows_consumed / epoch_s,
+        "rows/s",
+        n=n, d=d, num_codebooks=args.books, codebook_size=args.k,
+        batch_size=args.batch, steps=steps,
+        epoch_seconds=round(epoch_s, 1),
+        host_to_device_gbytes=round(rows_consumed * d * 4 / 1e9, 1),
+        route="train_streaming (host corpus, double-buffered chunks)",
+    )
+
+
+def mesh_curve() -> None:
+    import jax
+
+    from fenix_tpu.ops import kmeans
+    from fenix_tpu.parallel import mesh as mesh_mod
+    from fenix_tpu.parallel import search as psearch
+
+    n, d = 1_048_576, 128
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+
+    import json
+
+    for n_dev in (1, 2, 4, 8):
+        if n_dev == 1:
+            import jax.numpy as jnp
+
+            corpus_dev = jnp.asarray(corpus)
+            t0 = time.perf_counter()
+            out = kmeans.train(
+                corpus_dev, 0, num_codebooks=2, codebook_size=64,
+                batch_size=512, num_epochs=1, metric="l2",
+            )
+            np.asarray(out)
+            warm = None
+            # second run = compiled
+            t0 = time.perf_counter()
+            out = kmeans.train(
+                corpus_dev, 1, num_codebooks=2, codebook_size=64,
+                batch_size=512, num_epochs=1, metric="l2",
+            )
+            np.asarray(out)
+            warm = time.perf_counter() - t0
+        else:
+            mesh = mesh_mod.make_mesh(devices=jax.devices()[:n_dev])
+            corpus_dev, _ = psearch.shard_corpus(mesh, corpus, block=1024)
+            run = lambda seed: np.asarray(
+                kmeans.train_sharded(
+                    mesh, corpus_dev, n, seed, num_codebooks=2,
+                    codebook_size=64, batch_size=512, num_epochs=1, metric="l2",
+                )
+            )
+            run(0)  # compile
+            t0 = time.perf_counter()
+            run(1)
+            warm = time.perf_counter() - t0
+        print(json.dumps({"devices": n_dev, "epoch_s": round(warm, 2),
+                          "rows_per_s": round(n / warm, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

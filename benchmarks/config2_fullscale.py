@@ -44,7 +44,16 @@ WINDOW = 4096  # fp32-rescore window per query (quantization-graded rank)
 def main() -> None:
     p = common.parser("config2 full-scale filtered L2 top-100")
     p.add_argument("--window", type=int, default=WINDOW)
+    p.add_argument(
+        "--engine",
+        action="store_true",
+        help="run THROUGH the executor (int8-resident residency mode, "
+        "engine/residency.py) instead of the hand-rolled phases — the "
+        "round-4 'engine owns the at-spec path' measurement",
+    )
     args = p.parse_args()
+    if args.engine:
+        return main_engine(args)
 
     import jax
     import jax.numpy as jnp
@@ -228,6 +237,134 @@ def main() -> None:
         recall_at_100=recall,
         residency="int8 on chip (7.4 GB), fp32 host-resident",
     )
+
+
+
+
+def main_engine(args) -> None:
+    """Config 2 AT SPEC through the ENGINE (VERDICT r3 #1/#2): the
+    catalog owns the table, the residency router picks int8-resident
+    under FENIX_HBM_BUDGET, phase B rescores ON THE HOST — a Flight
+    client issuing the same descriptor takes exactly this path."""
+    import os
+    import shutil
+    import tempfile
+
+    os.environ.setdefault("FENIX_HBM_BUDGET", str(8_500_000_000))
+
+    import pyarrow as pa
+
+    from fenix_tpu import expr
+    from fenix_tpu.engine import executor as ex
+    from fenix_tpu.engine.session import DeviceCache
+    from fenix_tpu.io import ingest, table
+    from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+    n = int(10_000_000 * min(args.scale, 1.0)) // 128 * 128 or 1280
+    d, k, q = 768, 100, 8
+    chunk = min(n, 524_288)
+    rng = np.random.default_rng(0)
+    tags = rng.integers(0, 10, n)
+
+    root = tempfile.mkdtemp(prefix="fenix_cfg2e_")
+    try:
+        t0 = time.perf_counter()
+        corpus_np = np.empty((n, d), np.float32)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            corpus_np[s:e] = rng.standard_normal((e - s, d), dtype=np.float32)
+        print(f"# gen {corpus_np.nbytes/1e9:.1f} GB in {time.perf_counter()-t0:.0f}s",
+              flush=True)
+
+        t0 = time.perf_counter()
+        table.make(root, "c2", pa.table({
+            "id": pa.array(np.arange(n)),
+            "tag": pa.array(tags.astype(np.int64)),
+            "vector": ingest.numpy_to_fixed_size_list(corpus_np, pa.float32()),
+        }).to_reader())
+        del corpus_np
+        print(f"# catalog write in {time.perf_counter()-t0:.0f}s", flush=True)
+
+        cache = DeviceCache(root, mesh=None)
+        queries = rng.standard_normal((q, d)).astype(np.float32)
+        filt = expr.field("tag") < 3  # 30% selectivity
+
+        def req(target):
+            return ex.SearchRequest(
+                source="c2", column="vector", target=target, metric="l2",
+                maxval=k, filter=filt,
+                extra={"window": min(args.window, n)},
+            )
+
+        from fenix_tpu.engine import residency
+
+        mode = residency.plan(cache, req(queries))
+        print(f"# residency plan: {mode}", flush=True)
+
+        t0 = time.perf_counter()
+        out = ex.execute_search(cache, req(queries))  # cold: builds int8_solo
+        t_cold = time.perf_counter() - t0
+        assert METRICS.snapshot().get("search.residency_int8", 0) >= 1
+        print(f"# cold (int8 build + compile + search): {t_cold:.1f}s", flush=True)
+
+        ids_dev = np.asarray(out.column("id")).reshape(q, k)
+        dist_dev = np.asarray(out.column(ex.DIST_COL)).reshape(q, k)
+
+        # warm e2e timing
+        iters = max(args.iters // 2, 5)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            qs = rng.standard_normal((q, d)).astype(np.float32)
+            last = ex.execute_search(cache, req(qs))
+        t_e2e = (time.perf_counter() - t0) / iters
+        assert last.num_rows == q * k
+
+        # recall@100 vs an independent float64 host oracle
+        host = cache.host_matrix("c2", "vector")
+        valid_np = tags < 3
+        qq64 = queries.astype(np.float64)
+        best = np.full((q, 0), np.inf)
+        best_ids = np.zeros((q, 0), np.int64)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sub = host[s:e][valid_np[s:e]].astype(np.float64)
+            sub_ids = np.nonzero(valid_np[s:e])[0] + s
+            d2 = (
+                (qq64 * qq64).sum(1)[:, None]
+                - 2.0 * qq64 @ sub.T
+                + (sub * sub).sum(1)[None, :]
+            )
+            dd = np.sqrt(np.maximum(d2, 0.0))
+            alld = np.concatenate([best, dd], axis=1)
+            alli = np.concatenate(
+                [best_ids, np.broadcast_to(sub_ids, (q, len(sub_ids)))], axis=1
+            )
+            keep = min(256, alld.shape[1])
+            part = np.argpartition(alld, keep - 1, axis=1)[:, :keep]
+            best = np.take_along_axis(alld, part, axis=1)
+            best_ids = np.take_along_axis(alli, part, axis=1)
+        recall = 0.0
+        for i in range(q):
+            order = np.lexsort((best_ids[i], best[i]))
+            oracle = set(best_ids[i][order][:k].tolist())
+            recall += len(oracle & set(ids_dev[i].tolist())) / k
+        recall /= q
+        assert recall == 1.0, f"recall@{k} = {recall} != 1.0"
+
+        common.emit(
+            "config2_engine_e2e_seconds_per_batch8",
+            t_e2e,
+            "s/batch",
+            n=n, d=d, k=k, selectivity=0.3, window=min(args.window, n),
+            e2e_qps=round(q / t_e2e, 2),
+            e2e_rows_per_s=round(n / t_e2e, 1),
+            recall_at_100=recall,
+            residency_mode=mode,
+            cold_build_seconds=round(t_cold, 1),
+            route="executor (int8-resident + host fp32 rescore)",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

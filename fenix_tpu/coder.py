@@ -102,6 +102,29 @@ def make(
     seed_u32 = np.uint32(
         seed if seed is not None else np.random.default_rng().integers(1 << 31)
     )
+
+    # Residency routing, same rule as serving (engine/residency.py): a
+    # corpus whose fp32 form exceeds the HBM budget trains STREAMING —
+    # permuted row chunks host→device double-buffered, codebooks the
+    # only persistent device state (kmeans.train_streaming). The
+    # reference trains from a memory-mapped file at any size
+    # (coder.py:94-127); device-resident training must not cap that.
+    from fenix_tpu.engine import residency as residency_mod
+
+    budget = residency_mod.budget_bytes()
+    corpus_bytes = 4 * num_rows * dim
+    if budget is not None and corpus_bytes > 0.9 * budget:
+        codebooks = kmeans.train_streaming(
+            matrix.astype(np.float32, copy=False),
+            int(seed_u32),
+            num_codebooks=n,
+            codebook_size=k,
+            batch_size=b,
+            num_epochs=config["num_epochs"],
+            metric=metric,
+        )
+        return _persist(root, name, config, column_type, codebooks)
+
     mesh = serving_mesh()
     if mesh is not None:
         from fenix_tpu.parallel.search import shard_corpus
@@ -130,6 +153,10 @@ def make(
             metric=metric,
         )
 
+    return _persist(root, name, config, column_type, codebooks)
+
+
+def _persist(root: str, name: str, config: Config, column_type, codebooks) -> Coding:
     path = path_of(root, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp.npz"

@@ -109,6 +109,78 @@ def train(
     return codebooks
 
 
+def train_streaming(
+    matrix,  # np.ndarray [N, D] fp32 HOST corpus
+    seed: int,
+    *,
+    num_codebooks: int,
+    codebook_size: int,
+    batch_size: int,
+    num_epochs: int,
+    metric: str,
+    chunk_rows: int = 1 << 20,
+) -> jax.Array:
+    """Multi-codebook training over a HOST-resident corpus: the corpus
+    never lands on device — permuted row chunks stream host→device
+    double-buffered (io.batch.prefetch_to_device), each chunk running
+    its Lloyd steps as one scanned dispatch while the next chunk's
+    host gather + upload overlaps. Codebooks (the only persistent
+    device state) carry across dispatches via donation.
+
+    This is the coder-training leg of the residency story
+    (engine/residency.py): reference coder.py:94-127 trains from a
+    memory-mapped file on CPU at any corpus size; `train` above needs
+    the fp32 corpus in HBM, which caps it at ~4M×768 on a 16 GB chip.
+    Step math is IDENTICAL to :func:`train` (permutation → sequential
+    ``num_codebooks·batch_size`` batches → vmapped include-self Lloyd
+    step); the documented divergence is the permutation source (host
+    numpy RNG instead of an in-jit threefry — a device permutation
+    cannot index a host corpus), pinned against a hand-rolled
+    per-step oracle in tests/test_coder_index.py."""
+    import numpy as np
+
+    from fenix_tpu import native
+    from fenix_tpu.io import batch as batch_io
+
+    n_rows, dim = matrix.shape
+    rng = np.random.default_rng(seed)
+
+    init_rows = rng.choice(n_rows, codebook_size * num_codebooks, replace=False)
+    codebooks = jnp.asarray(
+        native.gather_rows(matrix, init_rows.astype(np.int64))
+    ).reshape(num_codebooks, codebook_size, dim)
+
+    rows_per_step = num_codebooks * batch_size
+    steps_total = n_rows // rows_per_step
+    steps_per_chunk = max(1, chunk_rows // rows_per_step)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("metric_",))
+    def run_chunk(cbs, chunk, metric_):
+        # chunk [steps, num_codebooks, batch_size, D]
+        def step(cbs, sample):
+            return (
+                jax.vmap(lloyd_step_single, in_axes=(0, 0, None))(cbs, sample, metric_),
+                None,
+            )
+
+        cbs, _ = jax.lax.scan(step, cbs, chunk)
+        return cbs
+
+    def chunks():
+        for _ in range(num_epochs):
+            perm = rng.permutation(n_rows)[: steps_total * rows_per_step]
+            for s0 in range(0, steps_total, steps_per_chunk):
+                s1 = min(s0 + steps_per_chunk, steps_total)
+                idx = perm[s0 * rows_per_step : s1 * rows_per_step]
+                yield native.gather_rows(matrix, idx.astype(np.int64)).reshape(
+                    s1 - s0, num_codebooks, batch_size, dim
+                )
+
+    for chunk_dev in batch_io.prefetch_to_device(chunks()):
+        codebooks = run_chunk(codebooks, chunk_dev, metric_=metric)
+    return codebooks
+
+
 def train_sharded(
     mesh: jax.sharding.Mesh,
     corpus: jax.Array,  # [N_pad, D] row-sharded over every mesh axis

@@ -339,3 +339,68 @@ def test_multi_source_probed_clustered(root, rng):
         rows_q = np.asarray(got.column("id"))[got_pos == qi]
         want = all_ids[i_ref[qi][i_ref[qi] >= 0]]
         np.testing.assert_array_equal(rows_q, want)
+
+
+# -- streaming training (host corpus, VERDICT r4: coder past HBM) ---------
+
+
+def test_train_streaming_matches_per_step_oracle(rng):
+    """train_streaming's math is IDENTICAL to a hand-rolled loop of
+    per-step Lloyd updates over the same host permutation — chunking
+    and double-buffering must not change the update sequence."""
+    import jax.numpy as jnp
+
+    from fenix_tpu.ops import kmeans
+
+    n, d, books, k, b, epochs, seed = 2048, 8, 2, 4, 64, 2, 7
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+
+    got = np.asarray(
+        kmeans.train_streaming(
+            matrix, seed, num_codebooks=books, codebook_size=k,
+            batch_size=b, num_epochs=epochs, metric="l2",
+            chunk_rows=384,  # forces several ragged chunks per epoch
+        )
+    )
+
+    oracle_rng = np.random.default_rng(seed)
+    init = oracle_rng.choice(n, k * books, replace=False)
+    cbs = jnp.asarray(matrix[init].reshape(books, k, d))
+    rows_per_step = books * b
+    steps = n // rows_per_step
+    for _ in range(epochs):
+        perm = oracle_rng.permutation(n)[: steps * rows_per_step]
+        for s in range(steps):
+            sample = jnp.asarray(
+                matrix[perm[s * rows_per_step : (s + 1) * rows_per_step]].reshape(
+                    books, b, d
+                )
+            )
+            cbs = kmeans.lloyd_step(cbs, sample, "l2")
+    np.testing.assert_allclose(got, np.asarray(cbs), atol=1e-5, rtol=1e-5)
+
+
+def test_coder_make_routes_streaming_past_budget(tmp_path, rng, monkeypatch):
+    """coder.make over a corpus past FENIX_HBM_BUDGET trains through the
+    streaming path and produces a servable coder."""
+    import pyarrow as pa
+
+    from fenix_tpu import coder as coder_mod
+    from fenix_tpu import index as index_mod
+    from fenix_tpu.io import ingest, table
+
+    root = str(tmp_path)
+    n, d = 4096, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    table.make(root, "t", pa.table({
+        "id": pa.array(np.arange(n)),
+        "vector": ingest.numpy_to_fixed_size_list(vecs, pa.float32()),
+    }).to_reader())
+
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(64 << 10))  # 64 KB: force streaming
+    cfg = {"metric": "l2", "codebook_size": 4, "num_codebooks": 2,
+           "batch_size": 128, "num_epochs": 1}
+    coding = coder_mod.make(root, "c", "t", "vector", cfg, seed=0)
+    assert np.isfinite(coding["tensor"]).all()
+    monkeypatch.delenv("FENIX_HBM_BUDGET")
+    index_mod.make(root, "c", "t", "vector")  # probed search stays servable
