@@ -46,10 +46,10 @@ def main():
     wrap(ex, "normalize_target", "normalize_target")
 
     filt = expr.field("tag") < 3
-    def run(f):
+    def run(f, select=None):
         return ex.execute_search(cache, ex.SearchRequest(
             source="bench5", column="vector", target=targets,
-            metric="cosine", maxval=k, filter=f))
+            metric="cosine", maxval=k, filter=f, select=select))
     run(filt); run(None)  # warm
     acc.clear()
     iters = 8
@@ -59,6 +59,19 @@ def main():
     total = (time.perf_counter() - t0) / iters
     out = {k_: round(v / iters * 1e3, 2) for k_, v in acc.items()}
     out["total_ms"] = round(total * 1e3, 2)
+
+    # select without the vector column: the result gather is then
+    # ~Q·k scalars instead of an 8 MB vector copy — the realistic
+    # high-QPS serving shape (clients rarely re-fetch raw vectors)
+    acc.clear()
+    run(None, select=["id", "tag"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        run(filt if i % 2 else None, select=["id", "tag"])
+    out["total_ms_select_scalars"] = round((time.perf_counter() - t0) / iters * 1e3, 2)
+    out["gather_ms_select_scalars"] = round(
+        acc.get("gather_results", 0.0) / (iters + 1) * 1e3, 2
+    )
     # kernel-only reference: same corpus through the raw two-phase jit
     import jax.numpy as jnp
     from fenix_tpu.ops import topk2
