@@ -236,6 +236,24 @@ def main() -> None:
                 "recall_at_100": 1.0,
                 "residency": "int8 on chip (7.4 GB), fp32 host-resident",
             },
+            # Round 4: the same workload THROUGH THE EXECUTOR — the
+            # residency router auto-picks int8-resident (int8 on chip,
+            # exact host fp32 rescore of phase-A windows) under
+            # FENIX_HBM_BUDGET=9e9; a Flight client issuing the same
+            # descriptor takes exactly this path
+            # (benchmarks/config2_fullscale.py --engine, 2026-08-21).
+            "config2_engine_10Mx768_measured": {
+                "date": "2026-08-21",
+                "e2e_seconds_per_batch8": 0.29,
+                "e2e_qps": 27.4,
+                "e2e_rows_per_s": 34.2e6,
+                "recall_at_100": 1.0,
+                "residency_mode": "int8 (auto-routed)",
+                "cold_build_seconds": 1447.1,
+                "was_round3": "3.19 s/batch-8 as a hand-rolled script "
+                "(the fp32 window shipped to the device; now the host "
+                "rescores and nothing corpus-sized crosses the link)",
+            },
         },
     }
     print(json.dumps(result))

@@ -28,12 +28,15 @@ from benchmarks import common
 def main() -> None:
     p = common.parser("coder training at scale")
     p.add_argument("--mesh-curve", action="store_true")
+    p.add_argument("--device-steps", action="store_true")
     p.add_argument("--books", type=int, default=2)
     p.add_argument("--k", type=int, default=256)
     p.add_argument("--batch", type=int, default=1024)
     args = p.parse_args()
     if args.mesh_curve:
         return mesh_curve()
+    if args.device_steps:
+        return device_steps(args)
 
     from fenix_tpu.ops import kmeans
 
@@ -73,6 +76,57 @@ def main() -> None:
         host_to_device_gbytes=round(rows_consumed * d * 4 / 1e9, 1),
         route="train_streaming (host corpus, double-buffered chunks)",
     )
+
+
+def device_steps(args) -> None:
+    """Device-only Lloyd step rate at the 768-d config-2 shape: one
+    resident [steps, books, batch, D] chunk, scanned — attributes the
+    full-epoch wall (transfer-bound through this tunnel) vs the actual
+    device training rate."""
+    import functools as ft
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from fenix_tpu.ops import kmeans
+
+    d = 768
+    steps = 128
+    rng = np.random.default_rng(0)
+    chunk = jnp.asarray(
+        rng.standard_normal((steps, args.books, args.batch, d)).astype(np.float32)
+    )
+    cbs = jnp.asarray(
+        rng.standard_normal((args.books, args.k, d)).astype(np.float32)
+    )
+
+    @ft.partial(jax.jit, static_argnames=("metric_",))
+    def run_chunk(cbs_, chunk_, metric_):
+        def step(c, sample):
+            return (
+                jax.vmap(kmeans.lloyd_step_single, in_axes=(0, 0, None))(
+                    c, sample, metric_
+                ),
+                None,
+            )
+
+        out, _ = jax.lax.scan(step, cbs_, chunk_)
+        return out
+
+    np.asarray(run_chunk(cbs, chunk, "l2"))  # compile
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        out = run_chunk(cbs, chunk, "l2")
+    np.asarray(out)
+    per_step = (time.perf_counter() - t0) / (iters * steps)
+    rows_per_step = args.books * args.batch
+    print(json.dumps({
+        "device_ms_per_step": round(per_step * 1e3, 3),
+        "device_rows_per_s": round(rows_per_step / per_step, 1),
+        "epoch_device_seconds_at_10M": round(per_step * (10_000_000 // rows_per_step), 1),
+    }), flush=True)
 
 
 def mesh_curve() -> None:

@@ -268,22 +268,31 @@ def main_engine(args) -> None:
 
     root = tempfile.mkdtemp(prefix="fenix_cfg2e_")
     try:
+        # generate + ingest STREAMING (record batches): one pa.table
+        # would hold a 7.7B-element FixedSizeList flat array, past
+        # Arrow's 2^31 per-array limit, and 30 GB of transient RAM
         t0 = time.perf_counter()
-        corpus_np = np.empty((n, d), np.float32)
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            corpus_np[s:e] = rng.standard_normal((e - s, d), dtype=np.float32)
-        print(f"# gen {corpus_np.nbytes/1e9:.1f} GB in {time.perf_counter()-t0:.0f}s",
-              flush=True)
+        schema = pa.schema(
+            {"id": pa.int64(), "tag": pa.int64(),
+             "vector": pa.list_(pa.float32(), d)}
+        )
 
-        t0 = time.perf_counter()
-        table.make(root, "c2", pa.table({
-            "id": pa.array(np.arange(n)),
-            "tag": pa.array(tags.astype(np.int64)),
-            "vector": ingest.numpy_to_fixed_size_list(corpus_np, pa.float32()),
-        }).to_reader())
-        del corpus_np
-        print(f"# catalog write in {time.perf_counter()-t0:.0f}s", flush=True)
+        def batches():
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                block = rng.standard_normal((e - s, d), dtype=np.float32)
+                yield pa.record_batch(
+                    [
+                        pa.array(np.arange(s, e)),
+                        pa.array(tags[s:e].astype(np.int64)),
+                        ingest.numpy_to_fixed_size_list(block, pa.float32()),
+                    ],
+                    schema=schema,
+                )
+
+        table.make(root, "c2", pa.RecordBatchReader.from_batches(schema, batches()))
+        print(f"# gen+ingest {n*d*4/1e9:.1f} GB in {time.perf_counter()-t0:.0f}s",
+              flush=True)
 
         cache = DeviceCache(root, mesh=None)
         queries = rng.standard_normal((q, d)).astype(np.float32)

@@ -48,7 +48,22 @@ def fixed_size_list_to_numpy(array: pa.Array | pa.ChunkedArray) -> np.ndarray:
     assumption).
     """
     if isinstance(array, pa.ChunkedArray):
-        array = array.combine_chunks()
+        if array.num_chunks == 1:
+            array = array.chunk(0)
+        else:
+            # combine_chunks would build ONE array, capped at 2^31 flat
+            # elements (a 10M×768 column is 7.7B) — copy per chunk into
+            # a preallocated matrix instead (peak = 1× the output)
+            views = [fixed_size_list_to_numpy(c) for c in array.chunks]
+            out = np.empty(
+                (sum(v.shape[0] for v in views), views[0].shape[1]),
+                views[0].dtype,
+            )
+            off = 0
+            for v in views:
+                out[off : off + v.shape[0]] = v
+                off += v.shape[0]
+            return out
     dequant = None
     if isinstance(array, pa.ExtensionArray):
         from fenix_tpu.types import quint8 as quint8_mod

@@ -377,3 +377,19 @@ def test_dropped_table_parts_never_resurrect(tmp_path):
     os.unlink(table.path_of(root, "t"))
     table.append(root, "t", pa.table({"id": pa.array([8])}))  # create path
     assert np.asarray(table.load(root, "t").column("id")).tolist() == [8]
+
+
+def test_fixed_size_list_to_numpy_multichunk(rng):
+    """Columns past 2^31 flat elements cannot combine_chunks — the
+    multi-chunk path copies per chunk into one matrix (pinned at small
+    scale; the capacity case is the 10M×768 engine benchmark)."""
+    import pyarrow as pa
+
+    from fenix_tpu.io import ingest
+
+    m = rng.standard_normal((1000, 8)).astype(np.float32)
+    ch = pa.chunked_array([
+        ingest.numpy_to_fixed_size_list(m[:400], pa.float32()),
+        ingest.numpy_to_fixed_size_list(m[400:], pa.float32()),
+    ])
+    np.testing.assert_array_equal(ingest.fixed_size_list_to_numpy(ch), m)
