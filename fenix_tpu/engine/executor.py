@@ -712,7 +712,8 @@ def _execute_search_once(cache: DeviceCache, req: SearchRequest) -> pa.Table:
         # kernel returns ORIGINAL ids already ordered by (dist, id)
         dists, ids = topk2.unpack_result(packed)
         return gather_results(
-            data, select, dists[:num_queries, :k], ids[:num_queries, :k], value_dtype
+            data, select, dists[:num_queries, :k], ids[:num_queries, :k],
+            value_dtype, views=views,
         )
     elif cache.mesh is not None:
         # Mesh-sharded exact scan: every shard runs the two-phase kernel

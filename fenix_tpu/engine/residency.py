@@ -45,6 +45,7 @@ from fenix_tpu import native
 from fenix_tpu.io import batch as batch_io
 from fenix_tpu.io import ingest
 from fenix_tpu.ops import distance as distance_ops
+from fenix_tpu.utils import hbm
 from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
 DUAL = "dual"
@@ -62,30 +63,9 @@ _SAFETY = 0.9
 _DEFAULT_WINDOW = 4096
 
 
-def budget_bytes() -> "int | None":
-    """Usable HBM budget in bytes: FENIX_HBM_BUDGET wins (it is the
-    measured-usable number on tunneled devices, where the backend's
-    reported limit overstates reality — docs/DESIGN.md "HBM capacity");
-    falls back to the device's reported bytes_limit; None = unknown
-    (router keeps today's dual behavior)."""
-    env = os.environ.get("FENIX_HBM_BUDGET", "")
-    if env:
-        try:
-            b = int(env)
-            if b > 0:
-                return b
-        except ValueError:
-            pass
-    try:
-        import jax
-
-        stats = jax.local_devices()[0].memory_stats() or {}
-        limit = stats.get("bytes_limit")
-        if limit:
-            return int(limit)
-    except Exception:
-        return None
-    return None
+# one parser + one memoized device fallback for every budget consumer
+# (router, cache evictor, streaming trainer) — utils/hbm.py
+budget_bytes = hbm.budget_bytes
 
 
 def plan(cache, req) -> str:
@@ -107,14 +87,22 @@ def plan(cache, req) -> str:
     data = cache.host_table(req.source)
     dim = ingest.vector_type(data.schema.field(req.column).type).list_size
     n_pad = max(ingest.round_up(data.num_rows, cache.block), cache.block)
+    n_dev = 1
     if cache.mesh is not None:
         n_pad = max(ingest.round_up(data.num_rows, cache._shard_block), cache._shard_block)
+        # the dual path row-shards corpus/aux/scan copies over the mesh,
+        # so the budget (a PER-DEVICE number) is compared against the
+        # per-device slice — a corpus that fits sharded must keep the
+        # mesh fast path (round-4 review finding: the router was
+        # comparing FULL-corpus bytes and abandoning the mesh for
+        # corpora 1/S of which fit comfortably)
+        n_dev = int(cache.mesh.devices.size)
 
     fp32 = 4 * n_pad * dim
     scan_extra = {"fp32": 0, "bf16": 2 * n_pad * dim, "int8": n_pad * dim}[
         req.precision
     ]
-    dual_need = fp32 + scan_extra + 16 * n_pad
+    dual_need = (fp32 + scan_extra + 16 * n_pad) // n_dev
     avail = _SAFETY * budget
     if dual_need <= avail:
         return DUAL
@@ -130,6 +118,11 @@ def plan(cache, req) -> str:
 
 
 def _check_supported(req, mode: str) -> None:
+    if req.maxval is None:
+        # no-top-k reads run host-side (execute_nomax_host), which
+        # handles probed requests by host cell-ranking — no device
+        # residency involved, nothing to refuse
+        return
     if req.coding is not None and req.probes is not None:
         raise ValueError(
             f"probed (IVF) search requires device residency, but table "
@@ -345,15 +338,16 @@ def stream_topk(
                     mask[start:end], hadd[start:end], np.float32(distance_ops.NEG_INF)
                 )
             if int8_mode:
-                sub = host[start:end]
+                from fenix_tpu.ops import topk2
+
                 sv_c = np.full(chunk, 1e-30, np.float32)
-                sv_c[: end - start] = np.maximum(
-                    np.abs(sub).max(axis=1, initial=0.0) / 127.0, 1e-30
-                )
                 c8 = np.zeros((chunk, dim), np.int8)
-                c8[: end - start] = np.clip(
-                    np.round(sub / sv_c[: end - start, None]), -127, 127
-                ).astype(np.int8)
+                # the ONE shared host quantizer (bit-identical to the
+                # device quantize_corpus_int8 — same contract as
+                # session.int8_solo)
+                c8[: end - start], sv_c[: end - start] = topk2.quantize_rows_int8_np(
+                    host[start:end]
+                )
                 yield start, (c8, sv_c, mul_c, add_c)
             else:
                 buf = np.zeros((chunk, dim), np.float32)

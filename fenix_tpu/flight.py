@@ -569,10 +569,12 @@ class Flight:
         aggregate: dict | None = None,
         precision: str = "fp32",
         residency: str = "auto",
+        extra: dict | None = None,
     ) -> pa.Table:
         assert metric in METRICS_SET, f"metric must be one of {sorted(METRICS_SET)}"
         assert precision in ("fp32", "bf16", "int8"), precision
         assert residency in ("auto", "dual", "int8", "stream"), residency
+        assert extra is None or isinstance(extra, dict), extra
         if filter is not None and not isinstance(filter, expr_mod.Expr):
             raise TypeError("filter must be a fenix_tpu.expr.Expr")
 
@@ -591,6 +593,9 @@ class Flight:
                     "aggregate": aggregate,
                     "precision": precision,
                     "residency": residency,
+                    # per-request knobs (e.g. {"window": ...} widens the
+                    # int8-resident/streaming rescore window)
+                    "extra": extra or {},
                 }
             )
         )

@@ -48,7 +48,13 @@ def fixed_size_list_to_numpy(array: pa.Array | pa.ChunkedArray) -> np.ndarray:
     assumption).
     """
     if isinstance(array, pa.ChunkedArray):
-        if array.num_chunks == 1:
+        if array.num_chunks == 0:
+            # empty table (e.g. delete_rows removed every row): combine
+            # is safe at zero size and yields one empty array of the
+            # right type, so the extension/dequant handling below still
+            # applies — the result is a clean [0, list_size] matrix
+            array = array.combine_chunks()
+        elif array.num_chunks == 1:
             array = array.chunk(0)
         else:
             # combine_chunks would build ONE array, capped at 2^31 flat

@@ -118,7 +118,7 @@ def train_streaming(
     batch_size: int,
     num_epochs: int,
     metric: str,
-    chunk_rows: int = 1 << 20,
+    chunk_rows: "int | None" = None,
 ) -> jax.Array:
     """Multi-codebook training over a HOST-resident corpus: the corpus
     never lands on device — permuted row chunks stream host→device
@@ -152,6 +152,16 @@ def train_streaming(
 
     rows_per_step = num_codebooks * batch_size
     steps_total = n_rows // rows_per_step
+    if chunk_rows is None:
+        # size chunks from the HBM budget like the streaming scan does
+        # (round-4 review finding: a fixed 1M-row chunk is 6.4 GB at
+        # d=1536 and prefetch keeps TWO in flight — RESOURCE_EXHAUSTED
+        # in exactly the past-the-budget regime this path serves):
+        # two in-flight fp32 chunks + codebooks must fit → ~1/4 each
+        from fenix_tpu.utils import hbm
+
+        budget = hbm.budget_bytes() or (2 << 30)
+        chunk_rows = min(1 << 20, max(int(0.9 * budget / 4 / (4 * dim)), 1))
     steps_per_chunk = max(1, chunk_rows // rows_per_step)
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("metric_",))

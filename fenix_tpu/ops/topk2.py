@@ -166,6 +166,26 @@ def quantize_corpus_int8(corpus: jax.Array) -> tuple[jax.Array, jax.Array]:
     return v8, sv
 
 
+def quantize_rows_int8_np(block) -> tuple:
+    """Host (numpy) mirror of :func:`quantize_corpus_int8`: same max/127
+    scale, same 1e-30 zero-row floor, same round+clip. THE single
+    host-side quantizer — session.int8_solo and the residency streaming
+    path both call it, so there is exactly one host implementation to
+    keep in sync with the device one above (round-4 review finding:
+    three hand copies of these constants). Host and device scales can
+    differ by 1 ulp (XLA folds /127 into a reciprocal multiply) — the
+    serving contract is unaffected because final distances are always
+    fp32-rescored against the SAME scales that produced the codes."""
+    import numpy as np
+
+    block = np.asarray(block, np.float32)
+    sv = np.maximum(
+        np.abs(block).max(axis=1, initial=0.0) / 127.0, 1e-30
+    ).astype(np.float32)
+    v8 = np.clip(np.round(block / sv[:, None]), -127, 127).astype(np.int8)
+    return v8, sv
+
+
 def quantize_queries_int8(queries_p: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-query symmetric int8 quantization of *prepared* queries.
 

@@ -393,3 +393,17 @@ def test_fixed_size_list_to_numpy_multichunk(rng):
         ingest.numpy_to_fixed_size_list(m[400:], pa.float32()),
     ])
     np.testing.assert_array_equal(ingest.fixed_size_list_to_numpy(ch), m)
+
+
+def test_fixed_size_list_zero_chunks():
+    """A zero-chunk ChunkedArray (empty table, e.g. delete_rows removed
+    every row) views as a clean [0, D] matrix — the per-chunk copy path
+    added for >2^31-element columns crashed on it (round-4 review)."""
+    import pyarrow as pa
+
+    from fenix_tpu.io import ingest
+
+    arr = pa.chunked_array([], type=pa.list_(pa.float32(), 4))
+    out = ingest.fixed_size_list_to_numpy(arr)
+    assert out.shape == (0, 4)
+    assert out.dtype == np.float32

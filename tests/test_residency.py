@@ -122,26 +122,65 @@ def test_stream_int8_matches_dual(root, rng, monkeypatch):
 
 
 def test_auto_routing_by_budget(root, rng, monkeypatch):
-    cache = executor.get_cache(root)
+    # single-device routing (mesh=None): the regime the int8-resident
+    # mode exists for — one chip whose HBM the corpus outgrows.
+    # dual fp32 need = (4·DIM + 16)·n_pad ≈ 3.93 MB, int8 ≈ 1.57 MB.
+    from fenix_tpu.engine.session import DeviceCache
+
+    cache = DeviceCache(root, mesh=None)
     req = make_req(rng)
 
     monkeypatch.setenv("FENIX_HBM_BUDGET", str(1 << 30))
     assert residency.plan(cache, req) == residency.DUAL
-    monkeypatch.setenv("FENIX_HBM_BUDGET", str(8 << 20))
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(3 << 20))
     assert residency.plan(cache, req) == residency.INT8
     monkeypatch.setenv("FENIX_HBM_BUDGET", str(1 << 20))
     assert residency.plan(cache, req) == residency.STREAM
     monkeypatch.delenv("FENIX_HBM_BUDGET")
 
 
+def test_mesh_budget_is_per_device(root, rng, monkeypatch):
+    """FENIX_HBM_BUDGET is a PER-DEVICE number and the dual path
+    row-shards over the mesh — a corpus whose per-device slice fits
+    must keep the mesh fast path (round-4 review finding: the router
+    compared FULL-corpus bytes and silently abandoned the mesh)."""
+    cache = executor.get_cache(root)  # conftest: 8 virtual devices
+    if cache.mesh is None:
+        pytest.skip("no serving mesh in this configuration")
+    # full dual need ≈ 10.5 MB (shard-block padding), per-device ≈ 1.31
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(8 << 20))
+    assert residency.plan(cache, make_req(rng)) == residency.DUAL
+
+
+def test_hbm_budget_float_notation(root, rng, monkeypatch):
+    """'9e9'-style budgets (the docs' own spelling) parse everywhere;
+    malformed values raise loudly instead of silently planning into
+    2× the usable HBM (round-4 review finding: the router ignored what
+    the evictor crashed on)."""
+    from fenix_tpu.engine.session import DeviceCache
+    from fenix_tpu.utils import hbm
+
+    cache = DeviceCache(root, mesh=None)
+    monkeypatch.setenv("FENIX_HBM_BUDGET", "3e6")
+    assert residency.plan(cache, make_req(rng)) == residency.INT8
+    assert hbm.parse_budget("9e9") == 9_000_000_000
+    monkeypatch.setenv("FENIX_HBM_BUDGET", "lots")
+    with pytest.raises(ValueError, match="FENIX_HBM_BUDGET"):
+        residency.plan(cache, make_req(rng))
+    with pytest.raises(ValueError, match="FENIX_HBM_BUDGET"):
+        cache._maybe_evict(None)
+
+
 def test_auto_budget_serves_endtoend(root, rng, monkeypatch):
     """A table past the budget serves through auto routing with no
     request-side opt-in — the engine, not a benchmark script, owns the
     at-scale path."""
-    cache = executor.get_cache(root)
+    from fenix_tpu.engine.session import DeviceCache
+
+    cache = DeviceCache(root, mesh=None)  # the single-chip regime
     target = rng.standard_normal((3, DIM)).astype(np.float32)
     dual = executor.execute_search(cache, make_req(rng, target=target))
-    monkeypatch.setenv("FENIX_HBM_BUDGET", str(8 << 20))
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(3 << 20))
     before = METRICS.snapshot().get("search.residency_int8", 0)
     got = executor.execute_search(
         cache, make_req(rng, target=target, extra={"window": ROWS})
@@ -150,6 +189,21 @@ def test_auto_budget_serves_endtoend(root, rng, monkeypatch):
     ids_a, _ = _ids_dists(dual, 3)
     ids_b, _ = _ids_dists(got, 3)
     np.testing.assert_array_equal(ids_a, ids_b)
+
+    # through a MESH cache the same budget keeps the sharded dual path;
+    # a budget below even the per-device slice streams instead (int8
+    # single-device residency costs MORE than a dual shard — auto never
+    # picks it when a mesh is up)
+    mesh_cache = executor.get_cache(root)
+    if mesh_cache.mesh is not None:
+        monkeypatch.setenv("FENIX_HBM_BUDGET", str(1 << 20))
+        before = METRICS.snapshot().get("search.residency_stream", 0)
+        got = executor.execute_search(
+            mesh_cache, make_req(rng, target=target)
+        )
+        assert METRICS.snapshot().get("search.residency_stream", 0) == before + 1
+        ids_c, _ = _ids_dists(got, 3)
+        np.testing.assert_array_equal(ids_a, ids_c)
 
 
 def test_probed_oversized_raises_actionably(root, rng):
@@ -216,7 +270,7 @@ def test_flight_serves_oversized_table_end_to_end(root, rng, monkeypatch):
 
     import fenix_tpu
 
-    monkeypatch.setenv("FENIX_HBM_BUDGET", str(8 << 20))
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(1 << 20))
     server = fenix_tpu.Server(root, host="127.0.0.1", port=0)
     thread = threading.Thread(target=server.serve, daemon=True)
     thread.start()
@@ -239,6 +293,87 @@ def test_flight_serves_oversized_table_end_to_end(root, rng, monkeypatch):
         want = sel[np.lexsort((sel, d))][:20]
         np.testing.assert_array_equal(np.asarray(out.column("id")), want)
         stats = client.stats()
+        # 1 MB budget < even the per-device dual slice → auto streams
+        assert stats.get("search.residency_stream", 0) >= 1, stats
+
+        # forced int8-resident with the client-side window override —
+        # the documented per-request knob must be reachable over the
+        # wire (round-4 review finding: Flight.search dropped `extra`)
+        out2 = client.search(
+            target, "vec", "vector", metric="l2", maxval=20,
+            filter=expr.field("tag") == 3,
+            residency="int8", extra={"window": ROWS},
+        )
+        np.testing.assert_array_equal(np.asarray(out2.column("id")), want)
+        stats = client.stats()
         assert stats.get("search.residency_int8", 0) >= 1, stats
     finally:
         server.shutdown()
+
+
+def test_host_quantizer_matches_device(rng):
+    """quantize_rows_int8_np mirrors the device quantize_corpus_int8
+    (ONE host implementation — round-4 review finding: three hand
+    copies). Scales may differ by 1 ulp (XLA folds /127 into a
+    reciprocal multiply), which can move a code across its rounding
+    boundary by at most one step; distances stay exact either way (the
+    rescore is fp32 against the SAME scales that made the codes)."""
+    import jax.numpy as jnp
+
+    from fenix_tpu.ops import topk2
+
+    block = rng.standard_normal((64, DIM)).astype(np.float32)
+    block[7] = 0.0  # zero row exercises the 1e-30 floor
+    v8_h, sv_h = topk2.quantize_rows_int8_np(block)
+    v8_d, sv_d = topk2.quantize_corpus_int8(jnp.asarray(block))
+    np.testing.assert_allclose(sv_h, np.asarray(sv_d), rtol=2e-7)
+    assert np.abs(v8_h.astype(np.int32) - np.asarray(v8_d, np.int32)).max() <= 1
+
+
+def test_nomax_plan_allows_probes(root, rng, monkeypatch):
+    """A probed no-top-k read over an oversized table PLANS instead of
+    raising — execute_nomax_host ranks cells host-side (round-4 review
+    finding: the blanket probes check made that branch unreachable)."""
+    from fenix_tpu.engine.session import DeviceCache
+
+    cache = DeviceCache(root, mesh=None)
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(1 << 20))
+    req = executor.SearchRequest(
+        source="vec", column="vector", metric="l2", maxval=None,
+        target=rng.standard_normal(DIM).astype(np.float32),
+        coding="some/coder", probes=4,
+    )
+    assert residency.plan(cache, req) in (residency.INT8, residency.STREAM)
+
+
+def test_column_views_no_second_corpus_copy(root, rng):
+    """Multi-chunk vector columns (live delta parts) never get a
+    corpus-sized view COPY of their own: absent until the residency
+    path has built host_matrix for the revision, then shared with it
+    (round-4 review finding: 2x corpus host RAM)."""
+    from fenix_tpu.engine.session import DeviceCache
+    from fenix_tpu.io import table as table_mod
+
+    delta = rng.standard_normal((64, DIM)).astype(np.float32)
+    table_mod.append(
+        root, "vec",
+        pa.table({
+            "id": pa.array(np.arange(ROWS, ROWS + 64)),
+            "tag": pa.array((np.arange(64) % 10).astype(np.int64)),
+            "vector": ingest.numpy_to_fixed_size_list(delta, pa.float32()),
+        }),
+    )
+    cache = DeviceCache(root, mesh=None)
+    data = cache.host_table("vec")
+    assert data.column("vector").num_chunks > 1, "fixture must be multi-chunk"
+    token = cache.snapshot_stamp("vec", "vector")
+    views = cache.host_column_views("vec", data, token)
+    assert "vector" not in views          # no standalone corpus copy
+    assert "id" in views and "tag" in views  # scalars still fast-path
+
+    fresh = DeviceCache(root, mesh=None)
+    host = fresh.host_matrix("vec", "vector")
+    views2 = fresh.host_column_views(
+        "vec", fresh.host_table("vec"), fresh.snapshot_stamp("vec", "vector")
+    )
+    assert views2["vector"][0] is host    # SHARED with host_matrix
