@@ -254,6 +254,19 @@ def main() -> None:
                 "(the fp32 window shipped to the device; now the host "
                 "rescores and nothing corpus-sized crosses the link)",
             },
+            # Coder (k-means) training at config-2 shape, measured
+            # separately (one streaming epoch moves 30.7 GB through the
+            # tunnel — far too slow for the driver bench):
+            # benchmarks/coder_train_scale.py, 2026-08-21.
+            "coder_train_10Mx768_measured": {
+                "date": "2026-08-21",
+                "device_ms_per_step": 0.30,
+                "device_rows_per_s": 6.9e6,
+                "streaming_epoch_seconds": 3072,
+                "transfer_fraction_of_epoch": 0.9995,
+                "route": "kmeans.train_streaming (host corpus, "
+                "double-buffered chunks; 2 codebooks x 256, batch 1024)",
+            },
         },
     }
     print(json.dumps(result))

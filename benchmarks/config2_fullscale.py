@@ -250,7 +250,11 @@ def main_engine(args) -> None:
     import shutil
     import tempfile
 
-    os.environ.setdefault("FENIX_HBM_BUDGET", str(8_500_000_000))
+    # 9e9 (not the 8.5e9 the streaming benchmark uses): the int8-solo
+    # residency at 10.01M(padded)×784 B/row is 7.85 GB — it must clear
+    # the router's 0.9 safety margin for the plan to be INT8 (measured
+    # fine on chip, 2026-08-21; the asserted mode below guards reruns)
+    os.environ.setdefault("FENIX_HBM_BUDGET", str(9_000_000_000))
 
     import pyarrow as pa
 

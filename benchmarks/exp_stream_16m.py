@@ -34,9 +34,15 @@ def main() -> None:
     p.add_argument(
         "--quick",
         action="store_true",
-        help="one warm stream, no serial control (each stream moves "
-        "12.3 GB through the tunnel — on a congested day the full "
-        "protocol is hours)",
+        help="one warm stream instead of 3+ (each stream moves 12.3 GB "
+        "through the tunnel — on a congested day the full protocol is "
+        "hours); the single-buffer serial control still runs so the "
+        "overlap gain is reported",
+    )
+    p.add_argument(
+        "--no-serial",
+        action="store_true",
+        help="skip the single-buffer control entirely (no overlap_gain)",
     )
     args = p.parse_args()
 
@@ -109,7 +115,7 @@ def main() -> None:
         # no-overlap control: single-buffer prefetch (upload serializes
         # with compute) — the overlap gain is t_serial / t_overlapped
         t_serial = float("nan")
-        if not args.quick:
+        if not args.no_serial:
             orig = batch_io.prefetch_to_device
             residency.batch_io.prefetch_to_device = functools.partial(
                 orig, buffer_size=1
