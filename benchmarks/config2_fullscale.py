@@ -250,12 +250,6 @@ def main_engine(args) -> None:
     import shutil
     import tempfile
 
-    # 9e9 (not the 8.5e9 the streaming benchmark uses): the int8-solo
-    # residency at 10.01M(padded)×784 B/row is 7.85 GB — it must clear
-    # the router's 0.9 safety margin for the plan to be INT8 (measured
-    # fine on chip, 2026-08-21; the asserted mode below guards reruns)
-    os.environ.setdefault("FENIX_HBM_BUDGET", str(9_000_000_000))
-
     import pyarrow as pa
 
     from fenix_tpu import expr
@@ -269,6 +263,14 @@ def main_engine(args) -> None:
     chunk = min(n, 524_288)
     rng = np.random.default_rng(0)
     tags = rng.integers(0, 10, n)
+
+    # default budget: 1.15x the int8-solo residency at THIS scale, so
+    # the router's 0.9 safety margin clears and the plan is INT8 at any
+    # --scale (dual fp32 needs ~4.9x more, so it never sneaks back in).
+    # At full scale this is ~9.0e9 — the budget of the measured chip
+    # run (2026-08-21); the asserted mode below guards reruns.
+    n_pad = (n + 16383) // 16384 * 16384
+    os.environ.setdefault("FENIX_HBM_BUDGET", str(int(1.15 * n_pad * (d + 16))))
 
     root = tempfile.mkdtemp(prefix="fenix_cfg2e_")
     try:
