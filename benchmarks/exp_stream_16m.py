@@ -44,6 +44,12 @@ def main() -> None:
         action="store_true",
         help="skip the single-buffer control entirely (no overlap_gain)",
     )
+    p.add_argument(
+        "--root",
+        default=None,
+        help="reuse an existing root whose 's16' table matches --scale "
+        "(skips the ~8 min gen+ingest; the root is NOT deleted after)",
+    )
     args = p.parse_args()
 
     import pyarrow as pa
@@ -60,32 +66,43 @@ def main() -> None:
     chunk = min(n, 524_288)
     rng = np.random.default_rng(0)
 
-    root = tempfile.mkdtemp(prefix="fenix_s16_")
+    keep_root = args.root is not None
+    root = args.root or tempfile.mkdtemp(prefix="fenix_s16_")
     try:
-        # generate + ingest STREAMING (record batches): Arrow caps one
-        # array at 2^31 flat elements, and 49 GB of transient RAM is
-        # pointless when the engine mmaps the written file anyway
-        t0 = time.perf_counter()
-        schema = pa.schema({"id": pa.int64(), "vector": pa.list_(pa.float32(), d)})
+        if not (keep_root and os.path.exists(os.path.join(root, "sources", "s16.arrow"))):
+            # generate + ingest STREAMING (record batches): Arrow caps one
+            # array at 2^31 flat elements, and 49 GB of transient RAM is
+            # pointless when the engine mmaps the written file anyway
+            t0 = time.perf_counter()
+            schema = pa.schema({"id": pa.int64(), "vector": pa.list_(pa.float32(), d)})
 
-        def batches():
-            for s in range(0, n, chunk):
-                e = min(s + chunk, n)
-                block = rng.standard_normal((e - s, d), dtype=np.float32)
-                yield pa.record_batch(
-                    [
-                        pa.array(np.arange(s, e)),
-                        ingest.numpy_to_fixed_size_list(block, pa.float32()),
-                    ],
-                    schema=schema,
-                )
+            def batches():
+                for s in range(0, n, chunk):
+                    e = min(s + chunk, n)
+                    block = rng.standard_normal((e - s, d), dtype=np.float32)
+                    yield pa.record_batch(
+                        [
+                            pa.array(np.arange(s, e)),
+                            ingest.numpy_to_fixed_size_list(block, pa.float32()),
+                        ],
+                        schema=schema,
+                    )
 
-        table.make(root, "s16", pa.RecordBatchReader.from_batches(schema, batches()))
-        print(f"# gen+ingest {n*d*4/1e9:.1f} GB in {time.perf_counter()-t0:.0f}s",
-              flush=True)
+            table.make(root, "s16", pa.RecordBatchReader.from_batches(schema, batches()))
+            print(f"# gen+ingest {n*d*4/1e9:.1f} GB in {time.perf_counter()-t0:.0f}s",
+                  flush=True)
 
         cache = DeviceCache(root, mesh=None)
+        nn = cache.host_table("s16").num_rows
+        assert nn == n, f"--root table has {nn} rows, expected {n} (match --scale)"
         queries = rng.standard_normal((q, d)).astype(np.float32)
+
+        # the per-revision host int8 mirror builds ONCE, outside every
+        # search (the round-4 first cut re-quantized 49 GB per stream)
+        t0 = time.perf_counter()
+        cache.host_int8("s16", "vector")
+        t_quant = time.perf_counter() - t0
+        print(f"# host int8 mirror build: {t_quant:.1f}s", flush=True)
 
         def req(target):
             return ex.SearchRequest(
@@ -165,6 +182,7 @@ def main() -> None:
             int8_upload_gbytes_per_search=round(n * d / 1e9, 1),
             chunks_per_search=per_search_chunks,
             cold_seconds=round(t_cold, 1),
+            host_int8_mirror_build_seconds=round(t_quant, 1),
             recall_at_100=recall,
             residency_mode="stream (int8 chunks, exact host rescore)",
         )
@@ -175,7 +193,8 @@ def main() -> None:
             "stream16m_warm_seconds_per_batch8", t_warm, "s/batch", **extra
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if not keep_root:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -312,6 +312,13 @@ def stream_topk(
     )
     rows, dim = host.shape
     int8_mode = req.precision == "int8"
+    codes = scales = None
+    if int8_mode:
+        # pre-quantized host mirror, memoized per revision — NOT inside
+        # the per-search chunk loop (quantize-per-stream measured
+        # minutes at 16M×768 on a 2-core host; the upload should be the
+        # only per-search corpus-sized cost)
+        codes, scales = cache.host_int8(req.source, req.column)
     chunk = min(
         _stream_chunk_rows(budget_bytes(), dim, cache.block, 1 if int8_mode else 4),
         max(ingest.round_up(rows, cache.block), cache.block),
@@ -338,16 +345,10 @@ def stream_topk(
                     mask[start:end], hadd[start:end], np.float32(distance_ops.NEG_INF)
                 )
             if int8_mode:
-                from fenix_tpu.ops import topk2
-
                 sv_c = np.full(chunk, 1e-30, np.float32)
                 c8 = np.zeros((chunk, dim), np.int8)
-                # the ONE shared host quantizer (bit-identical to the
-                # device quantize_corpus_int8 — same contract as
-                # session.int8_solo)
-                c8[: end - start], sv_c[: end - start] = topk2.quantize_rows_int8_np(
-                    host[start:end]
-                )
+                c8[: end - start] = codes[start:end]
+                sv_c[: end - start] = scales[start:end]
                 yield start, (c8, sv_c, mul_c, add_c)
             else:
                 buf = np.zeros((chunk, dim), np.float32)

@@ -362,6 +362,33 @@ class DeviceCache:
 
         return self._memo(self._host, (key, column, "host_matrix"), stamp, build)
 
+    def host_int8(self, source: str | Sequence[str], column: str):
+        """Host-resident int8 mirror ``(codes [N, D] int8, scales [N]
+        f32)`` of the vector column, memoized per revision. The
+        streaming int8 scan slices pre-quantized chunks out of it per
+        request — quantizing the corpus inside every search measured
+        minutes per stream at 16M×768 on a 2-core host (round 4), which
+        swamped the transfer the int8 mode exists to quarter. Built
+        once per revision with the shared host quantizer
+        (ops.topk2.quantize_rows_int8_np), N·D + 4·N host bytes."""
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            from fenix_tpu.ops import topk2
+
+            host = self.host_matrix(source, column)
+            rows, d = host.shape
+            codes = np.empty((rows, d), np.int8)
+            scales = np.empty(rows, np.float32)
+            chunk = 1 << 20
+            for s in range(0, rows, chunk):
+                e = min(s + chunk, rows)
+                codes[s:e], scales[s:e] = topk2.quantize_rows_int8_np(host[s:e])
+            return codes, scales
+
+        return self._memo(self._host, (key, column, "host_int8"), stamp, build)
+
     def host_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Host (aux_mul [N], aux_add [N]) fp32 — numpy mirror of
         ops.topk2.prepare_aux over the HOST corpus (no mask; request
