@@ -29,7 +29,6 @@ from benchmarks import common
 
 
 def main() -> None:
-    os.environ.setdefault("FENIX_HBM_BUDGET", str(8_500_000_000))
     p = common.parser("streaming 16M×768 int8 scan")
     p.add_argument(
         "--quick",
@@ -44,6 +43,8 @@ def main() -> None:
         action="store_true",
         help="skip the single-buffer control entirely (no overlap_gain)",
     )
+    p.add_argument("--rows", type=int, default=16_000_000)
+    p.add_argument("--dim", type=int, default=768)
     p.add_argument(
         "--root",
         default=None,
@@ -61,8 +62,15 @@ def main() -> None:
     from fenix_tpu.io import ingest, table
     from fenix_tpu.utils.metrics import GLOBAL as METRICS
 
-    n = int(16_000_000 * min(args.scale, 1.0)) // 128 * 128 or 1280
-    d, k, q = 768, 100, 8
+    n = int(args.rows * min(args.scale, 1.0)) // 128 * 128 or 1280
+    d, k, q = args.dim, 100, 8
+    # default budget: the measured-usable ceiling, scaled down for
+    # sub-scale smokes so the plan stays STREAM (int8-only residency
+    # must NOT fit); the documented chip protocol sets 8.5e9 explicitly
+    int8_need = ((n + 16383) // 16384 * 16384) * (d + 16)
+    os.environ.setdefault(
+        "FENIX_HBM_BUDGET", str(min(8_500_000_000, int(int8_need * 0.45)))
+    )
     chunk = min(n, 524_288)
     rng = np.random.default_rng(0)
 
@@ -190,7 +198,7 @@ def main() -> None:
             extra["serial_seconds"] = round(t_serial, 3)
             extra["overlap_gain"] = round(t_serial / t_warm, 3)
         common.emit(
-            "stream16m_warm_seconds_per_batch8", t_warm, "s/batch", **extra
+            f"stream_{n}x{d}_warm_seconds_per_batch8", t_warm, "s/batch", **extra
         )
     finally:
         if not keep_root:
