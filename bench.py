@@ -254,6 +254,23 @@ def main() -> None:
                 "(the fp32 window shipped to the device; now the host "
                 "rescores and nothing corpus-sized crosses the link)",
             },
+            # Larger-than-HBM streaming scan, measured separately (each
+            # stream moves 12.3 GB through the tunnel):
+            # benchmarks/exp_stream_16m.py, 2026-08-21.
+            "stream_16Mx768_measured": {
+                "date": "2026-08-21",
+                "warm_seconds_per_batch8": 421.2,
+                "serial_seconds": 397.1,
+                "overlap_gain": 0.943,
+                "chunks_per_search": 7,
+                "int8_upload_gbytes_per_search": 12.3,
+                "recall_at_100": 1.0,
+                "host_int8_mirror_build_seconds": 970.4,
+                "note": "upload-bound at ~29 MB/s through this tunnel "
+                "(device scan ~0.16 s of the 421 s); overlap ~ a wash "
+                "here because there is no compute to hide the upload "
+                "behind — PCIe-class links make the same stream ~0.8 s",
+            },
             # Coder (k-means) training at config-2 shape, measured
             # separately (one streaming epoch moves 30.7 GB through the
             # tunnel — far too slow for the driver bench):
