@@ -73,6 +73,14 @@ def _marker_path(root: str, name: str) -> str:
     return path_of(root, name) + ".compacting"
 
 
+def int8cache_dir(root: str, name: str) -> str:
+    """On-disk sidecar for the host int8 mirror (codes.npy/scales.npy/
+    meta.json): derived, revision-stamped, safe to delete at any time —
+    session.host_int8 rebuilds it. Lives next to the table so drops
+    clean it with the other per-table artifacts."""
+    return path_of(root, name) + ".int8cache"
+
+
 def _part_paths(root: str, name: str) -> list[str]:
     return sorted(
         glob.glob(os.path.join(glob.escape(_parts_dir(root, name)), "*.part"))
@@ -303,6 +311,7 @@ def _clear_leftovers(root: str, name: str) -> None:
     import shutil
 
     shutil.rmtree(_parts_dir(root, name), ignore_errors=True)
+    shutil.rmtree(int8cache_dir(root, name), ignore_errors=True)
     marker = _marker_path(root, name)
     if os.path.exists(marker):
         os.unlink(marker)

@@ -401,3 +401,71 @@ def test_stream_int8_uses_host_mirror(root, rng, monkeypatch):
                  extra={"window": 16384}),
     )
     assert cache._host[key][1] is obj, "mirror must be memoized per revision"
+
+
+def test_int8_sidecar_restart_and_invalidation(root, rng, monkeypatch, tmp_path):
+    """The host int8 mirror persists as a revision-stamped sidecar:
+    a fresh cache (server restart) memory-maps it instead of
+    re-quantizing the corpus; mutations invalidate it by stamp;
+    corruption rebuilds silently; drop removes it."""
+    import os
+
+    from fenix_tpu.engine.session import DeviceCache
+    from fenix_tpu.io import table as table_mod
+
+    cache = DeviceCache(root, mesh=None)
+    w0 = METRICS.snapshot().get("cache.int8_sidecar_writes", 0)
+    codes, scales = cache.host_int8("vec", "vector")
+    assert METRICS.snapshot().get("cache.int8_sidecar_writes", 0) == w0 + 1
+    cdir = table_mod.int8cache_dir(root, "vec")
+    assert os.path.isfile(os.path.join(cdir, "meta.json"))
+
+    # restart: a fresh cache loads (mmap) instead of rebuilding
+    l0 = METRICS.snapshot().get("cache.int8_sidecar_loads", 0)
+    fresh = DeviceCache(root, mesh=None)
+    codes2, scales2 = fresh.host_int8("vec", "vector")
+    assert METRICS.snapshot().get("cache.int8_sidecar_loads", 0) == l0 + 1
+    assert isinstance(codes2, np.memmap)
+    np.testing.assert_array_equal(np.asarray(codes2), codes)
+    np.testing.assert_array_equal(scales2, scales)
+
+    # the loaded mirror serves the int8-resident path end-to-end
+    target = rng.standard_normal((2, DIM)).astype(np.float32)
+    dual = executor.execute_search(cache, make_req(rng, q=2, target=target))
+    got = executor.execute_search(
+        fresh,
+        make_req(rng, q=2, target=target, residency="int8",
+                 extra={"window": ROWS}),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dual.column("id")), np.asarray(got.column("id"))
+    )
+
+    # mutation moves the stamp -> stale sidecar rebuilds and re-persists
+    table_mod.append(
+        root, "vec",
+        pa.table({
+            "id": pa.array(np.arange(ROWS, ROWS + 16)),
+            "tag": pa.array(np.zeros(16, np.int64)),
+            "vector": ingest.numpy_to_fixed_size_list(
+                rng.standard_normal((16, DIM)).astype(np.float32), pa.float32()
+            ),
+        }),
+    )
+    w1 = METRICS.snapshot().get("cache.int8_sidecar_writes", 0)
+    again = DeviceCache(root, mesh=None)
+    codes3, _ = again.host_int8("vec", "vector")
+    assert codes3.shape[0] == ROWS + 16
+    assert METRICS.snapshot().get("cache.int8_sidecar_writes", 0) == w1 + 1
+
+    # corruption: truncate codes.npy -> silent rebuild (meta mismatch
+    # is not required; the load path treats any failure as absent)
+    with open(os.path.join(cdir, "codes.npy"), "wb") as fh:
+        fh.write(b"not a npy")
+    broken = DeviceCache(root, mesh=None)
+    codes4, _ = broken.host_int8("vec", "vector")
+    assert codes4.shape[0] == ROWS + 16
+
+    # drop removes the sidecar with the table
+    table_mod.drop(root, "vec")
+    assert not os.path.exists(cdir)
