@@ -101,8 +101,11 @@ def main() -> None:
                   flush=True)
 
         cache = DeviceCache(root, mesh=None)
-        nn = cache.host_table("s16").num_rows
+        tbl = cache.host_table("s16")
+        nn = tbl.num_rows
         assert nn == n, f"--root table has {nn} rows, expected {n} (match --scale)"
+        dd = ingest.vector_type(tbl.schema.field("vector").type).list_size
+        assert dd == d, f"--root table is {dd}-dim, expected {d} (match --dim)"
         queries = rng.standard_normal((q, d)).astype(np.float32)
 
         # the per-revision host int8 mirror builds ONCE, outside every
@@ -194,7 +197,7 @@ def main() -> None:
             recall_at_100=recall,
             residency_mode="stream (int8 chunks, exact host rescore)",
         )
-        if t_serial == t_serial:  # measured (not --quick)
+        if t_serial == t_serial:  # measured (i.e. not --no-serial)
             extra["serial_seconds"] = round(t_serial, 3)
             extra["overlap_gain"] = round(t_serial / t_warm, 3)
         common.emit(

@@ -230,6 +230,8 @@ class DeviceCache:
         self._recency: dict = {}
         self._access = itertools.count(1)
         self.evictions: int = 0
+        # in-flight unlocked builds (ckey -> Event) — see _memo_unlocked
+        self._builds: dict = {}
 
     def _touch(self, ckey) -> None:
         self._recency[ckey] = next(self._access)
@@ -282,6 +284,43 @@ class DeviceCache:
                 self._touch(ckey)
                 self._maybe_evict(ckey)
             return value
+
+    def _memo_unlocked(self, store: dict, ckey, stamp, build):
+        """Memoization whose BUILD runs outside the global cache lock
+        (for host_int8's multi-minute quantize+persist at scale — under
+        ``_memo`` it would stall every other cold cache fill on any
+        table for its whole duration). One builder per key at a time:
+        concurrent callers wait on a per-key event, then re-check the
+        memo and rebuild themselves only if the builder failed or built
+        a different revision."""
+        import threading as threading_mod
+
+        while True:
+            hit = store.get(ckey)
+            if hit is not None and hit[0] == stamp:
+                return hit[1]
+            with self._lock:
+                hit = store.get(ckey)
+                if hit is not None and hit[0] == stamp:
+                    return hit[1]
+                ev = self._builds.get(ckey)
+                if ev is None:
+                    ev = self._builds[ckey] = threading_mod.Event()
+                    am_builder = True
+                else:
+                    am_builder = False
+            if not am_builder:
+                ev.wait()
+                continue  # builder published (or failed): re-check
+            try:
+                value = build()  # NO lock held
+                with self._lock:
+                    store[ckey] = (stamp, value)
+                return value
+            finally:
+                with self._lock:
+                    self._builds.pop(ckey, None)
+                ev.set()
 
     def device_bytes(self) -> int:
         """Total HBM bytes held by cached device entries (deduplicated
@@ -384,27 +423,51 @@ class DeviceCache:
         stamp = self._mtimes(key)
 
         def build():
+            import glob
+            import hashlib
             import json as json_mod
             import shutil
 
             from fenix_tpu.ops import topk2
             from fenix_tpu.utils.metrics import GLOBAL as metrics
 
-            cdir = (
-                table.int8cache_dir(self.root, key[0]) if len(key) == 1 else None
-            )
+            cdir = None
+            if len(key) == 1:
+                # one subdir per COLUMN: a table with two searchable
+                # vector columns must not thrash one shared sidecar
+                # (column names are arbitrary strings — hash for the
+                # path; meta.json still records the real name)
+                cdir = os.path.join(
+                    table.int8cache_dir(self.root, key[0]),
+                    hashlib.sha1(column.encode()).hexdigest()[:16],
+                )
             stamp_s = json_mod.dumps(stamp)
+            meta_path = cdir and os.path.join(cdir, "meta.json")
+
+            def read_meta():
+                with open(meta_path) as fh:
+                    return json_mod.load(fh)
+
             if cdir is not None and os.path.isdir(cdir):
                 try:
-                    with open(os.path.join(cdir, "meta.json")) as fh:
-                        meta = json_mod.load(fh)
+                    meta = read_meta()
                     if meta.get("stamp") == stamp_s and meta.get("column") == column:
                         codes = np.load(
                             os.path.join(cdir, "codes.npy"), mmap_mode="r"
                         )
                         scales = np.load(os.path.join(cdir, "scales.npy"))
-                        metrics.add("cache.int8_sidecar_loads")
-                        return codes, scales
+                        # re-validate AFTER loading: a concurrent
+                        # rebuild (another process; this process
+                        # serializes builds) could have replaced the
+                        # files between the meta read and the loads —
+                        # a cross-revision (codes, scales) pair would
+                        # crash the chunk slicing mid-search
+                        if (
+                            read_meta() == meta
+                            and scales.shape[0] == codes.shape[0]
+                        ):
+                            metrics.add("cache.int8_sidecar_loads")
+                            return codes, scales
                 except Exception:
                     pass  # corrupt/stale sidecar: rebuild and replace below
 
@@ -420,7 +483,16 @@ class DeviceCache:
             if cdir is not None:
                 try:
                     os.makedirs(cdir, exist_ok=True)
-                    meta_path = os.path.join(cdir, "meta.json")
+                    # a SIGKILL mid-write strands .tmp-<oldpid>-* (the
+                    # except below never runs for a killed process) —
+                    # sweep them before writing our own
+                    for orphan in glob.glob(
+                        os.path.join(glob.escape(cdir), ".tmp-*")
+                    ) + glob.glob(os.path.join(glob.escape(cdir), "*.tmp-*")):
+                        try:
+                            os.unlink(orphan)
+                        except OSError:
+                            pass
                     if os.path.exists(meta_path):
                         os.unlink(meta_path)  # invalidate before touching data
                     for arr, fname in ((codes, "codes.npy"), (scales, "scales.npy")):
@@ -437,6 +509,11 @@ class DeviceCache:
                         )
                     os.replace(tmp, meta_path)
                     metrics.add("cache.int8_sidecar_writes")
+                    # serve the just-written file via mmap: the page-
+                    # cache-backed mapping is evictable, where the
+                    # anonymous build array would pin N·D bytes of RAM
+                    # for the life of the process
+                    codes = np.load(os.path.join(cdir, "codes.npy"), mmap_mode="r")
                 except OSError:
                     # disk full or unwritable root: serve in-memory and
                     # leave no half-written cache behind (no meta = no
@@ -444,7 +521,9 @@ class DeviceCache:
                     shutil.rmtree(cdir, ignore_errors=True)
             return codes, scales
 
-        return self._memo(self._host, (key, column, "host_int8"), stamp, build)
+        return self._memo_unlocked(
+            self._host, (key, column, "host_int8"), stamp, build
+        )
 
     def host_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Host (aux_mul [N], aux_add [N]) fp32 — numpy mirror of

@@ -282,8 +282,15 @@ def rewrite(root: str, name: str, data: pa.RecordBatchReader) -> pa.Table:
     parts are pending (the common overwrite)."""
     from fenix_tpu.io.locks import catalog_lock
 
+    import shutil
+
     with catalog_lock(root):
         base_path = path_of(root, name)
+        # the stale-stamp sidecar would never be SERVED again, but it
+        # retains quantized codes of rows the rewrite may be deleting —
+        # remove it with the rows (round-4 review: delete_rows left
+        # deleted vectors recoverable on disk indefinitely)
+        shutil.rmtree(int8cache_dir(root, name), ignore_errors=True)
         if not os.path.exists(base_path):
             _clear_leftovers(root, name)  # an interrupted drop's orphans
             out = arrow.make(base_path, data)

@@ -417,7 +417,12 @@ def test_int8_sidecar_restart_and_invalidation(root, rng, monkeypatch, tmp_path)
     w0 = METRICS.snapshot().get("cache.int8_sidecar_writes", 0)
     codes, scales = cache.host_int8("vec", "vector")
     assert METRICS.snapshot().get("cache.int8_sidecar_writes", 0) == w0 + 1
-    cdir = table_mod.int8cache_dir(root, "vec")
+    import hashlib
+
+    cdir = os.path.join(
+        table_mod.int8cache_dir(root, "vec"),
+        hashlib.sha1(b"vector").hexdigest()[:16],
+    )
     assert os.path.isfile(os.path.join(cdir, "meta.json"))
 
     # restart: a fresh cache loads (mmap) instead of rebuilding
@@ -469,3 +474,50 @@ def test_int8_sidecar_restart_and_invalidation(root, rng, monkeypatch, tmp_path)
     # drop removes the sidecar with the table
     table_mod.drop(root, "vec")
     assert not os.path.exists(cdir)
+
+
+def test_int8_sidecar_per_column_and_rewrite_cleanup(root, rng):
+    """Two vector columns keep independent sidecars (no thrash), and a
+    base rewrite (overwrite/delete/upsert) removes the sidecar with the
+    rows it may be deleting (round-4 review findings)."""
+    import os
+
+    from fenix_tpu.engine.session import DeviceCache
+    from fenix_tpu.io import table as table_mod
+
+    a = rng.standard_normal((256, DIM)).astype(np.float32)
+    b = rng.standard_normal((256, DIM)).astype(np.float32)
+    table_mod.make(
+        root, "two",
+        pa.table({
+            "id": pa.array(np.arange(256)),
+            "va": ingest.numpy_to_fixed_size_list(a, pa.float32()),
+            "vb": ingest.numpy_to_fixed_size_list(b, pa.float32()),
+        }).to_reader(),
+    )
+    cache = DeviceCache(root, mesh=None)
+    cache.host_int8("two", "va")
+    cache.host_int8("two", "vb")
+
+    # restart: BOTH columns load from disk — neither evicted the other
+    l0 = METRICS.snapshot().get("cache.int8_sidecar_loads", 0)
+    fresh = DeviceCache(root, mesh=None)
+    ca, sa = fresh.host_int8("two", "va")
+    cb, sb = fresh.host_int8("two", "vb")
+    assert METRICS.snapshot().get("cache.int8_sidecar_loads", 0) == l0 + 2
+    va8, vsa = __import__("fenix_tpu.ops.topk2", fromlist=["x"]).quantize_rows_int8_np(a)
+    np.testing.assert_array_equal(np.asarray(ca), va8)
+    vb8, _ = __import__("fenix_tpu.ops.topk2", fromlist=["x"]).quantize_rows_int8_np(b)
+    np.testing.assert_array_equal(np.asarray(cb), vb8)
+
+    cdir = table_mod.int8cache_dir(root, "two")
+    assert os.path.isdir(cdir)
+    table_mod.rewrite(
+        root, "two",
+        pa.table({
+            "id": pa.array(np.arange(8)),
+            "va": ingest.numpy_to_fixed_size_list(a[:8], pa.float32()),
+            "vb": ingest.numpy_to_fixed_size_list(b[:8], pa.float32()),
+        }).to_reader(),
+    )
+    assert not os.path.exists(cdir), "rewrite must drop the sidecar"
