@@ -271,6 +271,20 @@ def main() -> None:
                 "here because there is no compute to hide the upload "
                 "behind — PCIe-class links make the same stream ~0.8 s",
             },
+            # 100M rows (BASELINE's headline count) on ONE chip via the
+            # same streaming route: benchmarks/exp_stream_16m.py
+            # --rows 100000000 --dim 128, 2026-08-21.
+            "stream_100Mx128_measured": {
+                "date": "2026-08-21",
+                "warm_seconds_per_batch8": 679.5,
+                "chunks_per_search": 8,
+                "int8_upload_gbytes_per_search": 12.8,
+                "recall_at_100": 1.0,
+                "host_int8_mirror_build_seconds": 520.0,
+                "note": "exact top-100 over 100M rows, recall asserted "
+                "vs a float64 oracle; tunnel-bound (~19 MB/s that run; "
+                "device scan ~0.4 s of the 679)",
+            },
             # Coder (k-means) training at config-2 shape, measured
             # separately (one streaming epoch moves 30.7 GB through the
             # tunnel — far too slow for the driver bench):
