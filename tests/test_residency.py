@@ -521,3 +521,31 @@ def test_int8_sidecar_per_column_and_rewrite_cleanup(root, rng):
         }).to_reader(),
     )
     assert not os.path.exists(cdir), "rewrite must drop the sidecar"
+
+
+def test_host_int8_concurrent_builds_once(root, rng):
+    """_memo_unlocked: concurrent first requests build the mirror ONCE
+    (one builder, waiters adopt the published value) — the build runs
+    outside the global cache lock, so nothing else serializes them."""
+    import threading
+
+    from fenix_tpu.engine.session import DeviceCache
+
+    cache = DeviceCache(root, mesh=None)
+    w0 = METRICS.snapshot().get("cache.int8_sidecar_writes", 0)
+    out, errs = [], []
+
+    def go():
+        try:
+            out.append(cache.host_int8("vec", "vector"))
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=go) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs and len(out) == 8
+    assert all(o[0] is out[0][0] for o in out), "all callers share ONE build"
+    assert METRICS.snapshot().get("cache.int8_sidecar_writes", 0) == w0 + 1
