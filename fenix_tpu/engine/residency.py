@@ -481,6 +481,7 @@ def execute_nomax_host(cache, req) -> pa.Table:
     from fenix_tpu.engine import executor
 
     metric = distance_ops.canonical_metric(req.metric)
+    stamp = cache.snapshot_stamp(req.source, req.column)
     data = cache.host_table(req.source)
     column_type = ingest.vector_type(data.schema.field(req.column).type)
     value_dtype = column_type.value_type.to_pandas_dtype()
@@ -529,4 +530,10 @@ def execute_nomax_host(cache, req) -> pa.Table:
     select = [*req.select] if req.select is not None else data.column_names
     select = select + [executor.DIST_COL]
     METRICS.add("search.residency_host_nomax")
-    return executor.gather_results(data, select, d_all, ids_all, value_dtype)
+    # numpy-views fast path like every other result-materialization
+    # site — a nomax read returns O(selected rows), where the Arrow
+    # full-table take is at its slowest
+    views = cache.host_column_views(req.source, data, stamp)
+    return executor.gather_results(
+        data, select, d_all, ids_all, value_dtype, views=views
+    )
