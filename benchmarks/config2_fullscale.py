@@ -45,6 +45,14 @@ def main() -> None:
     p = common.parser("config2 full-scale filtered L2 top-100")
     p.add_argument("--window", type=int, default=WINDOW)
     p.add_argument(
+        "--root",
+        default=None,
+        help="(--engine only) reuse an existing root whose 'c2' table "
+        "matches --scale — skips gen+ingest AND, when the int8 sidecar "
+        "is present from a previous run, the quantize leg of the cold "
+        "build (the server-restart warm path); the root is kept",
+    )
+    p.add_argument(
         "--engine",
         action="store_true",
         help="run THROUGH the executor (int8-resident residency mode, "
@@ -272,32 +280,36 @@ def main_engine(args) -> None:
     n_pad = (n + 16383) // 16384 * 16384
     os.environ.setdefault("FENIX_HBM_BUDGET", str(int(1.15 * n_pad * (d + 16))))
 
-    root = tempfile.mkdtemp(prefix="fenix_cfg2e_")
+    keep_root = args.root is not None
+    root = args.root or tempfile.mkdtemp(prefix="fenix_cfg2e_")
     try:
-        # generate + ingest STREAMING (record batches): one pa.table
-        # would hold a 7.7B-element FixedSizeList flat array, past
-        # Arrow's 2^31 per-array limit, and 30 GB of transient RAM
-        t0 = time.perf_counter()
-        schema = pa.schema(
-            {"id": pa.int64(), "tag": pa.int64(),
-             "vector": pa.list_(pa.float32(), d)}
-        )
+        if keep_root and os.path.exists(os.path.join(root, "sources", "c2.arrow")):
+            pass  # reuse (restart scenario): table + any sidecar as-is
+        else:
+            # generate + ingest STREAMING (record batches): one pa.table
+            # would hold a 7.7B-element FixedSizeList flat array, past
+            # Arrow's 2^31 per-array limit, and 30 GB of transient RAM
+            t0 = time.perf_counter()
+            schema = pa.schema(
+                {"id": pa.int64(), "tag": pa.int64(),
+                 "vector": pa.list_(pa.float32(), d)}
+            )
 
-        def batches():
-            for s in range(0, n, chunk):
-                e = min(s + chunk, n)
-                block = rng.standard_normal((e - s, d), dtype=np.float32)
-                yield pa.record_batch(
-                    [
-                        pa.array(np.arange(s, e)),
-                        pa.array(tags[s:e].astype(np.int64)),
-                        ingest.numpy_to_fixed_size_list(block, pa.float32()),
-                    ],
-                    schema=schema,
-                )
+            def batches():
+                for s in range(0, n, chunk):
+                    e = min(s + chunk, n)
+                    block = rng.standard_normal((e - s, d), dtype=np.float32)
+                    yield pa.record_batch(
+                        [
+                            pa.array(np.arange(s, e)),
+                            pa.array(tags[s:e].astype(np.int64)),
+                            ingest.numpy_to_fixed_size_list(block, pa.float32()),
+                        ],
+                        schema=schema,
+                    )
 
-        table.make(root, "c2", pa.RecordBatchReader.from_batches(schema, batches()))
-        print(f"# gen+ingest {n*d*4/1e9:.1f} GB in {time.perf_counter()-t0:.0f}s",
+            table.make(root, "c2", pa.RecordBatchReader.from_batches(schema, batches()))
+            print(f"# gen+ingest {n*d*4/1e9:.1f} GB in {time.perf_counter()-t0:.0f}s",
               flush=True)
 
         cache = DeviceCache(root, mesh=None)
