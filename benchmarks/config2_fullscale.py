@@ -391,7 +391,8 @@ def main_engine(args) -> None:
             route="executor (int8-resident + host fp32 rescore)",
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if not keep_root:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
