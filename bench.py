@@ -285,6 +285,17 @@ def main() -> None:
                 "vs a float64 oracle; tunnel-bound (~19 MB/s that run; "
                 "device scan ~0.4 s of the 679)",
             },
+            # Sidecar restart benefit, measured separately at 4Mx768
+            # (config2_fullscale --engine --scale 0.4 --root, twice,
+            # 2026-08-21): the persisted int8 mirror halves the cold
+            # restart — what remains is upload + per-process compile.
+            "int8_sidecar_restart_4Mx768_measured": {
+                "date": "2026-08-21",
+                "cold_seconds_building_mirror": 538.7,
+                "cold_seconds_from_sidecar": 274.4,
+                "warm_seconds_per_batch8": 0.16,
+                "recall_at_100": 1.0,
+            },
             # Coder (k-means) training at config-2 shape, measured
             # separately (one streaming epoch moves 30.7 GB through the
             # tunnel — far too slow for the driver bench):
