@@ -1,7 +1,11 @@
 """Benchmark: exact kNN scan rate on one chip (BASELINE.md config 1).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Prints the full record (headline + extra) first, then a COMPACT
+headline JSON as the LAST line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+   "vs_baseline_band": [...], "vs_baseline_1M": ...}
+(the driver captures only the tail of stdout — round 4's extra dict
+grew past the window and the canonical record lost its headline).
 
 Workload: exact top-10 cosine kNN over N×128-dim fp32 vectors through
 the engine's two-phase kernel (fenix_tpu.ops.topk2), measured on the
@@ -183,11 +187,14 @@ def main() -> None:
     np.asarray(out)
     ceiling = n8 * d * 4 * 16 * 3 / (time.perf_counter() - start)
 
-    result = {
+    headline = {
         "metric": "scan_rows_per_sec_per_chip_8Mx128_cosine_top10",
         "value": round(scan8_rows_per_s, 1),
         "unit": "rows/s/chip",
         "vs_baseline": round(scan8_bytes_per_s / roofline, 4),
+    }
+    result = {
+        **headline,
         "extra": {
             "device": str(getattr(dev, "device_kind", dev)),
             "hbm_roofline_bytes_per_s": roofline,
@@ -311,7 +318,23 @@ def main() -> None:
             },
         },
     }
+    # Full record FIRST, compact headline LAST: the driver keeps only
+    # the tail of stdout, and round 4's huge extra dict pushed the
+    # headline (vs_baseline + band + 1M number) out of the captured
+    # window (VERDICT r4 weak #1 / next #3). The last line must always
+    # carry metric/value/vs_baseline/vs_baseline_band/vs_baseline_1M.
     print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                **headline,
+                "vs_baseline_band": result["extra"]["vs_baseline_band"],
+                "vs_baseline_1M": result["extra"]["vs_baseline_1M"],
+                "vs_stack_ceiling": result["extra"]["vs_stack_ceiling"],
+                "note": "full extra dict on the first stdout line",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -85,6 +85,14 @@ def _int8_upload_fn():
                 )
     return _INT8_UPLOAD
 
+def _quantize_chunk_rows(dim: int, target_bytes: int = 256 << 20) -> int:
+    """Rows per host-quantize slice, sized by BYTES not rows: each
+    quantize call materializes fp32 temporaries ~3× its slice, so a
+    fixed 1M-row chunk is ~20 GB of transient RAM at d=1536 on the
+    2-core host (round-4 advisor). ~256 MB slices keep them <1 GB."""
+    return max(1, target_bytes // (4 * dim))
+
+
 # device masks memoize per full predicate (literals included); bound the
 # cache — parametric per-query literals would otherwise grow it forever
 _MASK_CACHE_LIMIT = 128
@@ -475,7 +483,7 @@ class DeviceCache:
             rows, d = host.shape
             codes = np.empty((rows, d), np.int8)
             scales = np.empty(rows, np.float32)
-            chunk = 1 << 20
+            chunk = _quantize_chunk_rows(d)
             for s in range(0, rows, chunk):
                 e = min(s + chunk, rows)
                 codes[s:e], scales[s:e] = topk2.quantize_rows_int8_np(host[s:e])
@@ -485,10 +493,29 @@ class DeviceCache:
                     os.makedirs(cdir, exist_ok=True)
                     # a SIGKILL mid-write strands .tmp-<oldpid>-* (the
                     # except below never runs for a killed process) —
-                    # sweep them before writing our own
+                    # sweep them before writing our own. ONLY dead
+                    # writers' files: the names embed the writer pid,
+                    # and deleting a LIVE concurrent writer's tmp files
+                    # (two servers cold-starting on one --root) makes
+                    # its os.replace raise and its handler rmtree the
+                    # whole cdir — destroying the winner's just-built
+                    # sidecar (round-4 advisor).
+                    import re as re_mod
+
                     for orphan in glob.glob(
                         os.path.join(glob.escape(cdir), ".tmp-*")
                     ) + glob.glob(os.path.join(glob.escape(cdir), "*.tmp-*")):
+                        m = re_mod.search(
+                            r"\.tmp-(\d+)", os.path.basename(orphan)
+                        )
+                        if m and int(m.group(1)) != os.getpid():
+                            try:
+                                os.kill(int(m.group(1)), 0)
+                                continue  # writer alive: leave its files
+                            except ProcessLookupError:
+                                pass  # dead: sweep
+                            except OSError:
+                                continue  # EPERM etc: assume alive
                         try:
                             os.unlink(orphan)
                         except OSError:

@@ -3,14 +3,26 @@
 One parser, one fallback: ``FENIX_HBM_BUDGET`` (the measured-usable
 number on tunneled devices, where the backend's reported limit
 overstates reality — docs/DESIGN.md "HBM capacity") wins; otherwise the
-device's reported ``bytes_limit``; ``None`` = unknown. The env var
-accepts plain ints AND float notation (``9e9`` — the spelling the docs
-use) and raises loudly on anything else: the round-3 advisor found the
-residency router silently ignoring a malformed value that the cache
-evictor crashed on — one spelling must not plan into 2× the budget
-while the other aborts.
+device's reported ``bytes_limit`` scaled by a conservative factor;
+``None`` = unknown. The env var accepts plain ints AND float notation
+(``9e9`` — the spelling the docs use) and raises loudly on anything
+else: the round-3 advisor found the residency router silently ignoring
+a malformed value that the cache evictor crashed on — one spelling must
+not plan into 2× the budget while the other aborts.
 
-The device fallback is memoized per process: ``memory_stats()`` is
+The device fallback does NOT trust ``bytes_limit`` raw (VERDICT r4
+weak #5 / next #6): on this environment's tunneled v5e the backend
+reports the nominal 16 GB while the measured usable ceiling is ~8–9 GB
+(benchmarks/exp_hbm_ceiling.py — 10M×768 dual and 12M×768 int8-solo
+both RESOURCE_EXHAUSTED; 7.7 GB int8 works). A router that plans into
+the nominal number routes int8 residencies that then OOM at build
+time. Default scale is ``FENIX_HBM_FRACTION`` = 0.55 of the reported
+limit (0.55 · 16 GB = 8.8 GB, inside the measured band); operators on
+untunneled hardware can raise it or set the explicit budget. Which
+source resolved the budget is surfaced once per process as a stats
+counter (``hbm.budget_from_env`` / ``hbm.budget_from_device_scaled``).
+
+The device limit is memoized per process: ``memory_stats()`` is
 backend traffic, and the residency router consults the budget on every
 search request (the limit is static for the life of the process).
 """
@@ -20,7 +32,10 @@ from __future__ import annotations
 import os
 
 _ENV = "FENIX_HBM_BUDGET"
+_FRACTION_ENV = "FENIX_HBM_FRACTION"
+DEFAULT_DEVICE_FRACTION = 0.55
 _DEVICE_LIMIT: list = []  # [int | None] once probed
+_SOURCES_EMITTED: set = set()  # one stats counter per source per process
 
 
 def parse_budget(env: str) -> "int | None":
@@ -35,13 +50,39 @@ def parse_budget(env: str) -> "int | None":
     return b if b > 0 else None
 
 
+def _device_fraction() -> float:
+    env = os.environ.get(_FRACTION_ENV, "")
+    if not env:
+        return DEFAULT_DEVICE_FRACTION
+    try:
+        f = float(env)
+    except ValueError:
+        raise ValueError(
+            f"{_FRACTION_ENV} must be a fraction in (0, 1], got {env!r}"
+        ) from None
+    if not 0.0 < f <= 1.0:
+        raise ValueError(f"{_FRACTION_ENV} must be in (0, 1], got {env!r}")
+    return f
+
+
+def _emit_source(source: str) -> None:
+    if source in _SOURCES_EMITTED:
+        return
+    _SOURCES_EMITTED.add(source)
+    from fenix_tpu.utils.metrics import GLOBAL as metrics
+
+    metrics.add(f"hbm.budget_from_{source}")
+
+
 def budget_bytes() -> "int | None":
-    """Usable HBM in bytes: env override, else device-reported limit,
-    else ``None`` (callers keep their no-budget behavior)."""
+    """Usable HBM in bytes: env override, else the device-reported
+    limit scaled by the conservative usable fraction, else ``None``
+    (callers keep their no-budget behavior)."""
     env = os.environ.get(_ENV, "")
     if env:
         b = parse_budget(env)
         if b is not None:
+            _emit_source("env")
             return b
     if not _DEVICE_LIMIT:
         try:
@@ -51,4 +92,8 @@ def budget_bytes() -> "int | None":
             _DEVICE_LIMIT.append(int(stats.get("bytes_limit") or 0) or None)
         except Exception:
             _DEVICE_LIMIT.append(None)
-    return _DEVICE_LIMIT[0]
+    limit = _DEVICE_LIMIT[0]
+    if limit is None:
+        return None
+    _emit_source("device_scaled")
+    return int(limit * _device_fraction())

@@ -1,5 +1,7 @@
 """Regression tests for the round-1 advisor findings (ADVICE.md)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -192,3 +194,53 @@ def test_quint8_qmax_round_trips_metadata(rng):
     assert (t2.shape, t2.scale, t2.shift, t2.qmax) == (
         t.shape, t.scale, t.shift, t.qmax,
     )
+
+
+# -- round-4 advisor findings ---------------------------------------------
+
+
+def _int8_cdir(root, name, column):
+    import hashlib
+
+    return os.path.join(
+        table.int8cache_dir(root, name),
+        hashlib.sha1(column.encode()).hexdigest()[:16],
+    )
+
+
+def test_sidecar_tmp_sweep_spares_live_writers(tmp_path, rng):
+    """The orphan sweep must only delete tmp files whose embedded pid is
+    DEAD: deleting a live concurrent writer's tmp files makes its
+    os.replace raise and its handler destroy the whole sidecar dir
+    (round-4 advisor #1)."""
+    from fenix_tpu.engine import session
+
+    root = str(tmp_path)
+    make_vec_table(root, "t", 64, 8, rng)
+    cdir = _int8_cdir(root, "t", "vector")
+    os.makedirs(cdir)
+    live = os.path.join(cdir, ".tmp-1-codes.npy")  # pid 1: always alive
+    dead = os.path.join(cdir, ".tmp-3999999-codes.npy")  # no such pid
+    for p in (live, dead):
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+
+    cache = session.DeviceCache(root, block=16, mesh=None)
+    codes, scales = cache.host_int8("t", "vector")
+    assert codes.shape == (64, 8)
+    assert os.path.exists(live), "live writer's tmp file must survive"
+    assert not os.path.exists(dead), "dead writer's orphan must be swept"
+    # the sidecar itself is intact
+    assert os.path.exists(os.path.join(cdir, "meta.json"))
+
+
+def test_quantize_chunk_rows_scales_with_dim():
+    """Host-quantize slices are sized in bytes (round-4 advisor #2): a
+    fixed row count is ~6.4 GB/slice at d=1536."""
+    from fenix_tpu.engine.session import _quantize_chunk_rows
+
+    for d in (16, 128, 768, 1536, 8192):
+        rows = _quantize_chunk_rows(d)
+        assert rows >= 1
+        assert rows * 4 * d <= (256 << 20) + 4 * d  # bounded in bytes
+    assert _quantize_chunk_rows(1536) < _quantize_chunk_rows(128)

