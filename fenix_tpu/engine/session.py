@@ -85,6 +85,34 @@ def _int8_upload_fn():
                 )
     return _INT8_UPLOAD
 
+def _sweep_dead_tmp(cdir: str) -> None:
+    """Remove sidecar ``.tmp-<pid>-*`` orphans left by KILLED writers
+    (their exception handlers never ran). ONLY dead writers' files: the
+    names embed the writer pid, and deleting a LIVE concurrent writer's
+    tmp files (two servers cold-starting on one --root) makes its
+    os.replace raise and its handler rmtree the whole cdir — destroying
+    the winner's just-built sidecar (round-4 advisor)."""
+    import glob
+    import re
+
+    for orphan in glob.glob(os.path.join(glob.escape(cdir), ".tmp-*")) + glob.glob(
+        os.path.join(glob.escape(cdir), "*.tmp-*")
+    ):
+        m = re.search(r"\.tmp-(\d+)", os.path.basename(orphan))
+        if m and int(m.group(1)) != os.getpid():
+            try:
+                os.kill(int(m.group(1)), 0)
+                continue  # writer alive: leave its files
+            except ProcessLookupError:
+                pass  # dead: sweep
+            except OSError:
+                continue  # EPERM etc: assume alive
+        try:
+            os.unlink(orphan)
+        except OSError:
+            pass
+
+
 def _quantize_chunk_rows(dim: int, target_bytes: int = 256 << 20) -> int:
     """Rows per host-quantize slice, sized by BYTES not rows: each
     quantize call materializes fp32 temporaries ~3× its slice, so a
@@ -491,35 +519,7 @@ class DeviceCache:
             if cdir is not None:
                 try:
                     os.makedirs(cdir, exist_ok=True)
-                    # a SIGKILL mid-write strands .tmp-<oldpid>-* (the
-                    # except below never runs for a killed process) —
-                    # sweep them before writing our own. ONLY dead
-                    # writers' files: the names embed the writer pid,
-                    # and deleting a LIVE concurrent writer's tmp files
-                    # (two servers cold-starting on one --root) makes
-                    # its os.replace raise and its handler rmtree the
-                    # whole cdir — destroying the winner's just-built
-                    # sidecar (round-4 advisor).
-                    import re as re_mod
-
-                    for orphan in glob.glob(
-                        os.path.join(glob.escape(cdir), ".tmp-*")
-                    ) + glob.glob(os.path.join(glob.escape(cdir), "*.tmp-*")):
-                        m = re_mod.search(
-                            r"\.tmp-(\d+)", os.path.basename(orphan)
-                        )
-                        if m and int(m.group(1)) != os.getpid():
-                            try:
-                                os.kill(int(m.group(1)), 0)
-                                continue  # writer alive: leave its files
-                            except ProcessLookupError:
-                                pass  # dead: sweep
-                            except OSError:
-                                continue  # EPERM etc: assume alive
-                        try:
-                            os.unlink(orphan)
-                        except OSError:
-                            pass
+                    _sweep_dead_tmp(cdir)
                     if os.path.exists(meta_path):
                         os.unlink(meta_path)  # invalidate before touching data
                     for arr, fname in ((codes, "codes.npy"), (scales, "scales.npy")):
@@ -550,6 +550,208 @@ class DeviceCache:
 
         return self._memo_unlocked(
             self._host, (key, column, "host_int8"), stamp, build
+        )
+
+    def host_cell_meta(
+        self, coding: str, source: str | Sequence[str], column: str
+    ):
+        """Host ``(orig [N] int32 original row per cell-sorted
+        position, offsets [n_cells+1] int64)`` — the cheap (no D
+        factor) half of the cell-sorted host layout: one stable argsort
+        of the cell assignments per (revision, index). Probed nomax
+        reads and the clustered-int8 build both hang off it."""
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            coding_meta = self.coding(coding)
+            n_books, k_book, _ = coding_meta["tensor"].shape
+            n_cells = int(k_book) ** int(n_books)
+            rows = self.host_table(source).num_rows
+            cell_ids = (
+                self._host_codes(coding, key, column)
+                if rows
+                else np.zeros(0, np.int64)
+            )
+            if cell_ids.shape[0] != rows:
+                # table and index revisions span a mutation — callers'
+                # stamp re-checks retry
+                from fenix_tpu.engine.executor import _StaleRevision
+
+                raise _StaleRevision
+            perm = np.argsort(cell_ids.astype(np.int64), kind="stable")
+            offsets = np.searchsorted(
+                cell_ids[perm], np.arange(n_cells + 1)
+            ).astype(np.int64)
+            return perm.astype(np.int32), offsets
+
+        return self._memo(
+            self._host, (key, column, "host_cell_meta", coding), stamp, build
+        )
+
+    def host_clustered_int8(
+        self, coding: str, source: str | Sequence[str], column: str
+    ):
+        """Cell-sorted HOST int8 layout for probed (IVF) search past
+        device residency (VERDICT r4 #1): ``(codes_sorted [N, D] int8,
+        scales_sorted [N] f32, orig [N] int32 original row per sorted
+        position, offsets [n_cells+1] int64)``. Rows sort stably by
+        cell id, so every probed cell is a CONTIGUOUS slice — the
+        host-side analog of :meth:`clustered` (the reference serves IVF
+        at any host-fitting scale because probe pruning is just a
+        filter over its mmap'd table, reference index.py:113-126;
+        before round 5 this engine refused probed search wherever the
+        corpus outgrew device residency).
+
+        Persisted as a revision-stamped sidecar
+        (``<int8cache>/<colhash>/ivf-<codinghash>/``, meta written
+        LAST) like the flat int8 mirror: the permuted copy is O(N·D)
+        once per (revision, index) and a restart memory-maps it.
+        Counters: cache.ivf_sidecar_loads / _writes."""
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            import hashlib
+            import json as json_mod
+            import shutil
+
+            from fenix_tpu.utils.metrics import GLOBAL as metrics
+
+            coding_meta = self.coding(coding)
+            n_books, k_book, _ = coding_meta["tensor"].shape
+            n_cells = int(k_book) ** int(n_books)
+
+            cdir = None
+            if len(key) == 1:
+                cdir = os.path.join(
+                    table.int8cache_dir(self.root, key[0]),
+                    hashlib.sha1(column.encode()).hexdigest()[:16],
+                    "ivf-" + hashlib.sha1(coding.encode()).hexdigest()[:16],
+                )
+            stamp_s = json_mod.dumps(stamp)
+            meta_path = cdir and os.path.join(cdir, "meta.json")
+            files = ("codes.npy", "scales.npy", "orig.npy", "offsets.npy")
+
+            def read_meta():
+                with open(meta_path) as fh:
+                    return json_mod.load(fh)
+
+            if cdir is not None and os.path.isdir(cdir):
+                try:
+                    meta = read_meta()
+                    if meta.get("stamp") == stamp_s and meta.get("column") == column:
+                        cs = np.load(os.path.join(cdir, "codes.npy"), mmap_mode="r")
+                        ss = np.load(os.path.join(cdir, "scales.npy"))
+                        og = np.load(os.path.join(cdir, "orig.npy"))
+                        offs = np.load(os.path.join(cdir, "offsets.npy"))
+                        if (
+                            read_meta() == meta
+                            and ss.shape[0] == cs.shape[0] == og.shape[0]
+                            and offs.shape[0] == n_cells + 1
+                        ):
+                            metrics.add("cache.ivf_sidecar_loads")
+                            return cs, ss, og, offs
+                except Exception:
+                    pass  # corrupt/stale sidecar: rebuild and replace
+
+            codes8, scales = self.host_int8(source, column)
+            rows, d = codes8.shape
+            orig, offsets = self.host_cell_meta(coding, source, column)
+            if orig.shape[0] != rows:
+                from fenix_tpu.engine.executor import _StaleRevision
+
+                raise _StaleRevision
+            perm = orig.astype(np.int64)
+            scales_sorted = np.asarray(scales)[perm]
+
+            chunk = max(1, (256 << 20) // max(d, 1))  # int8: 1 B/element
+
+            def fill(dst):
+                for s in range(0, rows, chunk):
+                    e = min(s + chunk, rows)
+                    dst[s:e] = codes8[perm[s:e]]
+
+            if cdir is not None:
+                try:
+                    os.makedirs(cdir, exist_ok=True)
+                    _sweep_dead_tmp(cdir)
+                    if os.path.exists(meta_path):
+                        os.unlink(meta_path)  # invalidate before data
+                    tmp = os.path.join(cdir, f".tmp-{os.getpid()}-codes.npy")
+                    dst = np.lib.format.open_memmap(
+                        tmp, mode="w+", dtype=np.int8, shape=(rows, d)
+                    )
+                    fill(dst)
+                    dst.flush()
+                    del dst
+                    os.replace(tmp, os.path.join(cdir, "codes.npy"))
+                    for arr, fname in (
+                        (scales_sorted, "scales.npy"),
+                        (orig, "orig.npy"),
+                        (offsets, "offsets.npy"),
+                    ):
+                        tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{fname}")
+                        with open(tmp, "wb") as fh:
+                            np.save(fh, arr)
+                        os.replace(tmp, os.path.join(cdir, fname))
+                    tmp = meta_path + f".tmp-{os.getpid()}"
+                    with open(tmp, "w") as fh:
+                        json_mod.dump(
+                            {"stamp": stamp_s, "column": column,
+                             "coding": coding, "rows": rows, "dim": d,
+                             "n_cells": n_cells},
+                            fh,
+                        )
+                    os.replace(tmp, meta_path)
+                    metrics.add("cache.ivf_sidecar_writes")
+                    codes_sorted = np.load(
+                        os.path.join(cdir, "codes.npy"), mmap_mode="r"
+                    )
+                    return codes_sorted, scales_sorted, orig, offsets
+                except OSError:
+                    shutil.rmtree(cdir, ignore_errors=True)
+
+            codes_sorted = np.empty((rows, d), np.int8)
+            fill(codes_sorted)
+            return codes_sorted, scales_sorted, orig, offsets
+
+        return self._memo_unlocked(
+            self._host, (key, column, "host_clustered_int8", coding), stamp, build
+        )
+
+    def host_clustered_aux(
+        self, coding: str, source: str | Sequence[str], column: str, metric: str
+    ):
+        """``(mul_s, add_s)`` [N] f32 in the cell-sorted host order:
+        the per-row phase-A factors ``aux_mul·scale`` and ``aux_add``
+        permuted once per (revision, metric) so the probed host scan
+        reads them as contiguous slices per cell (an O(N) gather per
+        REQUEST at 100M rows would be ~1 GB of random reads)."""
+        from fenix_tpu.ops import distance as distance_ops
+
+        canonical = distance_ops.canonical_metric(metric)
+        key = _source_key(source)
+        paths = self._coded_paths(coding, key, column)
+        stamp = self._mtimes(key) + tuple(os.path.getmtime(p) for p in paths)
+
+        def build():
+            _, scales_sorted, orig, _ = self.host_clustered_int8(
+                coding, source, column
+            )
+            hmul, hadd = self.host_aux(source, column, canonical)
+            return (
+                (scales_sorted * hmul[orig]).astype(np.float32),
+                hadd[orig].astype(np.float32),
+            )
+
+        return self._memo(
+            self._host,
+            (key, column, "host_clustered_aux", coding, canonical),
+            stamp,
+            build,
         )
 
     def host_aux(self, source: str | Sequence[str], column: str, metric: str):

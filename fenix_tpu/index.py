@@ -76,15 +76,50 @@ def _assign_codes(root: str, name: str, column: pa.ChunkedArray) -> np.ndarray:
     so block i+1's host→device transfer (and its host-side dtype copy)
     overlaps block i's assignment compute — the reference DataLoader-
     pool role (SURVEY §2.3 last row) on the one ingest path that is a
-    genuine upload/compute pipeline."""
+    genuine upload/compute pipeline.
+
+    HOST-RESIDENT tables (the engine/residency.py regime: the fp32
+    corpus doesn't fit the HBM budget) assign on the HOST instead —
+    the whole oversized lifecycle (make-index, probed search, nomax
+    reads) then never moves the corpus over the link. ``FENIX_ASSIGN``
+    = host|device overrides the routing either way."""
     from fenix_tpu.io import batch as batch_mod
+    from fenix_tpu.utils import hbm
+    from fenix_tpu.utils.metrics import GLOBAL as metrics
 
     coding = coder_mod.load(root, name)
-    codebooks = jnp.asarray(coding["tensor"])
     metric = coding["config"]["metric"]
 
     matrix = ingest.fixed_size_list_to_numpy(column)
     num_rows = matrix.shape[0]
+
+    route = os.environ.get("FENIX_ASSIGN", "auto").lower()
+    if route not in ("auto", "host", "device"):
+        raise ValueError(f"FENIX_ASSIGN must be auto|host|device, got {route!r}")
+    if route == "auto":
+        budget = hbm.budget_bytes()
+        # ~ the router's dual-residency test (fp32 + 16 B/row aux)
+        route = (
+            "host"
+            if budget is not None
+            and matrix.shape[0] * (4 * matrix.shape[1] + 16) > 0.9 * budget
+            else "device"
+        )
+
+    if route == "host":
+        metrics.add("index.host_assigns")
+        codes = np.empty(num_rows, dtype=np.int64)
+        chunk = max(1, (256 << 20) // max(4 * matrix.shape[1], 1))
+        for start in range(0, num_rows, chunk):
+            stop = min(start + chunk, num_rows)
+            codes[start:stop] = cells_ops.assign_cells_np(
+                np.asarray(matrix[start:stop], dtype=np.float32),
+                coding["tensor"],
+                metric,
+            )
+        return codes
+
+    codebooks = jnp.asarray(coding["tensor"])
 
     def blocks() -> Iterator[np.ndarray]:
         for start in range(0, num_rows, ASSIGN_BLOCK):

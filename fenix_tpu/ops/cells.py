@@ -90,6 +90,40 @@ def topk_cells(
     return ids.astype(jnp.int32)
 
 
+def assign_cells_np(vectors, codebooks, metric: str):
+    """Host (numpy) mirror of :func:`assign_cells` — same per-codebook
+    pairwise distance (incl. the l2 sqrt form, so near-tie rounding
+    matches) and the same first-min tie rule (np.argmin ≡ jnp.argmin).
+
+    Used by index.make for HOST-RESIDENT tables (engine/residency.py
+    regime): streaming a 100M-row corpus through the device link just
+    to argmin 128 centroids is pure upload cost, while the host does
+    the same BLAS matmuls against its own mmap'd rows."""
+    import numpy as np
+
+    metric = canonical_metric(metric)
+    v = np.asarray(vectors, dtype=np.float32)
+    cb = np.asarray(codebooks, dtype=np.float32)
+    n, k, d = cb.shape
+    flat = cb.reshape(n * k, d)
+
+    if metric == "l2":
+        uu = np.sum(np.square(v), axis=-1, keepdims=True)
+        vv = np.sum(np.square(flat), axis=-1, keepdims=True).T
+        dist = np.sqrt(np.maximum(uu - 2.0 * (v @ flat.T) + vv, 0.0))
+    elif metric == "cosine":
+        tn = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        fn = flat / np.maximum(np.linalg.norm(flat, axis=-1, keepdims=True), 1e-12)
+        dist = 0.5 - 0.5 * (tn @ fn.T)
+    else:
+        dist = -(v @ flat.T)
+    dist = dist.reshape(-1, n, k)
+
+    digits = np.argmin(dist, axis=-1).astype(np.int64)  # [N, n]
+    weights = (k ** np.arange(n - 1, -1, -1, dtype=np.int64))[None, :]
+    return np.sum(digits * weights, axis=-1)
+
+
 def topk_cells_np(targets, codebooks, metric: str, maxval: int):
     """Host (numpy) mirror of :func:`topk_cells` for dense cell grids.
 

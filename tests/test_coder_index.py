@@ -7,7 +7,7 @@ import pytest
 
 from fenix_tpu import coder, expr, index
 from fenix_tpu.engine import executor
-from fenix_tpu.io import ingest, table
+from fenix_tpu.io import arrow, ingest, table
 from tests import oracles
 
 ROWS, DIM = 2000, 32
@@ -404,3 +404,38 @@ def test_coder_make_routes_streaming_past_budget(tmp_path, rng, monkeypatch):
     assert np.isfinite(coding["tensor"]).all()
     monkeypatch.delenv("FENIX_HBM_BUDGET")
     index_mod.make(root, "c", "t", "vector")  # probed search stays servable
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
+def test_host_assignment_matches_device(root, rng, metric, monkeypatch):
+    """FENIX_ASSIGN=host (and the auto route for host-resident tables)
+    must produce the device assignment bit-for-bit — the oversized
+    lifecycle (make-index past the HBM budget) hangs off it."""
+    cfg = dict(CONFIG, metric=metric)
+    coder.make(root, "ha", "test/table", "vector", cfg, seed=3)
+
+    monkeypatch.setenv("FENIX_ASSIGN", "device")
+    index.make(root, "ha", "test/table", "vector")
+    dev = ingest.scalar_column_to_numpy(
+        arrow.load(index.path_of(root, "ha", "test/table", "vector")).column(
+            index.CODE_COL
+        )
+    ).copy()
+
+    monkeypatch.setenv("FENIX_ASSIGN", "host")
+    index.make(root, "ha", "test/table", "vector")
+    host = ingest.scalar_column_to_numpy(
+        arrow.load(index.path_of(root, "ha", "test/table", "vector")).column(
+            index.CODE_COL
+        )
+    )
+    np.testing.assert_array_equal(dev, host)
+
+    # auto routes host when the corpus exceeds the budget
+    from fenix_tpu.utils.metrics import GLOBAL as METRICS
+
+    monkeypatch.setenv("FENIX_ASSIGN", "auto")
+    monkeypatch.setenv("FENIX_HBM_BUDGET", "4096")
+    before = METRICS.snapshot().get("index.host_assigns", 0)
+    index.make(root, "ha", "test/table", "vector")
+    assert METRICS.snapshot().get("index.host_assigns", 0) == before + 1
