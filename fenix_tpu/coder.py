@@ -114,6 +114,27 @@ def make(
     budget = residency_mod.budget_bytes()
     corpus_bytes = 4 * num_rows * dim
     if budget is not None and corpus_bytes > 0.9 * budget:
+        import os
+
+        # chunk-transport precision (VERDICT r4 next #5): the measured
+        # 10M×768 fp32 epoch was 99.95% transfer, so int8 transport
+        # (4× fewer bytes, dequantize in-kernel, fp32 Lloyd math)
+        # bounds a ~4× epoch speedup on ANY link. Default fp32 (exact);
+        # opt in per coder config or process-wide via env.
+        precision = str(
+            config.get("stream_precision")
+            or os.environ.get("FENIX_TRAIN_STREAM_PRECISION", "fp32")
+        )
+        mirror = None
+        if precision == "int8" and isinstance(source, str):
+            # reuse the serving cache's persisted int8 mirror/sidecar —
+            # quantize once per revision, shared with the search path
+            try:
+                from fenix_tpu.engine import executor as executor_mod
+
+                mirror = executor_mod.get_cache(root).host_int8(source, column)
+            except Exception:
+                mirror = None  # no sidecar route: quantize inline
         codebooks = kmeans.train_streaming(
             matrix.astype(np.float32, copy=False),
             int(seed_u32),
@@ -122,6 +143,8 @@ def make(
             batch_size=b,
             num_epochs=config["num_epochs"],
             metric=metric,
+            precision=precision,
+            int8_mirror=mirror,
         )
         return _persist(root, name, config, column_type, codebooks)
 

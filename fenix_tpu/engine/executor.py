@@ -141,6 +141,15 @@ def _sharded_ivf_fn(mesh, k: int, metric: str):
 
 
 @functools.lru_cache(maxsize=None)
+def _sharded_window_fn(mesh, k: int, w: int, metric: str):
+    """Compiled sharded phase-A window kernel for the mesh-composed
+    int8-resident / int8-streaming residency modes."""
+    from fenix_tpu.parallel import search as psearch
+
+    return psearch.build_serving_window_int8(mesh, k=k, w=w, metric=metric)
+
+
+@functools.lru_cache(maxsize=None)
 def _ring_fn(mesh, k: int, metric: str, precision: str = "fp32", probed: bool = False):
     from fenix_tpu.parallel import search as psearch
 

@@ -121,6 +121,66 @@ def _quantize_chunk_rows(dim: int, target_bytes: int = 256 << 20) -> int:
     return max(1, target_bytes // (4 * dim))
 
 
+def _parse_stamp_json(s: str) -> tuple:
+    """Inverse of ``json.dumps(self._mtimes(key))`` — tuple-of-table-
+    stamps with the nesting json lost restored (lists → tuples)."""
+    import json as json_mod
+
+    return tuple(
+        (tuple(base), tuple((n, int(m)) for n, m in parts))
+        for base, parts in json_mod.loads(s)
+    )
+
+
+def _npy_append_rows(path: str, arr: np.ndarray, expect_rows: int) -> bool:
+    """Append ``arr``'s rows to a ``.npy`` file IN PLACE, rewriting the
+    header shape — the O(delta)-disk half of the incremental host-mirror
+    refresh (VERDICT r4 next #4). Returns False (file untouched) when
+    the on-disk shape isn't ``expect_rows`` (a concurrent writer won),
+    the dtype/inner-shape mismatch, or the grown shape string wouldn't
+    fit the existing fixed-size header — callers fall back to a full
+    rewrite. Crash-safe with the sidecar's meta-last protocol: data
+    bytes append BEFORE the header grows, so a torn write leaves a
+    parseable old-shape file (and no meta → readers rebuild)."""
+    import io as io_mod
+
+    from numpy.lib import format as npf
+
+    with open(path, "r+b") as fh:
+        version = npf.read_magic(fh)
+        shape, fortran, dtype = npf._read_array_header(fh, version)
+        hdr_end = fh.tell()
+        if (
+            fortran
+            or dtype != arr.dtype
+            or shape[1:] != arr.shape[1:]
+            or shape[0] != expect_rows
+        ):
+            return False
+        buf = io_mod.BytesIO()
+        try:
+            npf.write_array_header_1_0(
+                buf,
+                {
+                    "descr": npf.dtype_to_descr(dtype),
+                    "fortran_order": False,
+                    "shape": (shape[0] + arr.shape[0],) + shape[1:],
+                },
+            )
+        except Exception:
+            return False
+        hdr = buf.getvalue()
+        if len(hdr) != hdr_end:
+            return False  # shape digits crossed the header padding
+        fh.seek(0, 2)
+        fh.write(np.ascontiguousarray(arr).tobytes())
+        fh.seek(0)
+        fh.write(hdr)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return True
+
+
 # device masks memoize per full predicate (literals included); bound the
 # cache — parametric per-query literals would otherwise grow it forever
 _MASK_CACHE_LIMIT = 128
@@ -444,8 +504,7 @@ class DeviceCache:
         request — quantizing the corpus inside every search measured
         minutes per stream at 16M×768 on a 2-core host (round 4), which
         swamped the transfer the int8 mode exists to quarter. Built
-        once per revision with the shared host quantizer
-        (ops.topk2.quantize_rows_int8_np).
+        with the shared host quantizer (ops.topk2.quantize_rows_int8_np).
 
         PERSISTED as a revision-stamped sidecar next to the table
         (io.table.int8cache_dir: codes.npy/scales.npy/meta.json,
@@ -453,59 +512,40 @@ class DeviceCache:
         a server restart memory-maps the codes instead of re-reading
         and re-quantizing the fp32 corpus (970 s at 16M×768 on this
         host; the mmap load is ~0 and costs no anonymous RAM).
+
+        Mutations refresh INCREMENTALLY (same standard as the device
+        caches' _grow_matrix/_shrink_matrix — VERDICT r4 next #4):
+        append-only revisions quantize ONLY the appended rows and grow
+        the sidecar files in place (O(delta) quantize AND disk I/O);
+        delete/compaction hops gather surviving rows from the old
+        mirror via the keep-mask lineage (no re-quantize). Only
+        revision gaps with no recorded hop pay the full O(N) rebuild.
         Single-source tables only; stale stamps rebuild and replace.
-        Counters: cache.int8_sidecar_loads / _writes."""
+        Counters: cache.int8_sidecar_loads / _writes,
+        cache.mirror_delta_refreshes, cache.mirror_rows_quantized."""
         key = _source_key(source)
         stamp = self._mtimes(key)
 
         def build():
-            import glob
-            import hashlib
             import json as json_mod
-            import shutil
 
             from fenix_tpu.ops import topk2
             from fenix_tpu.utils.metrics import GLOBAL as metrics
 
-            cdir = None
-            if len(key) == 1:
-                # one subdir per COLUMN: a table with two searchable
-                # vector columns must not thrash one shared sidecar
-                # (column names are arbitrary strings — hash for the
-                # path; meta.json still records the real name)
-                cdir = os.path.join(
-                    table.int8cache_dir(self.root, key[0]),
-                    hashlib.sha1(column.encode()).hexdigest()[:16],
-                )
+            cdir = self._int8_cdir(key, column)
             stamp_s = json_mod.dumps(stamp)
             meta_path = cdir and os.path.join(cdir, "meta.json")
 
-            def read_meta():
-                with open(meta_path) as fh:
-                    return json_mod.load(fh)
+            loaded = self._read_int8_sidecar(cdir, meta_path, column)
+            if loaded is not None and loaded[2].get("stamp") == stamp_s:
+                metrics.add("cache.int8_sidecar_loads")
+                return loaded[0], loaded[1]
 
-            if cdir is not None and os.path.isdir(cdir):
-                try:
-                    meta = read_meta()
-                    if meta.get("stamp") == stamp_s and meta.get("column") == column:
-                        codes = np.load(
-                            os.path.join(cdir, "codes.npy"), mmap_mode="r"
-                        )
-                        scales = np.load(os.path.join(cdir, "scales.npy"))
-                        # re-validate AFTER loading: a concurrent
-                        # rebuild (another process; this process
-                        # serializes builds) could have replaced the
-                        # files between the meta read and the loads —
-                        # a cross-revision (codes, scales) pair would
-                        # crash the chunk slicing mid-search
-                        if (
-                            read_meta() == meta
-                            and scales.shape[0] == codes.shape[0]
-                        ):
-                            metrics.add("cache.int8_sidecar_loads")
-                            return codes, scales
-                except Exception:
-                    pass  # corrupt/stale sidecar: rebuild and replace below
+            grown = self._host_int8_incremental(
+                key, column, stamp, cdir, meta_path, stamp_s, loaded
+            )
+            if grown is not None:
+                return grown
 
             host = self.host_matrix(source, column)
             rows, d = host.shape
@@ -515,42 +555,264 @@ class DeviceCache:
             for s in range(0, rows, chunk):
                 e = min(s + chunk, rows)
                 codes[s:e], scales[s:e] = topk2.quantize_rows_int8_np(host[s:e])
-
-            if cdir is not None:
-                try:
-                    os.makedirs(cdir, exist_ok=True)
-                    _sweep_dead_tmp(cdir)
-                    if os.path.exists(meta_path):
-                        os.unlink(meta_path)  # invalidate before touching data
-                    for arr, fname in ((codes, "codes.npy"), (scales, "scales.npy")):
-                        tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{fname}")
-                        with open(tmp, "wb") as fh:
-                            np.save(fh, arr)
-                        os.replace(tmp, os.path.join(cdir, fname))
-                    tmp = meta_path + f".tmp-{os.getpid()}"
-                    with open(tmp, "w") as fh:
-                        json_mod.dump(
-                            {"stamp": stamp_s, "column": column,
-                             "rows": rows, "dim": d},
-                            fh,
-                        )
-                    os.replace(tmp, meta_path)
-                    metrics.add("cache.int8_sidecar_writes")
-                    # serve the just-written file via mmap: the page-
-                    # cache-backed mapping is evictable, where the
-                    # anonymous build array would pin N·D bytes of RAM
-                    # for the life of the process
-                    codes = np.load(os.path.join(cdir, "codes.npy"), mmap_mode="r")
-                except OSError:
-                    # disk full or unwritable root: serve in-memory and
-                    # leave no half-written cache behind (no meta = no
-                    # cache as far as readers are concerned)
-                    shutil.rmtree(cdir, ignore_errors=True)
-            return codes, scales
+            metrics.add("cache.mirror_rows_quantized", rows)
+            return self._write_int8_sidecar(
+                cdir, meta_path, codes, scales, stamp_s, column
+            )
 
         return self._memo_unlocked(
             self._host, (key, column, "host_int8"), stamp, build
         )
+
+    def _int8_cdir(self, key: tuple, column: str) -> "str | None":
+        if len(key) != 1:
+            return None
+        import hashlib
+
+        # one subdir per COLUMN: a table with two searchable vector
+        # columns must not thrash one shared sidecar (column names are
+        # arbitrary strings — hash for the path; meta.json still
+        # records the real name)
+        return os.path.join(
+            table.int8cache_dir(self.root, key[0]),
+            hashlib.sha1(column.encode()).hexdigest()[:16],
+        )
+
+    def _read_int8_sidecar(self, cdir, meta_path, column: str):
+        """``(codes mmap, scales, meta)`` for WHATEVER revision the
+        sidecar holds (the stamp check is the caller's — an old-stamp
+        sidecar is the base of the incremental refresh), or None."""
+        import json as json_mod
+
+        if cdir is None or not os.path.isdir(cdir):
+            return None
+        try:
+            with open(meta_path) as fh:
+                meta = json_mod.load(fh)
+            if meta.get("column") != column:
+                return None
+            codes = np.load(os.path.join(cdir, "codes.npy"), mmap_mode="r")
+            scales = np.load(os.path.join(cdir, "scales.npy"))
+            # re-validate AFTER loading: a concurrent rebuild (another
+            # process; this process serializes builds) could have
+            # replaced the files between the meta read and the loads —
+            # a cross-revision (codes, scales) pair would crash the
+            # chunk slicing mid-search. The rows check also rejects a
+            # torn in-place append (grown header, stale meta).
+            with open(meta_path) as fh:
+                if json_mod.load(fh) != meta:
+                    return None
+            if scales.shape[0] != codes.shape[0] or codes.shape[0] != meta.get(
+                "rows"
+            ):
+                return None
+            return codes, scales, meta
+        except Exception:
+            return None  # corrupt/absent: caller rebuilds
+
+    def _write_int8_sidecar(self, cdir, meta_path, codes, scales, stamp_s, column):
+        """Full sidecar (re)write with the crash-safe protocol:
+        invalidate meta → data files via tmp+replace → meta LAST.
+        Returns the (possibly mmap-reloaded) ``(codes, scales)``."""
+        import json as json_mod
+        import shutil
+
+        from fenix_tpu.utils.metrics import GLOBAL as metrics
+
+        if cdir is None:
+            return codes, scales
+        try:
+            os.makedirs(cdir, exist_ok=True)
+            _sweep_dead_tmp(cdir)
+            if os.path.exists(meta_path):
+                os.unlink(meta_path)  # invalidate before touching data
+            for arr, fname in ((codes, "codes.npy"), (scales, "scales.npy")):
+                tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{fname}")
+                with open(tmp, "wb") as fh:
+                    np.save(fh, np.ascontiguousarray(arr))
+                os.replace(tmp, os.path.join(cdir, fname))
+            tmp = meta_path + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json_mod.dump(
+                    {"stamp": stamp_s, "column": column,
+                     "rows": int(codes.shape[0]), "dim": int(codes.shape[1])},
+                    fh,
+                )
+            os.replace(tmp, meta_path)
+            metrics.add("cache.int8_sidecar_writes")
+            # serve the just-written file via mmap: the page-cache-
+            # backed mapping is evictable, where the anonymous build
+            # array would pin N·D bytes of RAM for the process life
+            codes = np.load(os.path.join(cdir, "codes.npy"), mmap_mode="r")
+        except OSError:
+            # disk full or unwritable root: serve in-memory and leave
+            # no half-written cache behind (no meta = no cache as far
+            # as readers are concerned)
+            shutil.rmtree(cdir, ignore_errors=True)
+        return codes, scales
+
+    def _host_int8_incremental(
+        self, key, column, stamp, cdir, meta_path, stamp_s, sidecar
+    ):
+        """O(delta) host-mirror refresh across one recorded table hop
+        (VERDICT r4 next #4, the device caches' incremental standard
+        applied to the host mirror): append-only revisions quantize
+        ONLY the appended rows — and when the sidecar holds the
+        previous revision, append them IN PLACE to codes.npy/scales.npy
+        (O(delta) disk I/O, _npy_append_rows); delete/compaction hops
+        gather surviving rows from the old mirror via the keep-mask
+        lineage (no re-quantize; sidecar rewritten without quantizing).
+        Returns the refreshed ``(codes, scales)`` or None → full
+        rebuild."""
+        if len(key) != 1:
+            return None
+        from fenix_tpu.ops import topk2
+        from fenix_tpu.utils.metrics import GLOBAL as metrics
+
+        name = key[0]
+        old = self._host.get((key, column, "host_int8"))
+        old_stamp = old_codes = old_scales = None
+        if old is not None:
+            old_stamp = old[0]
+            old_codes, old_scales = old[1]
+        sidecar_stamp = None
+        if sidecar is not None:
+            try:
+                sidecar_stamp = _parse_stamp_json(sidecar[2]["stamp"])
+            except Exception:
+                sidecar = None
+        if old_codes is None and sidecar is not None:
+            old_stamp = sidecar_stamp
+            old_codes, old_scales = sidecar[0], sidecar[1]
+        if old_codes is None or old_stamp is None:
+            return None
+
+        # one recorded hop from the old revision to the current one:
+        # pure append, or lineage (delete/compaction) + optional append
+        keep = None
+        delta_names = table.append_delta(old_stamp[0], stamp[0])
+        if delta_names is None:
+            lin = table.lineage(self.root, name)
+            if lin is None:
+                return None
+            lin_old, lin_new, keep = lin
+            if lin_old != old_stamp[0] or keep.shape[0] != old_codes.shape[0]:
+                return None
+            delta_names = (
+                [] if lin_new == stamp[0] else table.append_delta(lin_new, stamp[0])
+            )
+            if delta_names is None:
+                return None
+
+        dcodes = dscales = None
+        if delta_names:
+            try:
+                parts = table.load_parts(self.root, name, delta_names)
+                delta = ingest.fixed_size_list_to_numpy(
+                    parts.column(column)
+                ).astype(np.float32, copy=False)
+            except (FileNotFoundError, KeyError, TypeError):
+                return None  # raced mutation / schema drift
+            dcodes = np.empty(delta.shape, np.int8)
+            dscales = np.empty(delta.shape[0], np.float32)
+            chunk = _quantize_chunk_rows(delta.shape[1])
+            for s in range(0, delta.shape[0], chunk):
+                e = min(s + chunk, delta.shape[0])
+                dcodes[s:e], dscales[s:e] = topk2.quantize_rows_int8_np(delta[s:e])
+            metrics.add("cache.mirror_rows_quantized", delta.shape[0])
+
+        rows_same = keep is None or bool(keep.all())
+        if (
+            rows_same
+            and dcodes is not None
+            and sidecar is not None
+            and sidecar_stamp == old_stamp
+        ):
+            appended = self._append_int8_sidecar(
+                cdir, meta_path, dcodes, dscales, stamp_s, column,
+                int(old_codes.shape[0]),
+            )
+            if appended is not None:
+                metrics.add("cache.mirror_delta_refreshes")
+                return appended
+            # concurrent winner / header overflow: fall through
+
+        base_c, base_s = old_codes, old_scales
+        if keep is not None and not rows_same:
+            idx = np.nonzero(keep)[0]
+            base_c = np.asarray(old_codes)[idx]
+            base_s = np.asarray(old_scales)[idx]
+        if dcodes is not None:
+            base_c = np.concatenate([np.asarray(base_c), dcodes])
+            base_s = np.concatenate([np.asarray(base_s), dscales])
+        elif rows_same and sidecar is not None and sidecar_stamp == old_stamp:
+            # compaction with the data unchanged: the sidecar files are
+            # already correct — re-stamp the meta atomically, no data IO
+            import json as json_mod
+
+            try:
+                tmp = meta_path + f".tmp-{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    json_mod.dump(
+                        {"stamp": stamp_s, "column": column,
+                         "rows": int(old_codes.shape[0]),
+                         "dim": int(old_codes.shape[1])},
+                        fh,
+                    )
+                os.replace(tmp, meta_path)
+                metrics.add("cache.mirror_delta_refreshes")
+                return old_codes, old_scales
+            except OSError:
+                pass
+        metrics.add("cache.mirror_delta_refreshes")
+        return self._write_int8_sidecar(
+            cdir, meta_path, np.ascontiguousarray(base_c),
+            np.ascontiguousarray(base_s), stamp_s, column,
+        )
+
+    def _append_int8_sidecar(
+        self, cdir, meta_path, dcodes, dscales, stamp_s, column, old_rows: int
+    ):
+        """Grow the persisted sidecar IN PLACE by the quantized delta
+        rows — O(delta) disk I/O. An exclusive flock serializes
+        concurrent appenders across processes (interleaved in-place
+        writes, unlike the full path's tmp+replace, would corrupt);
+        the meta-last protocol still covers crashes. None → caller
+        falls back to a full rewrite."""
+        import json as json_mod
+
+        from fenix_tpu.utils.metrics import GLOBAL as metrics
+
+        if cdir is None:
+            return None
+        try:
+            import fcntl
+
+            with open(os.path.join(cdir, ".append.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                if os.path.exists(meta_path):
+                    os.unlink(meta_path)  # invalidate before touching data
+                codes_path = os.path.join(cdir, "codes.npy")
+                scales_path = os.path.join(cdir, "scales.npy")
+                if not _npy_append_rows(codes_path, dcodes, old_rows):
+                    return None
+                if not _npy_append_rows(scales_path, dscales, old_rows):
+                    return None
+                tmp = meta_path + f".tmp-{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    json_mod.dump(
+                        {"stamp": stamp_s, "column": column,
+                         "rows": old_rows + int(dcodes.shape[0]),
+                         "dim": int(dcodes.shape[1])},
+                        fh,
+                    )
+                os.replace(tmp, meta_path)
+            metrics.add("cache.int8_sidecar_writes")
+            codes = np.load(codes_path, mmap_mode="r")
+            scales = np.load(scales_path)
+            return codes, scales
+        except OSError:
+            return None
 
     def host_cell_meta(
         self, coding: str, source: str | Sequence[str], column: str
@@ -942,6 +1204,103 @@ class DeviceCache:
 
         return self._memo(
             self._device, (key, column, "int8_solo_aux", canonical), stamp, build
+        )
+
+    def sharded_int8_solo(self, source: str | Sequence[str], column: str):
+        """Row-sharded int8 device copy ``(v8 [N_pad, D] P(axes, None),
+        sv [N_pad] P(axes))`` over the serving mesh, built from the host
+        int8 mirror WITHOUT fp32 device residency — the mesh-composed
+        int8-resident mode (VERDICT r4 next #2): each chip holds 1/S of
+        the int8 copy, so the int8 ceiling scales with the mesh. Shards
+        fill via ``jax.make_array_from_callback`` slicing the (mmap'd)
+        mirror — peak host RAM is one shard's slice, never a padded
+        full-corpus copy."""
+        import jax
+
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            import jax.numpy as jnp
+
+            codes, scales = self.host_int8(source, column)
+            rows, d = codes.shape
+            n_pad = max(
+                ingest.round_up(rows, self._shard_block), self._shard_block
+            )
+
+            def slice_codes(idx):
+                s, e = idx[0].start or 0, idx[0].stop or n_pad
+                out = np.zeros((e - s, d), np.int8)
+                if s < rows:
+                    out[: min(e, rows) - s] = codes[s : min(e, rows)]
+                return out
+
+            def slice_scales(idx):
+                s, e = idx[0].start or 0, idx[0].stop or n_pad
+                out = np.full(e - s, 1e-30, np.float32)
+                if s < rows:
+                    out[: min(e, rows) - s] = scales[s : min(e, rows)]
+                return out
+
+            v8 = jax.make_array_from_callback(
+                (n_pad, d), self._row_sharding(2), slice_codes
+            )
+            sv = jax.make_array_from_callback(
+                (n_pad,), self._row_sharding(1), slice_scales
+            )
+            return (
+                ingest.DeviceColumn(data=v8, rows=rows),
+                ingest.DeviceColumn(data=sv, rows=rows),
+            )
+
+        return self._memo(
+            self._device, (key, column, "sharded_int8_solo"), stamp, build
+        )
+
+    def sharded_int8_solo_aux(
+        self, source: str | Sequence[str], column: str, metric: str
+    ):
+        """Row-sharded ``(aux_mul, aux_add)`` [N_pad] for the
+        mesh-composed int8-resident scan, from the host aux (8 B/row);
+        padding rows carry −inf."""
+        import jax
+
+        from fenix_tpu.ops import distance as distance_ops
+
+        canonical = distance_ops.canonical_metric(metric)
+        key = _source_key(source)
+        stamp = self._mtimes(key)
+
+        def build():
+            mul, add = self.host_aux(source, column, canonical)
+            rows = mul.shape[0]
+            n_pad = max(
+                ingest.round_up(rows, self._shard_block), self._shard_block
+            )
+
+            def fill(host, pad_value):
+                def cb(idx):
+                    s, e = idx[0].start or 0, idx[0].stop or n_pad
+                    out = np.full(e - s, pad_value, np.float32)
+                    if s < rows:
+                        out[: min(e, rows) - s] = host[s : min(e, rows)]
+                    return out
+
+                return jax.make_array_from_callback(
+                    (n_pad,), self._row_sharding(1), cb
+                )
+
+            return (
+                fill(mul, 1.0),
+                fill(add, np.float32(distance_ops.NEG_INF)),
+            )
+
+        return self._memo(
+            self._device,
+            (key, column, "sharded_int8_solo_aux", canonical),
+            stamp,
+            build,
         )
 
     def _coded_paths(self, coding: str, key: tuple[str, ...], column: str) -> list[str]:

@@ -119,6 +119,8 @@ def train_streaming(
     num_epochs: int,
     metric: str,
     chunk_rows: "int | None" = None,
+    precision: str = "fp32",
+    int8_mirror=None,  # optional precomputed (codes [N,D] int8, scales [N] f32)
 ) -> jax.Array:
     """Multi-codebook training over a HOST-resident corpus: the corpus
     never lands on device — permuted row chunks stream host→device
@@ -136,19 +138,59 @@ def train_streaming(
     step); the documented divergence is the permutation source (host
     numpy RNG instead of an in-jit threefry — a device permutation
     cannot index a host corpus), pinned against a hand-rolled
-    per-step oracle in tests/test_coder_index.py."""
+    per-step oracle in tests/test_coder_index.py.
+
+    ``precision`` picks the CHUNK TRANSPORT (VERDICT r4 next #5 — the
+    measured 10M×768 epoch was 99.95% transfer, 3072 s of which the
+    device needed ~1.5 s, so transfer bytes ARE the epoch): "int8"
+    streams per-row-quantized codes + scales (4× fewer bytes; the same
+    symmetric quantizer the search path validated at recall@100 = 1.0)
+    and dequantizes in-kernel before the fp32 Lloyd step — pass
+    ``int8_mirror=(codes, scales)`` to reuse a prebuilt host mirror
+    (session.host_int8), else the corpus quantizes once up front;
+    "bf16" casts chunks to bfloat16 on the host (2× fewer bytes).
+    Codebooks and all update math stay fp32 either way — only the
+    SAMPLES carry quantization noise, bounded like the search phase-A
+    (row-relative ≤ 1/254). The int8 path is pinned IDENTICAL to fp32
+    streaming over the dequantized corpus (same seed → same
+    permutation → same samples); centroid drift vs true-fp32 training
+    is measured in tests/test_coder_index.py and
+    benchmarks/coder_train_scale.py."""
     import numpy as np
 
     from fenix_tpu import native
     from fenix_tpu.io import batch as batch_io
 
+    assert precision in ("fp32", "bf16", "int8"), precision
     n_rows, dim = matrix.shape
     rng = np.random.default_rng(seed)
 
+    codes = scales = None
+    if precision == "int8":
+        from fenix_tpu.ops import topk2
+
+        if int8_mirror is not None:
+            codes, scales = int8_mirror
+        else:
+            codes = np.empty((n_rows, dim), np.int8)
+            scales = np.empty(n_rows, np.float32)
+            qchunk = max(1, (256 << 20) // (4 * dim))
+            for s in range(0, n_rows, qchunk):
+                e = min(s + qchunk, n_rows)
+                codes[s:e], scales[s:e] = topk2.quantize_rows_int8_np(matrix[s:e])
+
     init_rows = rng.choice(n_rows, codebook_size * num_codebooks, replace=False)
-    codebooks = jnp.asarray(
-        native.gather_rows(matrix, init_rows.astype(np.int64))
-    ).reshape(num_codebooks, codebook_size, dim)
+    if precision == "int8":
+        # init from the DEQUANTIZED rows — every sample the device sees
+        # is dequantized, so the whole run is bit-pinnable against fp32
+        # streaming over the dequantized corpus (the CPU test contract)
+        ir = init_rows.astype(np.int64)
+        init = np.asarray(codes[ir], np.float32) * np.asarray(scales[ir])[:, None]
+        codebooks = jnp.asarray(init).reshape(num_codebooks, codebook_size, dim)
+    else:
+        codebooks = jnp.asarray(
+            native.gather_rows(matrix, init_rows.astype(np.int64))
+        ).reshape(num_codebooks, codebook_size, dim)
 
     rows_per_step = num_codebooks * batch_size
     steps_total = n_rows // rows_per_step
@@ -157,16 +199,21 @@ def train_streaming(
         # (round-4 review finding: a fixed 1M-row chunk is 6.4 GB at
         # d=1536 and prefetch keeps TWO in flight — RESOURCE_EXHAUSTED
         # in exactly the past-the-budget regime this path serves):
-        # two in-flight fp32 chunks + codebooks must fit → ~1/4 each
+        # two in-flight chunks + codebooks must fit → ~1/4 each,
+        # per-row bytes following the transport precision
         from fenix_tpu.utils import hbm
 
         budget = hbm.budget_bytes() or (2 << 30)
-        chunk_rows = min(1 << 20, max(int(0.9 * budget / 4 / (4 * dim)), 1))
+        per_row = {"fp32": 4 * dim, "bf16": 2 * dim, "int8": dim + 4}[precision]
+        chunk_rows = min(1 << 20, max(int(0.9 * budget / 4 / per_row), 1))
     steps_per_chunk = max(1, chunk_rows // rows_per_step)
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("metric_",))
     def run_chunk(cbs, chunk, metric_):
-        # chunk [steps, num_codebooks, batch_size, D]
+        # chunk [steps, num_codebooks, batch_size, D] fp32 or bf16 —
+        # cast up BEFORE the Lloyd step so all update math stays fp32
+        chunk = chunk.astype(jnp.float32)
+
         def step(cbs, sample):
             return (
                 jax.vmap(lloyd_step_single, in_axes=(0, 0, None))(cbs, sample, metric_),
@@ -176,18 +223,52 @@ def train_streaming(
         cbs, _ = jax.lax.scan(step, cbs, chunk)
         return cbs
 
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("metric_",))
+    def run_chunk_int8(cbs, chunk8, sv, metric_):
+        # chunk8 [steps, nb, b, D] int8, sv [steps, nb, b] f32 per-row
+        # scales — dequantize in-kernel, Lloyd math stays fp32
+        def step(cbs, sample_sv):
+            c8, s8 = sample_sv
+            sample = c8.astype(jnp.float32) * s8[..., None]
+            return (
+                jax.vmap(lloyd_step_single, in_axes=(0, 0, None))(cbs, sample, metric_),
+                None,
+            )
+
+        cbs, _ = jax.lax.scan(step, cbs, (chunk8, sv))
+        return cbs
+
     def chunks():
+        import ml_dtypes
+
         for _ in range(num_epochs):
             perm = rng.permutation(n_rows)[: steps_total * rows_per_step]
             for s0 in range(0, steps_total, steps_per_chunk):
                 s1 = min(s0 + steps_per_chunk, steps_total)
-                idx = perm[s0 * rows_per_step : s1 * rows_per_step]
-                yield native.gather_rows(matrix, idx.astype(np.int64)).reshape(
-                    s1 - s0, num_codebooks, batch_size, dim
-                )
+                idx = perm[s0 * rows_per_step : s1 * rows_per_step].astype(np.int64)
+                shape = (s1 - s0, num_codebooks, batch_size, dim)
+                if precision == "int8":
+                    yield (
+                        np.ascontiguousarray(codes[idx]).reshape(shape),
+                        np.ascontiguousarray(scales[idx]).reshape(shape[:-1]),
+                    )
+                elif precision == "bf16":
+                    yield native.gather_rows(matrix, idx).reshape(shape).astype(
+                        ml_dtypes.bfloat16
+                    )
+                else:
+                    yield native.gather_rows(matrix, idx).reshape(shape)
 
-    for chunk_dev in batch_io.prefetch_to_device(chunks()):
-        codebooks = run_chunk(codebooks, chunk_dev, metric_=metric)
+    def put(item):
+        if isinstance(item, tuple):
+            return tuple(jnp.asarray(a) for a in item)
+        return jax.device_put(item)
+
+    for chunk_dev in batch_io.prefetch_to_device(chunks(), transform=put):
+        if precision == "int8":
+            codebooks = run_chunk_int8(codebooks, *chunk_dev, metric_=metric)
+        else:
+            codebooks = run_chunk(codebooks, chunk_dev, metric_=metric)
     return codebooks
 
 

@@ -221,6 +221,43 @@ def build_serving_search(
     return packed_search
 
 
+def build_serving_window_int8(mesh: Mesh, k: int, w: int, metric: str):
+    """Sharded phase A of the int8-resident (host-rescore) residency
+    mode (engine/residency.py, VERDICT r4 next #2): each shard scans its
+    row slice of the int8 scan copy with :func:`topk2.topk_window_int8`
+    and emits its local top-``w`` candidate window as GLOBAL row ids —
+    the host concatenates the per-shard windows and finishes with the
+    shared exact fp32 rescore. Only ``S·W`` ids per query batch cross
+    the device→host link; the fp32 corpus never lands on any device
+    (each chip holds 1/S of the int8 copy, so the int8-resident ceiling
+    scales with the mesh — BASELINE config 4 at real HBM sizes).
+
+    ``fn(v8, sv, queries, aux_mul, aux_add) -> [S, Q, W'] int32`` with
+    v8 ``[N_pad, D]`` row-sharded, sv/aux row-sharded, queries
+    replicated. ``W' = min(w, selection width, rows_local)`` — callers
+    read the result shape (same contract as the single-chip kernel).
+    Padding/masked rows may appear when a shard has fewer than W' live
+    candidates; the host rescore re-applies validity."""
+    axes = (DATA_AXIS, MODEL_AXIS)
+    in_specs = (P(axes, None), P(axes), P(), P(axes), P(axes))
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs,
+        out_specs=P(axes, None, None), check_vma=False,
+    )
+    def window_search(v8_l, sv_l, queries, mul_l, add_l):
+        rows_local = v8_l.shape[0]
+        ids = topk2.topk_window_int8(
+            v8_l, sv_l, queries, mul_l, add_l,
+            k=min(k, rows_local), w=min(w, rows_local), metric=metric,
+        )
+        gids = jnp.where(ids >= 0, ids + shard_index() * rows_local, -1)
+        return gids[None]
+
+    return window_search
+
+
 def build_serving_ivf_clustered(mesh: Mesh, k: int, metric: str):
     """Sharded IVF over PER-SHARD clustered layouts: each shard's rows
     are locally sorted by cell id, so a query's probed cells occupy

@@ -221,6 +221,41 @@ def main() -> None:
         ring_ids == ring_want[q_start : q_start + ring_ids.shape[0]]
     ).all(), (pid, q_start)
 
+    # --- mesh-composed STREAMING residency over the boundary (r4 #2) ---
+    # the larger-than-HBM mode's mesh form (engine/residency.stream_topk
+    # with a mesh up): every chunk uploads ROW-SHARDED — this process
+    # feeds only ITS slice of each chunk — the sharded serving search
+    # merges per-shard candidates across the process boundary, and the
+    # host merges chunks by (dist, id). Must equal the exact oracle.
+    from fenix_tpu.ops import topk2 as topk2_stream
+
+    chunk = N // 4  # 4 chunks
+    per_proc_c = chunk // nproc
+    serving = psearch.build_serving_search(mesh, k=K, metric="l2")
+    st_d, st_i = [], []
+    for start in range(0, N, chunk):
+        loc = corpus[start + pid * per_proc_c : start + (pid + 1) * per_proc_c]
+        c_dev = jax.make_array_from_process_local_data(sharding, loc)
+        m_dev = jax.make_array_from_process_local_data(
+            mesh_mod.row_sharding(mesh, 1), np.ones(per_proc_c, dtype=bool)
+        )
+        am_c, aa_c = psearch.shard_aux(c_dev, m_dev, "l2")
+        packed = np.asarray(serving(c_dev, jnp.asarray(queries), am_c, aa_c))
+        d_l, i_l = topk2_stream.unpack_result(packed)
+        st_d.append(d_l)
+        st_i.append(np.where(i_l >= 0, i_l + start, -1))
+    d_all = np.concatenate(st_d, axis=1)
+    i_all = np.concatenate(st_i, axis=1)
+    d_all = np.where(i_all >= 0, d_all, np.inf)
+    stream_ids = np.empty((Q, K), np.int64)
+    stream_dist = np.empty((Q, K), np.float32)
+    for qi in range(Q):
+        order = np.lexsort((i_all[qi], d_all[qi]))[:K]
+        stream_ids[qi] = i_all[qi][order]
+        stream_dist[qi] = d_all[qi][order]
+    stream_want = np.argsort(oracle, axis=1, kind="stable")[:, :K]
+    assert (stream_ids == stream_want).all(), (pid, stream_ids, stream_want)
+
     # --- dim-sharded search over the boundary (VERDICT r3 #5) ----------
     # D columns over MODEL (2), rows over DATA (4): the per-step psum
     # assembling exact scores crosses the process boundary
@@ -271,6 +306,7 @@ def main() -> None:
         join_gk=join_gk, join_gv=join_gv,
         ring_ids=ring_ids, ring_dist=ring_dist, ring_q_start=np.int64(q_start),
         dim_ids=dim_ids, dim_dist=dim_dist,
+        stream_ids=stream_ids, stream_dist=stream_dist,
     )
     print(f"worker {pid}: OK", flush=True)
 

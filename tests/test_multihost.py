@@ -69,6 +69,11 @@ def test_two_process_mesh(tmp_path):
     # both processes agree bitwise)
     np.testing.assert_array_equal(r0["join_gk"], r1["join_gk"])
     np.testing.assert_array_equal(r0["join_gv"], r1["join_gv"])
+    # mesh-composed streaming residency: chunked row-sharded scan merged
+    # across the process boundary (worker asserts the oracle; here:
+    # both processes agree bitwise)
+    np.testing.assert_array_equal(r0["stream_ids"], r1["stream_ids"])
+    np.testing.assert_array_equal(r0["stream_dist"], r1["stream_dist"])
 
     # ... and identical to the same computation on the driver's
     # single-process 8-device mesh (boundary must not change the math)

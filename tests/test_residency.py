@@ -85,7 +85,12 @@ def test_int8_resident_filtered(root, rng, filt):
 
 
 def test_stream_fp32_matches_dual(root, rng, monkeypatch):
-    cache = executor.get_cache(root)
+    # mesh=None pins the SINGLE-DEVICE chunking (5 MB → 3 chunks of
+    # 16384); the mesh-composed stream has its own chunk-count pinning
+    # in test_residency_mesh.py
+    from fenix_tpu.engine.session import DeviceCache
+
+    cache = DeviceCache(root, mesh=None)
     target = rng.standard_normal((3, DIM)).astype(np.float32)
     dual = executor.execute_search(cache, make_req(rng, target=target))
 
@@ -190,20 +195,28 @@ def test_auto_budget_serves_endtoend(root, rng, monkeypatch):
     ids_b, _ = _ids_dists(got, 3)
     np.testing.assert_array_equal(ids_a, ids_b)
 
-    # through a MESH cache the same budget keeps the sharded dual path;
-    # a budget below even the per-device slice streams instead (int8
-    # single-device residency costs MORE than a dual shard — auto never
-    # picks it when a mesh is up)
+    # through a MESH cache the budget is PER DEVICE: 1 MB cannot hold
+    # a dual shard (4·131072·16/8 + aux) but fits the per-device int8
+    # slice → mesh-composed INT8 residency; below even that slice the
+    # mesh STREAMS row-sharded chunks (test_residency_mesh.py pins the
+    # routing boundary explicitly)
     mesh_cache = executor.get_cache(root)
     if mesh_cache.mesh is not None:
         monkeypatch.setenv("FENIX_HBM_BUDGET", str(1 << 20))
-        before = METRICS.snapshot().get("search.residency_stream", 0)
+        before = METRICS.snapshot().get("search.residency_int8", 0)
         got = executor.execute_search(
-            mesh_cache, make_req(rng, target=target)
+            mesh_cache, make_req(rng, target=target, extra={"window": ROWS})
         )
-        assert METRICS.snapshot().get("search.residency_stream", 0) == before + 1
+        assert METRICS.snapshot().get("search.residency_int8", 0) == before + 1
         ids_c, _ = _ids_dists(got, 3)
         np.testing.assert_array_equal(ids_a, ids_c)
+
+        monkeypatch.setenv("FENIX_HBM_BUDGET", str(400_000))
+        before = METRICS.snapshot().get("search.residency_stream", 0)
+        got = executor.execute_search(mesh_cache, make_req(rng, target=target))
+        assert METRICS.snapshot().get("search.residency_stream", 0) == before + 1
+        ids_d, _ = _ids_dists(got, 3)
+        np.testing.assert_array_equal(ids_a, ids_d)
 
 
 def _build_index(root):
@@ -362,8 +375,13 @@ def test_int8_resident_never_builds_device_fp32(root, rng):
     cache = DeviceCache(root)  # fresh cache, nothing resident
     req = make_req(rng, residency="int8", extra={"window": ROWS})
     executor.execute_search(cache, req)
-    assert not any(k[-1] == "matrix" for k in cache._device), list(cache._device)
-    assert any(k[-1] == "int8_solo" for k in cache._device)
+    assert not any(
+        k[-1] in ("matrix", "sharded_matrix") for k in cache._device
+    ), list(cache._device)
+    # mesh caches build the row-sharded int8 copy, single-device the flat
+    assert any(
+        k[-1] in ("int8_solo", "sharded_int8_solo") for k in cache._device
+    )
 
 
 def test_flight_serves_oversized_table_end_to_end(root, rng, monkeypatch):
