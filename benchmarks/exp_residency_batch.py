@@ -49,7 +49,7 @@ def main() -> None:
     keep_root = args.root is not None
     root = args.root or tempfile.mkdtemp(prefix="fenix_resb_")
     try:
-        if not os.path.exists(os.path.join(root, "sources", "big.arrow")):
+        if not os.path.exists(table.path_of(root, "big")):
             t0 = time.perf_counter()
             schema = pa.schema({"id": pa.int64(), "vector": pa.list_(pa.float32(), d)})
 
@@ -70,6 +70,12 @@ def main() -> None:
 
         cache = DeviceCache(root, mesh=None)
         host = cache.host_matrix("big", "vector")
+        # a reused --root must match the requested shape — silently
+        # benchmarking a stale corpus poisons the emitted rows= label
+        assert host.shape == (n, d), (
+            f"--root holds a {host.shape} corpus but --rows/--scale ask "
+            f"for {(n, d)}; use a fresh root"
+        )
         queries = rng.standard_normal((qb, d)).astype(np.float32)
 
         def req(target, window):

@@ -77,7 +77,7 @@ def main() -> None:
     timings = {}
     try:
         # -- stage 1: corpus (mixture of gaussians), streamed ingest ------
-        if not os.path.exists(os.path.join(root, "sources", "big.arrow")):
+        if not os.path.exists(table.path_of(root, "big")):
             t0 = time.perf_counter()
             schema = pa.schema({"id": pa.int64(), "vector": pa.list_(pa.float32(), d)})
 

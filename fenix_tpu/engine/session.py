@@ -121,15 +121,9 @@ def _quantize_chunk_rows(dim: int, target_bytes: int = 256 << 20) -> int:
     return max(1, target_bytes // (4 * dim))
 
 
-def _parse_stamp_json(s: str) -> tuple:
-    """Inverse of ``json.dumps(self._mtimes(key))`` — tuple-of-table-
-    stamps with the nesting json lost restored (lists → tuples)."""
-    import json as json_mod
-
-    return tuple(
-        (tuple(base), tuple((n, int(m)) for n, m in parts))
-        for base, parts in json_mod.loads(s)
-    )
+# inverse of json.dumps(self._mtimes(key)) — shared with io/table.py so
+# the stamp wire form has exactly one parser (round-5 review)
+_parse_stamp_json = table.stamps_from_json
 
 
 def _npy_append_rows(path: str, arr: np.ndarray, expect_rows: int) -> bool:
@@ -148,7 +142,14 @@ def _npy_append_rows(path: str, arr: np.ndarray, expect_rows: int) -> bool:
 
     with open(path, "r+b") as fh:
         version = npf.read_magic(fh)
-        shape, fortran, dtype = npf._read_array_header(fh, version)
+        # public per-version readers only — the private _read_array_header
+        # changes signature across numpy releases (round-5 review)
+        if version == (1, 0):
+            shape, fortran, dtype = npf.read_array_header_1_0(fh)
+        elif version == (2, 0):
+            shape, fortran, dtype = npf.read_array_header_2_0(fh)
+        else:
+            return False
         hdr_end = fh.tell()
         if (
             fortran
@@ -282,6 +283,35 @@ def _grow_update(old, delta, old_rows: int, new_pad: int):
             if _GROW_COMPILED is None:
                 _GROW_COMPILED = jax.jit(_grow_jit, static_argnames=("new_pad",))
     return _GROW_COMPILED(old, delta, jnp.int32(old_rows), new_pad=new_pad)
+
+
+_GROW1_COMPILED = None
+
+
+def _grow1_update(old, delta, old_rows: int, new_pad: int, fill: float):
+    """1-D sibling of :func:`_grow_update` (per-row scale vectors);
+    capacity extensions fill the tail with ``fill`` so padding rows
+    keep their sentinel value."""
+    import jax
+    import jax.numpy as jnp
+
+    global _GROW1_COMPILED
+    if _GROW1_COMPILED is None:
+        with _GROW_INIT_LOCK:
+            if _GROW1_COMPILED is None:
+
+                def g(old, delta, start, new_pad: int, fill: float):
+                    buf = (
+                        old
+                        if new_pad == old.shape[0]
+                        else jnp.full((new_pad,), fill, old.dtype)
+                        .at[: old.shape[0]]
+                        .set(old)
+                    )
+                    return jax.lax.dynamic_update_slice(buf, delta, (start,))
+
+                _GROW1_COMPILED = jax.jit(g, static_argnames=("new_pad", "fill"))
+    return _GROW1_COMPILED(old, delta, jnp.int32(old_rows), new_pad=new_pad, fill=fill)
 
 
 class DeviceCache:
@@ -713,6 +743,14 @@ class DeviceCache:
                 ).astype(np.float32, copy=False)
             except (FileNotFoundError, KeyError, TypeError):
                 return None  # raced mutation / schema drift
+            # parts load by NAME: a compaction + fresh append between
+            # the stamp read and here can REUSE part file names with
+            # different rows (the documented hazard matrix() re-checks
+            # mtimes for). A stale read must not be quantized into a
+            # sidecar stamped as this revision — persisted wrong rows
+            # would not self-heal until the next mutation.
+            if self._mtimes(key) != stamp:
+                return None
             dcodes = np.empty(delta.shape, np.int8)
             dscales = np.empty(delta.shape[0], np.float32)
             chunk = _quantize_chunk_rows(delta.shape[1])
@@ -807,11 +845,16 @@ class DeviceCache:
                         fh,
                     )
                 os.replace(tmp, meta_path)
+                # reload INSIDE the flock: a concurrent cross-process
+                # rewrite between two unlocked loads could pair codes
+                # and scales from different revisions (round-5 review)
+                codes = np.load(codes_path, mmap_mode="r")
+                scales = np.load(scales_path)
+                if codes.shape[0] != scales.shape[0]:
+                    return None
             metrics.add("cache.int8_sidecar_writes")
-            codes = np.load(codes_path, mmap_mode="r")
-            scales = np.load(scales_path)
             return codes, scales
-        except OSError:
+        except (OSError, ValueError):
             return None
 
     def host_cell_meta(
@@ -1149,6 +1192,31 @@ class DeviceCache:
         key = _source_key(source)
         stamp = self._mtimes(key)
 
+        ckey = (key, column, "int8_solo")
+        hit = self._device.get(ckey)
+        if hit is not None and hit[0] != stamp and len(key) == 1:
+            # grow OUTSIDE self._lock: _grow_int8_solo calls host_int8,
+            # whose _memo_unlocked builder PUBLISHES under the lock —
+            # waiting on an in-flight mirror build while holding the
+            # lock would deadlock the whole cache (round-5 review).
+            # Publish-time guards make the lockless compute safe: the
+            # entry must still be the one we grew from, and the table
+            # must still be at the stamp we grew to (matrix()'s own
+            # label-content binding rule).
+            grown = self._grow_int8_solo(key, column, hit[0], hit[1], stamp)
+            if grown is not None:
+                with self._lock:
+                    cur = self._device.get(ckey)
+                    if cur is not None and cur[0] == hit[0] and self._mtimes(
+                        key
+                    ) == stamp:
+                        self._device[ckey] = (stamp, grown)
+                        self._touch(ckey)
+                        self.incremental_refreshes += 1
+                        return grown
+                # lost a race (someone else refreshed, or the table
+                # moved again): fall through to the memoized build
+
         def build():
             import jax
             import jax.numpy as jnp
@@ -1178,7 +1246,63 @@ class DeviceCache:
                 ingest.DeviceColumn(data=jnp.asarray(sv_np), rows=rows),
             )
 
-        return self._memo(self._device, (key, column, "int8_solo"), stamp, build)
+        return self._memo(self._device, ckey, stamp, build)
+
+    def _grow_int8_solo(self, key, column, old_stamp, old, new_stamp):
+        """Extend the int8-RESIDENT device copy by appended rows only —
+        the device half of the incremental-mirror standard: the delta's
+        codes come pre-quantized from :meth:`host_int8` (itself
+        O(delta) on append hops), so a small append costs delta upload
+        bytes instead of an N·D re-upload over the link. Non-append
+        hops (deletes, compactions) rebuild — that rebuild is an
+        upload-only pass from the refreshed mirror, never a re-quantize.
+        None → caller rebuilds."""
+        import jax.numpy as jnp
+
+        if table.append_delta(old_stamp[0], new_stamp[0]) is None:
+            return None
+        v8, sv = old
+        codes, scales = self.host_int8(key[0], column)
+        # the mirror stamps itself against the CURRENT table: if the
+        # table moved again while we waited on its build, its rows do
+        # not correspond to `new_stamp` — rebuild instead of binding
+        # newer rows to an older stamp label
+        if self._mtimes(key) != new_stamp:
+            return None
+        new_rows = codes.shape[0]
+        d = v8.data.shape[1]
+        if new_rows <= v8.rows or codes.shape[1] != d:
+            return None  # raced mutation / schema drift
+        delta_c = np.asarray(codes[v8.rows : new_rows])
+        delta_s = np.asarray(scales[v8.rows : new_rows], np.float32)
+        cold_pad = max(
+            ingest.round_up(new_rows, self.block), self.block, v8.rows_padded
+        )
+        # quantize the delta height so repeated small appends reuse one
+        # compiled update (same rule as _grow_matrix)
+        delta_pad = ingest.round_up(delta_c.shape[0], 256)
+        if v8.rows + delta_pad > cold_pad:
+            delta_pad = cold_pad - v8.rows
+        if delta_pad != delta_c.shape[0]:
+            delta_c = np.concatenate(
+                [delta_c, np.zeros((delta_pad - delta_c.shape[0], d), np.int8)]
+            )
+            delta_s = np.concatenate(
+                [delta_s,
+                 np.full(delta_pad - delta_s.shape[0], 1e-30, np.float32)]
+            )
+        return (
+            ingest.DeviceColumn(
+                data=_grow_update(v8.data, jnp.asarray(delta_c), v8.rows, cold_pad),
+                rows=new_rows,
+            ),
+            ingest.DeviceColumn(
+                data=_grow1_update(
+                    sv.data, jnp.asarray(delta_s), v8.rows, cold_pad, 1e-30
+                ),
+                rows=new_rows,
+            ),
+        )
 
     def int8_solo_aux(self, source: str | Sequence[str], column: str, metric: str):
         """Device ``(aux_mul, aux_add)`` [N_pad] for the int8-resident

@@ -179,9 +179,22 @@ def record_lineage(
     os.replace(tmp, path)
 
 
-def _stamp_from_json(s: str) -> tuple:
-    base, parts = json.loads(s)
+def _stamp_from_obj(obj) -> tuple:
+    base, parts = obj
     return (tuple(base), tuple((n, m) for n, m in parts))
+
+
+def _stamp_from_json(s: str) -> tuple:
+    return _stamp_from_obj(json.loads(s))
+
+
+def stamps_from_json(s: str) -> tuple:
+    """Inverse of ``json.dumps(tuple_of_table_stamps)`` — the cache
+    sidecar meta format (one entry per joined source). ONE parser for
+    the stamp wire form: a format change (e.g. a new identity field)
+    must not leave a second parser silently mismatching, which would
+    degrade every incremental sidecar refresh to a full rebuild."""
+    return tuple(_stamp_from_obj(o) for o in json.loads(s))
 
 
 def lineage(root: str, name: str):

@@ -171,7 +171,13 @@ def train_streaming(
 
         if int8_mirror is not None:
             codes, scales = int8_mirror
-        else:
+            if codes.shape != (n_rows, dim) or scales.shape[0] != n_rows:
+                # mirror from a different table revision than `matrix`
+                # (a mutation between the caller's load and the mirror
+                # fetch): silently training on other rows' codes — or
+                # an IndexError mid-epoch — is worse than re-quantizing
+                codes = scales = int8_mirror = None
+        if int8_mirror is None:
             codes = np.empty((n_rows, dim), np.int8)
             scales = np.empty(n_rows, np.float32)
             qchunk = max(1, (256 << 20) // (4 * dim))

@@ -130,6 +130,38 @@ def test_delete_then_append_composes(root, rng):
     np.testing.assert_array_equal(scales, want_s)
 
 
+def test_device_int8_solo_grows_on_append(root, rng):
+    """The int8-RESIDENT device copy extends by the appended rows only
+    (delta upload, no N·D re-upload): incremental_refreshes bumps and
+    the device codes equal a from-scratch quantize of the new corpus."""
+    from fenix_tpu.engine import executor
+
+    cache = DeviceCache(root, mesh=None)
+    v8a, _ = cache.int8_solo("vec", "vector")
+    assert v8a.rows == ROWS
+
+    table.append(root, "vec", _vec_table(100, rng, start=ROWS))
+    before = cache.incremental_refreshes
+    v8b, svb = cache.int8_solo("vec", "vector")
+    assert cache.incremental_refreshes == before + 1
+    assert v8b.rows == ROWS + 100
+    want_c, want_s = _oracle(cache)
+    np.testing.assert_array_equal(np.asarray(v8b.data)[: ROWS + 100], want_c)
+    np.testing.assert_allclose(
+        np.asarray(svb.data)[: ROWS + 100], want_s, rtol=2e-7
+    )
+    # a search through the grown residency stays exact
+    target = rng.standard_normal((2, DIM)).astype(np.float32)
+    dual = executor.execute_search(cache, executor.SearchRequest(
+        source="vec", column="vector", target=target, metric="l2", maxval=7))
+    got = executor.execute_search(cache, executor.SearchRequest(
+        source="vec", column="vector", target=target, metric="l2", maxval=7,
+        residency="int8", extra={"window": ROWS + 100}))
+    np.testing.assert_array_equal(
+        np.asarray(dual.column("id")), np.asarray(got.column("id"))
+    )
+
+
 def test_torn_inplace_append_rebuilds_silently(root, rng):
     """Crash between the data append and the meta write: the sidecar
     has no meta → a fresh cache silently rebuilds (meta-last
