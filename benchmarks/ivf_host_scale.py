@@ -41,6 +41,14 @@ def main() -> None:
     p.add_argument("--rows", type=int, default=100_000_000)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--cells", type=int, default=4096, help="total composite cells")
+    p.add_argument(
+        "--centers", type=int, default=16384,
+        help="mixture modes in the synthetic corpus. Must exceed --cells "
+        "by a healthy factor: the occupied-cell count is capped by the "
+        "number of distinct modes (a 256-mode corpus filled 164/4096 "
+        "cells with a 9M-row max cell — probed gathers were corpus-scale "
+        "and the benchmark measured skew, not IVF)",
+    )
     p.add_argument("--sample", type=int, default=1_000_000, help="coder training sample rows")
     p.add_argument("--root", default=None, help="persistent root (stages resume)")
     p.add_argument("--flight", action="store_true",
@@ -59,7 +67,7 @@ def main() -> None:
     n = int(args.rows * min(args.scale, 1.0)) // 128 * 128 or 1280
     d = args.dim
     q, k = 8, 100
-    n_centers = 256  # mixture structure so IVF has geometry to exploit
+    n_centers = args.centers  # mixture structure so IVF has geometry to exploit
     kbook = int(round(args.cells ** 0.5))
     cfg: coder.Config = {
         "metric": "l2", "codebook_size": kbook, "num_codebooks": 2,
@@ -167,7 +175,15 @@ def main() -> None:
             for _ in range(iters):
                 out = ex.execute_search(cache, req(probes))
             dt = (time.perf_counter() - t0) / iters
-            ids = np.asarray(out.column("id")).reshape(q, k)
+            # parse by query id — probed results with fewer than k
+            # reachable rows drop the padding, so a flat reshape fails
+            # at smoke scales
+            qid = np.asarray(out.column("__QUERY_ID__"))
+            flat = np.asarray(out.column("id"))
+            ids = np.full((q, k), -1, np.int64)
+            for qi in range(q):
+                mine = flat[qid == qi][:k]
+                ids[qi, : mine.size] = mine
             results[probes] = (dt, ids)
             probed_rows = int(
                 occupancy[
@@ -251,7 +267,12 @@ def main() -> None:
                     flight[f"flight_s_per_batch8_probes{probes}"] = round(
                         (time.perf_counter() - t0) / iters, 3
                     )
-                    ids = np.asarray(out.column("id")).reshape(q, k)
+                    qid_f = np.asarray(out.column("__QUERY_ID__"))
+                    flat_f = np.asarray(out.column("id"))
+                    ids = np.full((q, k), -1, np.int64)
+                    for qi in range(q):
+                        mine = flat_f[qid_f == qi][:k]
+                        ids[qi, : mine.size] = mine
                     flight[f"flight_recall_at_10_probes{probes}"] = recall(ids, 10)
             finally:
                 srv.terminate()
