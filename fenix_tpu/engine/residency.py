@@ -378,8 +378,11 @@ def probed_topk(
         total = pos.size
         if total == 0:
             continue
-        sub = np.asarray(codes_s[pos], np.float32)
-        sc = (sub @ qp[qi]) * mul_s[pos] + add_s[pos]
+        # fused native scorer: one threaded pass over the contiguous
+        # probed slices — the gather-then-BLAS form materialized the
+        # whole probed set as fp32 (4× the traffic; measured 1.8×
+        # slower warm at the 4M-probed-rows shape)
+        sc = native.row_score(codes_s, pos, qp[qi], mul_s, add_s)
         o = orig[pos]
         if mask is not None:
             sc = np.where(mask[o], sc, -np.inf)
@@ -711,9 +714,7 @@ def execute_nomax_host(cache, req) -> pa.Table:
             sel = sel0[sel_mask[sel0]]
         else:
             sel = np.nonzero(sel_mask)[0]
-        sub = native.gather_rows(host, sel.astype(np.int64))
-        sc = sub @ qp[qi]
-        sc = sc * hmul[sel] + hadd[sel]
+        sc = native.row_score(host, sel.astype(np.int64), qp[qi], hmul, hadd)
         dist = _scores_to_distances_np(sc[None], target[qi : qi + 1], metric)[0]
         ids_parts.append(sel.astype(np.int32))
         dist_parts.append(dist.astype(np.float32))

@@ -42,6 +42,11 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
     ]
+    for score_fn in ("fenix_row_score_f32", "fenix_row_score_int8"):
+        getattr(lib, score_fn).argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
     lib.fenix_version.restype = ctypes.c_int32
     _lib = lib
     return lib
@@ -85,6 +90,46 @@ def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
     out = np.empty((idx.shape[0], *src.shape[1:]), dtype=src.dtype)
     lib.fenix_gather_rows(
         src.ctypes.data, idx.ctypes.data, out.ctypes.data, idx.shape[0], src.strides[0]
+    )
+    return out
+
+
+def row_score(
+    rows: np.ndarray,
+    pos: np.ndarray,
+    query: np.ndarray,
+    mul: np.ndarray,
+    add: np.ndarray,
+) -> np.ndarray:
+    """Fused ``dot(rows[pos], query) * mul[pos] + add[pos]`` in one
+    threaded pass — the residency host paths' scoring primitive.
+
+    ``rows`` is ``[N, D]`` float32 or int8 and is NEVER copied or
+    materialized as fp32 (it is typically a multi-GB mmap'd mirror;
+    the gather-then-BLAS form this replaces paid 3-4× the memory
+    traffic, and for int8 an fp32 materialize of the whole probed
+    set). Accumulation is scalar-ordered f32 — within the engine's
+    documented 1e-5 distance tolerance of the matmul paths."""
+    assert rows.ndim == 2 and rows.flags["C_CONTIGUOUS"]
+    assert rows.dtype in (np.float32, np.int8), rows.dtype
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    query = np.ascontiguousarray(query, dtype=np.float32)
+    mul = np.ascontiguousarray(mul, dtype=np.float32)
+    add = np.ascontiguousarray(add, dtype=np.float32)
+    lib = _load()
+    if lib is None:
+        sub = rows[pos].astype(np.float32, copy=False)
+        return (sub @ query) * mul[pos] + add[pos]
+    out = np.empty(pos.shape[0], np.float32)
+    fn = (
+        lib.fenix_row_score_f32
+        if rows.dtype == np.float32
+        else lib.fenix_row_score_int8
+    )
+    fn(
+        rows.ctypes.data, pos.ctypes.data, query.ctypes.data,
+        mul.ctypes.data, add.ctypes.data, out.ctypes.data,
+        pos.shape[0], rows.shape[1],
     )
     return out
 

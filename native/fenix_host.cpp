@@ -81,6 +81,46 @@ static inline uint32_t mix32(uint32_t x) {
 
 // Partition ids for each key + per-partition counts (counts has
 // num_partitions entries, zero-initialized by the caller).
+// Fused row scorer: out[i] = dot(rows[pos[i]], query) * mul[pos[i]] +
+// add[pos[i]]. The residency host paths previously gathered the rows
+// into a dense block and ran a BLAS dot — 3-4x the memory traffic of
+// reading each row once (int8 additionally paid an fp32 materialize of
+// the whole probed set). One threaded pass, rows touched exactly once.
+void fenix_row_score_f32(const float* rows, const int64_t* pos,
+                         const float* query, const float* mul,
+                         const float* add, float* out, int64_t n,
+                         int64_t dim) {
+  parallel_for(
+      n,
+      [&](int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+          const float* row = rows + pos[i] * dim;
+          float acc = 0.f;
+          for (int64_t j = 0; j < dim; ++j) acc += row[j] * query[j];
+          out[i] = acc * mul[pos[i]] + add[pos[i]];
+        }
+      },
+      /*min_grain=*/int64_t{1} << 11);
+}
+
+void fenix_row_score_int8(const int8_t* rows, const int64_t* pos,
+                          const float* query, const float* mul,
+                          const float* add, float* out, int64_t n,
+                          int64_t dim) {
+  parallel_for(
+      n,
+      [&](int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+          const int8_t* row = rows + pos[i] * dim;
+          float acc = 0.f;
+          for (int64_t j = 0; j < dim; ++j)
+            acc += static_cast<float>(row[j]) * query[j];
+          out[i] = acc * mul[pos[i]] + add[pos[i]];
+        }
+      },
+      /*min_grain=*/int64_t{1} << 11);
+}
+
 void fenix_hash_partition(const int64_t* keys, int32_t* parts, int64_t n,
                           int32_t num_partitions, int64_t* counts) {
   std::vector<std::atomic<int64_t>> local(num_partitions);

@@ -46,3 +46,22 @@ def test_partition_scatter_stable(rng):
     order = np.argsort(parts, kind="stable")
     np.testing.assert_array_equal(out, x[order])
     assert offsets[-1] == 300
+
+
+def test_row_score_matches_numpy(rng):
+    """Fused scorer == gather-then-BLAS to f32 sum-order tolerance, for
+    both dtypes, including out-of-order positions."""
+    from fenix_tpu import native
+
+    n_rows, d = 500, 16
+    pos = rng.integers(0, n_rows, 300)
+    q = rng.standard_normal(d).astype(np.float32)
+    mul = rng.standard_normal(n_rows).astype(np.float32)
+    add = rng.standard_normal(n_rows).astype(np.float32)
+    for rows in (
+        rng.standard_normal((n_rows, d)).astype(np.float32),
+        rng.integers(-127, 128, (n_rows, d)).astype(np.int8),
+    ):
+        want = (rows[pos].astype(np.float32) @ q) * mul[pos] + add[pos]
+        got = native.row_score(rows, pos, q, mul, add)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
