@@ -292,6 +292,34 @@ def main() -> None:
                 "vs a float64 oracle; tunnel-bound (~19 MB/s that run; "
                 "device scan ~0.4 s of the 679)",
             },
+            # Probed (IVF) search at the SAME 100M×128 host scale —
+            # round 5's host-side probed path (cell-sorted host int8
+            # layout + fused native scorer + exact fp32 rescore, NO
+            # device dispatch): benchmarks/ivf_host_scale.py,
+            # 2026-08-21. The brute stream above is the apples-to-
+            # apples baseline: 679.5 s/batch-8 exact.
+            "ivf_host_100Mx128_measured": {
+                "date": "2026-08-21",
+                "coder": "4 books x 16 centroids = 65536 cells "
+                "(26293 occupied, max cell 46.5k rows)",
+                "seconds_per_batch8": {
+                    "probes16": 0.075, "probes64": 0.273, "probes256": 5.57,
+                },
+                "recall_at_10": {
+                    "probes16": 0.7875, "probes64": 0.875, "probes256": 0.95,
+                },
+                "recall_at_100_probes256": 0.97,
+                "through_flight_server_probes64": 0.272,
+                "vs_brute_stream_679s": "2500x at probes64; 122x at the "
+                "recall@10=0.95 operating point",
+                "coarse_2book_coder": "16384 cells collapse to 1710 "
+                "occupied (856k-row max): probes16 26.7 s at "
+                "recall@10 0.975, probes64 24.7 s THROUGH FLIGHT at "
+                "recall@10 1.0 — the recall/latency knob is cell "
+                "granularity + probes, all host-side",
+                "mirror_restart_seconds": "int8 sidecar 3.7 + "
+                "clustered sidecar 7.0 (vs 355 + 428 cold)",
+            },
             # Sidecar restart benefit, measured separately at 4Mx768
             # (config2_fullscale --engine --scale 0.4 --root, twice,
             # 2026-08-21): the persisted int8 mirror halves the cold

@@ -42,6 +42,13 @@ def main() -> None:
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--cells", type=int, default=4096, help="total composite cells")
     p.add_argument(
+        "--books", type=int, default=2,
+        help="product-coder codebooks; more books = finer factorization "
+        "(a 2-book coder collapses a hierarchical corpus into few fat "
+        "cells — 1710/16384 occupied with an 856k-row max at 100M; "
+        "4x16 books spread the same cell count far thinner)",
+    )
+    p.add_argument(
         "--centers", type=int, default=16384,
         help="mixture modes in the synthetic corpus. Must exceed --cells "
         "by a healthy factor: the occupied-cell count is capped by the "
@@ -68,9 +75,9 @@ def main() -> None:
     d = args.dim
     q, k = 8, 100
     n_centers = args.centers  # mixture structure so IVF has geometry to exploit
-    kbook = int(round(args.cells ** 0.5))
+    kbook = int(round(args.cells ** (1.0 / args.books)))
     cfg: coder.Config = {
-        "metric": "l2", "codebook_size": kbook, "num_codebooks": 2,
+        "metric": "l2", "codebook_size": kbook, "num_codebooks": args.books,
         "batch_size": 1024, "num_epochs": 2,
     }
     sample_rows = min(args.sample, n)
@@ -172,7 +179,7 @@ def main() -> None:
             assert mode in (residency.INT8, residency.STREAM), mode
 
         results = {}
-        for probes in (16, 64):
+        for probes in (16, 64, 256):
             out = ex.execute_search(cache, req(probes))  # warm layouts
             t0 = time.perf_counter()
             iters = max(2, args.iters // 2)
@@ -306,10 +313,14 @@ def main() -> None:
             print(f"# flight leg: {flight}", flush=True)
 
         dt64 = results[64][0]
+        per_probe_seconds = {
+            f"seconds_per_batch8_probes{p}": round(dt, 3)
+            for p, (dt, _) in results.items()
+        }
         common.emit(
             f"ivf_host_{n}x{d}_seconds_per_batch8_probes64", dt64, "s/batch",
-            rows=n, dim=d, cells=int(kbook) ** 2, k=k,
-            seconds_per_batch8_probes16=round(results[16][0], 3),
+            rows=n, dim=d, cells=int(kbook) ** args.books, books=args.books, k=k,
+            **per_probe_seconds,
             **{f"probes{p}": r for p, r in rec.items()},
             vs_round4_brute_stream="679.5 s/batch-8 at 100M×128 (BENCH_r04)",
             timings=timings, **flight,
