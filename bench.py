@@ -278,6 +278,21 @@ def main() -> None:
                 "here because there is no compute to hide the upload "
                 "behind — PCIe-class links make the same stream ~0.8 s",
             },
+            # Round 5 re-measure of the overlap after the zero-copy
+            # chunk fix (full chunks yield corpus VIEWS; r4 staged every
+            # chunk through an extra host memcpy, which made 'overlapped'
+            # 6% SLOWER): benchmarks/exp_stream_16m.py --scale 0.25
+            # --quick, 2026-08-21.
+            "stream_overlap_4Mx768_measured": {
+                "date": "2026-08-21",
+                "warm_seconds_per_batch8": 106.0,
+                "serial_seconds": 133.0,
+                "overlap_gain": 1.254,
+                "chunks_per_search": 10,
+                "recall_at_100": 1.0,
+                "was_round4": "overlap_gain 0.943 at 16Mx768 (the "
+                "extra per-chunk host copy, VERDICT r4 weak #3/next #9)",
+            },
             # 100M rows (BASELINE's headline count) on ONE chip via the
             # same streaming route: benchmarks/exp_stream_16m.py
             # --rows 100000000 --dim 128, 2026-08-21.
@@ -320,6 +335,17 @@ def main() -> None:
                 "mirror_restart_seconds": "int8 sidecar 3.7 + "
                 "clustered sidecar 7.0 (vs 355 + 428 cold)",
             },
+            # Batch-1024 through int8 residency (config-5 batch shape
+            # against an oversized 4M×768 table; vectorized host
+            # rescore): benchmarks/exp_residency_batch.py, 2026-08-21.
+            "residency_batch1024_4Mx768_measured": {
+                "date": "2026-08-21",
+                "seconds_per_batch1024_window1024": 1.54,
+                "seconds_per_batch1024_window4096": 10.12,
+                "ms_per_query_window1024": 1.5,
+                "recall_at_10_spot": 1.0,
+                "plan": "auto -> int8 under FENIX_HBM_BUDGET=8.5e9",
+            },
             # Sidecar restart benefit, measured separately at 4Mx768
             # (config2_fullscale --engine --scale 0.4 --root, twice,
             # 2026-08-21): the persisted int8 mirror halves the cold
@@ -343,6 +369,22 @@ def main() -> None:
                 "transfer_fraction_of_epoch": 0.9995,
                 "route": "kmeans.train_streaming (host corpus, "
                 "double-buffered chunks; 2 codebooks x 256, batch 1024)",
+            },
+            # Round 5: int8 chunk TRANSPORT for the same streaming
+            # epoch (codes + per-row scales, dequantize in-kernel, fp32
+            # Lloyd math) — same-day fp32 control for an honest ratio:
+            # benchmarks/coder_train_scale.py --precision, 2026-08-21.
+            "coder_train_int8_transport_measured": {
+                "date": "2026-08-21",
+                "fp32_epoch_seconds_same_day": 1452.7,
+                "int8_epoch_seconds": 236.3,
+                "speedup": 6.1,
+                "transfer_gbytes": {"fp32": 30.7, "int8": 7.7},
+                "mirror_quantize_seconds_once_per_revision": 247.9,
+                "note": "math pinned identical to fp32 streaming over "
+                "the dequantized corpus (tests/test_coder_index.py); "
+                "centroid drift vs true-fp32 <2% frobenius on a "
+                "clusterable corpus",
             },
         },
     }
